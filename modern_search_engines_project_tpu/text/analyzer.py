@@ -1,0 +1,200 @@
+"""Text analysis: normalization, tokenization, lemma-light stemming, counting.
+
+TPU-native re-design of the reference's spaCy analysis pipeline
+(reference ``indexer/bm25_indexer.py:16-54`` — lowercase + tübingen
+normalization, 1M-char cap, lemma + stopword/punctuation/alpha filter,
+term counting).  The reference runs spaCy (Cython) in a multiprocessing
+pool; here the analyzer is a dependency-free deterministic pipeline with an
+optional C++ fast path (``native/analyzer.cpp``) so the frozen term
+dictionary can be rebuilt bit-identically anywhere.
+
+Output terms feed the term dictionary (``index/vocab.py``) whose ids are
+what the device-side BM25 kernels consume — the analyzer itself is
+host-side by design (SURVEY.md §7 "tokenization parity").
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Dict, Iterable, List
+
+# --- normalization ----------------------------------------------------------
+
+# The reference normalizes every spelling variant of the city name to one
+# canonical token before tokenizing (bm25_indexer.py:32,
+# search_api.py:158-162).  We canonicalize to the ASCII "tuebingen" so all
+# downstream term ids are ASCII-stable.
+_TUEBINGEN_RE = re.compile(r"t(?:ü|ue|u)binge[nr]s?", re.IGNORECASE)
+
+_WS_RE = re.compile(r"\s+")
+
+# Word tokens: letters (incl. German umlauts/ß) and digits, split on
+# everything else.  This replaces spaCy's tokenizer; punctuation and
+# non-alpha tokens are dropped at the filter stage like the reference's
+# ``token.is_alpha`` check (bm25_indexer.py:41-47).
+_TOKEN_RE = re.compile(r"[a-zA-ZäöüÄÖÜßàâéèêëíìîïóòôúùûñç]+")
+
+MAX_DOC_CHARS = 1_000_000  # spaCy max-length analog, bm25_indexer.py:33
+
+
+def normalize_text(text: str) -> str:
+    """Lowercase + canonicalize Tübingen spellings + collapse whitespace."""
+    text = text.lower()
+    text = _TUEBINGEN_RE.sub("tuebingen", text)
+    return text
+
+
+# --- stopwords --------------------------------------------------------------
+
+# Compact English stopword list (functional parity with spaCy's
+# ``token.is_stop`` filter, bm25_indexer.py:44).  Kept deliberately small and
+# frozen: changing it changes every term id.
+STOPWORDS = frozenset(
+    """a about above after again against all am an and any are aren as at be
+    because been before being below between both but by can cannot could
+    couldn did didn do does doesn doing don down during each few for from
+    further had hadn has hasn have haven having he her here hers herself him
+    himself his how i if in into is isn it its itself just ll m ma me
+    mightn more most mustn my myself needn no nor not now o of off on once
+    only or other our ours ourselves out over own re s same shan she should
+    shouldn so some such t than that the their theirs them themselves then
+    there these they this those through to too under until up ve very was
+    wasn we were weren what when where which while who whom why will with
+    won would wouldn y you your yours yourself yourselves""".split()
+)
+
+# --- lemma-light stemmer ----------------------------------------------------
+
+# Irregular forms the suffix rules would mangle.  spaCy's lemmatizer is a
+# lookup+rule hybrid; this is the "rule" half plus the highest-frequency
+# lookups, enough for stable term statistics (parity is statistical, not
+# token-exact — validated by the recall tests, SURVEY.md §7 "hard parts").
+_IRREGULAR = {
+    "is": "be", "was": "be", "are": "be", "were": "be", "been": "be",
+    "am": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    "goes": "go", "went": "go", "gone": "go", "going": "go",
+    "said": "say", "says": "say", "saying": "say",
+    "made": "make", "making": "make",
+    "took": "take", "taken": "take", "taking": "take",
+    "came": "come", "coming": "come",
+    "saw": "see", "seen": "see", "seeing": "see",
+    "got": "get", "gotten": "get", "getting": "get",
+    "gave": "give", "given": "give", "giving": "give",
+    "found": "find", "finding": "find",
+    "knew": "know", "known": "know", "knowing": "know",
+    "thought": "think", "thinking": "think",
+    "children": "child", "men": "man", "women": "woman", "people": "person",
+    "feet": "foot", "teeth": "tooth", "mice": "mouse", "geese": "goose",
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "cities": "city", "universities": "university", "studies": "study",
+    "lives": "life", "leaves": "leaf",
+}
+
+_VOWELS = set("aeiouäöü")
+
+
+def _strip_suffix(w: str) -> str:
+    """Rule-based lemma-light stemming (conservative; keeps stems readable)."""
+    n = len(w)
+    if n <= 3:
+        return w
+    # plural / 3rd person
+    if w.endswith("ies") and n > 4:
+        return w[:-3] + "y"
+    if w.endswith("sses"):
+        return w[:-2]
+    if w.endswith("xes") or w.endswith("zes") or w.endswith("ches") or w.endswith("shes"):
+        return w[:-2]
+    if w.endswith("s") and not w.endswith("ss") and not w.endswith("us") and not w.endswith("is"):
+        return w[:-1]
+    return w
+
+
+def _strip_verbal(w: str) -> str:
+    n = len(w)
+    if n <= 4:
+        return w
+    if w.endswith("ing") and n >= 6:
+        stem = w[:-3]
+        if len(stem) >= 3 and any(c in _VOWELS for c in stem):
+            # doubled final consonant: running -> run
+            if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
+                return stem[:-1]
+            # likely dropped 'e': making -> make
+            if stem[-1] not in _VOWELS and len(stem) >= 2 and stem[-2] in _VOWELS and len(stem) <= 4:
+                return stem + "e"
+            return stem
+    if w.endswith("ed") and n >= 5:
+        stem = w[:-2]
+        if any(c in _VOWELS for c in stem):
+            if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
+                return stem[:-1]
+            if stem.endswith("i"):
+                return stem[:-1] + "y"
+            return stem
+    return w
+
+
+def lemmatize(word: str) -> str:
+    """Lemma-light: irregular lookup, then plural, then verbal suffixes."""
+    if word in _IRREGULAR:
+        return _IRREGULAR[word]
+    w = _strip_suffix(word)
+    if w in _IRREGULAR:
+        return _IRREGULAR[w]
+    return _strip_verbal(w)
+
+
+# --- analyzer ---------------------------------------------------------------
+
+
+class Analyzer:
+    """text -> filtered lemma terms.
+
+    Pipeline (mirrors reference semantics, not implementation):
+      1. truncate to 1M chars               (bm25_indexer.py:33,227)
+      2. lowercase + tübingen normalization (bm25_indexer.py:30-32)
+      3. regex word tokenization            (spaCy tokenizer analog)
+      4. drop stopwords / len<2 / digits    (bm25_indexer.py:41-47)
+      5. lemma-light stemming               (token.lemma_ analog)
+    """
+
+    def __init__(self, use_native: bool = True):
+        self._native = None
+        if use_native:
+            try:
+                from modern_search_engines_project_tpu.native import (
+                    native_analyzer,
+                )
+
+                self._native = native_analyzer.load()
+            except Exception:
+                self._native = None
+
+    def tokens(self, text: str) -> List[str]:
+        if len(text) > MAX_DOC_CHARS:
+            text = text[:MAX_DOC_CHARS]
+        if self._native is not None:
+            return self._native.analyze(text)
+        text = normalize_text(text)
+        out = []
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            if len(tok) < 2 or tok in STOPWORDS:
+                continue
+            lemma = lemmatize(tok)
+            if len(lemma) < 2 or lemma in STOPWORDS:
+                continue
+            out.append(lemma)
+        return out
+
+    def count(self, text: str) -> Dict[str, int]:
+        """Term -> frequency, as the reference's per-doc term counts
+        (bm25_indexer.py:49-53)."""
+        return dict(Counter(self.tokens(text)))
+
+    def analyze_batch(self, texts: Iterable[str]) -> List[Dict[str, int]]:
+        return [self.count(t) for t in texts]

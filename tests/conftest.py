@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax import.
+
+The TPU-native answer to "test multi-chip without a cluster" (SURVEY.md §4):
+every sharding test runs against 8 virtual CPU devices so per-shard top-k,
+allgather merges and shard_map partitioning are exercised for real.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs[:8]

@@ -1,0 +1,134 @@
+"""Unit tests: analyzer, chunker window semantics, hashing tokenizer."""
+
+from modern_search_engines_project_tpu.text import (
+    Analyzer,
+    HashTokenizer,
+    create_sliding_windows,
+    lemmatize,
+    normalize_text,
+    sliding_window_bounds,
+    window_texts,
+)
+
+
+class TestNormalize:
+    def test_lowercase(self):
+        assert normalize_text("Hello World") == "hello world"
+
+    def test_tuebingen_variants(self):
+        # all reference spellings collapse to one canonical token
+        for v in ["Tübingen", "Tuebingen", "tubingen", "TÜBINGEN", "Tübinger"]:
+            assert "tuebingen" in normalize_text(v)
+
+    def test_tuebingen_genitive(self):
+        assert normalize_text("Tübingens Altstadt") == "tuebingen altstadt"
+
+
+class TestAnalyzer:
+    def setup_method(self):
+        self.an = Analyzer(use_native=False)
+
+    def test_stopwords_dropped(self):
+        assert self.an.tokens("the cat and the hat") == ["cat", "hat"]
+
+    def test_counts(self):
+        c = self.an.count("cat cat dog")
+        assert c == {"cat": 2, "dog": 1}
+
+    def test_tuebingen_normalized(self):
+        assert self.an.tokens("Tübingen tubingen Tuebingen") == ["tuebingen"] * 3
+
+    def test_short_and_digit_tokens_dropped(self):
+        assert self.an.tokens("a b 42 xy") == ["xy"]
+
+    def test_truncation_cap(self):
+        # 1M-char cap analog of bm25_indexer.py:33
+        long = "castle " * 300_000
+        toks = self.an.tokens(long)
+        assert 0 < len(toks) <= 1_000_000 // 6
+
+    def test_lemmatize(self):
+        assert lemmatize("cities") == "city"
+        assert lemmatize("running") == "run"
+        assert lemmatize("walked") == "walk"
+        assert lemmatize("universities") == "university"
+        assert lemmatize("was") == "be"
+        assert lemmatize("children") == "child"
+        assert lemmatize("castles") == "castle"
+
+
+class TestChunker:
+    """Window parity with reference embedder.py:65-87."""
+
+    def test_short_doc_single_window(self):
+        assert sliding_window_bounds(100, 512, 450) == [(0, 100)]
+
+    def test_exact_window(self):
+        assert sliding_window_bounds(512, 512, 450) == [(0, 512)]
+
+    def test_two_windows_with_tail(self):
+        # 1000 tokens: full windows at 0..512, 450..962; tail 488..1000
+        b = sliding_window_bounds(1000, 512, 450)
+        assert b == [(0, 512), (450, 962), (488, 1000)]
+
+    def test_no_tail_when_aligned(self):
+        # 962 = 450 + 512 -> last full window ends exactly at the end
+        b = sliding_window_bounds(962, 512, 450)
+        assert b == [(0, 512), (450, 962)]
+
+    def test_window_contents(self):
+        ids = list(range(1000))
+        ws = create_sliding_windows(ids, 512, 450)
+        assert ws[0] == list(range(512))
+        assert ws[1] == list(range(450, 962))
+        assert ws[2] == list(range(488, 1000))
+        assert all(len(w) == 512 for w in ws)
+
+    def test_empty(self):
+        assert sliding_window_bounds(0) == []
+
+    def test_overlap_fraction(self):
+        # 62-token overlap == ~12% (indexer/README.md:56-57)
+        b = sliding_window_bounds(2000, 512, 450)
+        for (s0, e0), (s1, _e1) in zip(b[:-2], b[1:-1]):
+            assert e0 - s1 == 62
+
+
+class TestHashTokenizer:
+    def setup_method(self):
+        self.tok = HashTokenizer(vocab_size=1000)
+
+    def test_deterministic(self):
+        assert self.tok.encode("hello world") == self.tok.encode("hello world")
+
+    def test_case_insensitive(self):
+        assert self.tok.encode("Hello") == self.tok.encode("hello")
+
+    def test_ids_in_range(self):
+        ids = self.tok.encode("the quick brown fox, jumped!")
+        assert all(4 <= i < 1000 for i in ids)
+
+    def test_offsets_reconstruct(self):
+        text = "Tübingen is a university town."
+        ids, offs = self.tok.encode_with_offsets(text)
+        assert len(ids) == len(offs)
+        assert text[offs[0][0] : offs[0][1]] == "Tübingen"
+
+    def test_window_texts_lossless(self):
+        text = " ".join(f"word{i}" for i in range(50))
+        _ids, offs = self.tok.encode_with_offsets(text)
+        texts = window_texts(text, offs, window_size=20, step_size=15)
+        assert texts[0].startswith("word0")
+        assert texts[0].endswith("word19")
+        assert texts[1].startswith("word15")
+
+    def test_pad_batch(self):
+        ids, mask = self.tok.pad_batch([[10, 11], [12]], max_len=6)
+        assert ids[0] == [1, 10, 11, 2, 0, 0]
+        assert mask[0] == [1, 1, 1, 1, 0, 0]
+        assert ids[1] == [1, 12, 2, 0, 0, 0]
+
+    def test_truncation(self):
+        ids, mask = self.tok.pad_batch([list(range(10, 30))], max_len=8)
+        assert len(ids[0]) == 8
+        assert ids[0][0] == 1 and ids[0][-1] == 2
