@@ -1,0 +1,291 @@
+"""Index builder: raw documents -> array-native hybrid index artifacts.
+
+TPU-first re-design of the reference's offline build (``index_all.py`` →
+``indexer/bm25_indexer.py:252`` + ``indexer/indexer.py:24``): instead of
+four DuckDB BM25 tables and two chunk/embedding tables, the build emits
+
+  * a term-major CSR postings matrix with **precomputed BM25 impact scores**
+    (idf and the tf/length saturation folded in at build time — query-time
+    scoring is then a pure gather+scatter-add, no per-posting math beyond a
+    qtf multiply), and
+  * a dense doc-major chunk-embedding bank ``[n_chunks, dim]`` with
+    contiguous per-document chunk segments (so per-doc pooling is a sorted
+    segment reduction on device).
+
+Formula parity with the reference:
+  idf   = ln((N - df + 0.5) / (df + 0.5))            bm25_indexer.py:140
+  tf'   = tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))   bm25_indexer.py:471-474
+  score = Σ_terms idf·tf'·qtf                         bm25_indexer.py:477-479
+Chunking parity: 512-token windows / 450 step with tail window
+(embedder.py:65-87); documents embed ``title + " " + text``
+(indexer.py:101-111); chunks per doc capped at ``max_chunks_per_doc`` — the
+reference applies the same cap-10 at query time via ROW_NUMBER in the
+reranker SQL (reranker_api.py:50-58), we apply it at build time which is
+score-equivalent and smaller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable, List, Optional, Sequence, Tuple
+from urllib.parse import urlparse
+
+import numpy as np
+
+from modern_search_engines_project_tpu.config import Config, DEFAULT_CONFIG
+from modern_search_engines_project_tpu.index.vocab import TermDictionary
+from modern_search_engines_project_tpu.text.analyzer import Analyzer
+from modern_search_engines_project_tpu.text.chunker import (
+    sliding_window_bounds,
+)
+from modern_search_engines_project_tpu.text.hash_tokenizer import HashTokenizer
+
+
+@dataclasses.dataclass
+class Document:
+    doc_id: int
+    url: str
+    title: str
+    text: str
+
+
+def extract_domain(url: str) -> str:
+    """Parity with reranker_api.py extract_domain (urlparse netloc, lower)."""
+    try:
+        return urlparse(url).netloc.lower()
+    except Exception:
+        return "defaultdomain"
+
+
+def make_snippet(title: str, text: str) -> str:
+    """Parity with bm25_indexer.py:505-508 snippet format."""
+    snippet = f"{title or 'N/A'}: {(text or '')[:200]}"
+    if len(text or "") > 200:
+        snippet += "..."
+    return snippet
+
+
+@dataclasses.dataclass
+class IndexArtifacts:
+    """Everything the device engine + serving layer need, as plain arrays."""
+
+    # --- BM25 (term-major CSR, impact-ordered postings) ---
+    indptr: np.ndarray  # int32 [V+1]
+    post_docs: np.ndarray  # int32 [nnz]
+    post_impact: np.ndarray  # float32 [nnz] = idf * tf_saturation
+    idf: np.ndarray  # float32 [V]  (introspection parity: get_term_stats)
+    df: np.ndarray  # int32 [V]
+    doc_len: np.ndarray  # int32 [n_docs]
+    avgdl: float
+    # --- dense chunk bank (doc-major contiguous segments) ---
+    chunk_emb: np.ndarray  # float32 [n_chunks, dim], L2-normalized rows
+    chunk_doc: np.ndarray  # int32 [n_chunks]
+    doc_chunk_start: np.ndarray  # int32 [n_docs]
+    doc_n_chunks: np.ndarray  # int32 [n_docs]
+    # --- host-side metadata ---
+    vocab: TermDictionary
+    doc_ids: List[int]  # external ids (reference urlsDB.id analog)
+    urls: List[str]
+    titles: List[str]
+    domains: List[str]
+    snippets: List[str]
+    window_texts: List[str]  # text of each chunk (aligned with chunk_emb)
+    config: Config = DEFAULT_CONFIG
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_ids)
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.chunk_emb.shape[0])
+
+    @property
+    def n_terms(self) -> int:
+        return int(self.indptr.shape[0]) - 1
+
+    def index_stats(self) -> dict:
+        """Parity with BM25.get_index_stats (bm25_indexer.py:546-568)."""
+        return {
+            "total_documents": self.n_docs,
+            "unique_terms": self.n_terms,
+            "total_postings": int(self.post_docs.shape[0]),
+            "avg_doc_length": float(self.avgdl),
+            "total_chunks": self.n_chunks,
+            "embedding_dim": int(self.chunk_emb.shape[1]),
+        }
+
+
+class IndexBuilder:
+    """Builds IndexArtifacts from an iterable of Documents.
+
+    The encoder is pluggable: anything with
+    ``encode_batch(list[str]) -> float32 [n, dim]`` (HashingEncoder for
+    self-contained builds, the JAX bi-encoder for trained embeddings).
+    """
+
+    def __init__(
+        self,
+        encoder,
+        config: Config = DEFAULT_CONFIG,
+        analyzer: Optional[Analyzer] = None,
+        tokenizer: Optional[HashTokenizer] = None,
+    ):
+        self.config = config
+        self.encoder = encoder
+        self.analyzer = analyzer or Analyzer()
+        self.tokenizer = tokenizer or HashTokenizer(config.vocab_size)
+
+    # -- BM25 side -----------------------------------------------------------
+
+    def _build_bm25(
+        self, term_counts: List[dict]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+        cfg = self.config
+        n_docs = len(term_counts)
+        vocab = TermDictionary()
+        doc_len = np.array(
+            [sum(c.values()) for c in term_counts], dtype=np.int32
+        )
+        avgdl = float(doc_len.mean()) if n_docs else 0.0
+
+        # first pass: dictionary + df
+        df_list: List[int] = []
+        for counts in term_counts:
+            for term in counts:
+                tid = vocab.add(term)
+                if tid == len(df_list):
+                    df_list.append(0)
+                df_list[tid] += 1
+        V = len(vocab)
+        df = np.array(df_list, dtype=np.int32) if V else np.zeros(0, np.int32)
+        # idf parity: LOG((N - df + 0.5) / (df + 0.5)), bm25_indexer.py:140
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32) if V else np.zeros(0, np.float32)
+
+        # second pass: CSR postings with precomputed impact
+        indptr = np.zeros(V + 1, dtype=np.int64)
+        np.add.at(indptr[1:], [vocab.term_to_id[t] for c in term_counts for t in c], 1)
+        indptr = np.cumsum(indptr).astype(np.int64)
+        nnz = int(indptr[-1])
+        post_docs = np.zeros(nnz, dtype=np.int32)
+        post_impact = np.zeros(nnz, dtype=np.float32)
+        cursor = indptr[:-1].copy()
+        k1, b = cfg.k1, cfg.b
+        for d, counts in enumerate(term_counts):
+            dl = float(doc_len[d])
+            len_norm = k1 * (1.0 - b + b * dl / avgdl) if avgdl > 0 else k1
+            for term, tf in counts.items():
+                tid = vocab.term_to_id[term]
+                pos = cursor[tid]
+                post_docs[pos] = d
+                post_impact[pos] = idf[tid] * (tf * (k1 + 1.0)) / (tf + len_norm)
+                cursor[tid] += 1
+
+        # impact-order postings within each term (descending |impact| keeps
+        # graceful degradation if a query's gather budget overflows)
+        for t in range(V):
+            s, e = int(indptr[t]), int(indptr[t + 1])
+            if e - s > 1:
+                order = np.argsort(-np.abs(post_impact[s:e]), kind="stable")
+                post_docs[s:e] = post_docs[s:e][order]
+                post_impact[s:e] = post_impact[s:e][order]
+
+        return (
+            indptr.astype(np.int32) if nnz < 2**31 else indptr,
+            post_docs,
+            post_impact,
+            idf,
+            df,
+            doc_len,
+            avgdl,
+        ), vocab
+
+    # -- dense side ----------------------------------------------------------
+
+    def _build_dense(self, docs: Sequence[Document]):
+        cfg = self.config
+        window_texts: List[str] = []
+        chunk_doc: List[int] = []
+        doc_chunk_start = np.zeros(len(docs), dtype=np.int32)
+        doc_n_chunks = np.zeros(len(docs), dtype=np.int32)
+        for d, doc in enumerate(docs):
+            full = f"{doc.title} {doc.text}" if doc.title else doc.text
+            _ids, offsets = self.tokenizer.encode_with_offsets(full)
+            bounds = sliding_window_bounds(
+                len(offsets), cfg.window_size, cfg.step_size
+            )[: cfg.max_chunks_per_doc]
+            doc_chunk_start[d] = len(window_texts)
+            doc_n_chunks[d] = len(bounds)
+            for s, e in bounds:
+                if e > s:
+                    c0, c1 = offsets[s][0], offsets[e - 1][1]
+                    window_texts.append(full[c0:c1])
+                else:  # empty doc: one empty window keeps shapes consistent
+                    window_texts.append("")
+                chunk_doc.append(d)
+            if not bounds:  # fully empty document still gets one chunk
+                window_texts.append("")
+                chunk_doc.append(d)
+                doc_n_chunks[d] = 1
+
+        embs = []
+        bs = cfg.embedding_batch_size
+        for i in range(0, len(window_texts), bs):
+            embs.append(
+                np.asarray(
+                    self.encoder.encode_batch(window_texts[i : i + bs]),
+                    dtype=np.float32,
+                )
+            )
+        chunk_emb = (
+            np.concatenate(embs, axis=0)
+            if embs
+            else np.zeros((0, cfg.embedding_dim), np.float32)
+        )
+        # L2-normalize (reference encodes with normalize_embeddings=True,
+        # indexer.py:165)
+        norms = np.linalg.norm(chunk_emb, axis=1, keepdims=True)
+        chunk_emb = np.where(norms > 0, chunk_emb / np.maximum(norms, 1e-12), chunk_emb)
+        return (
+            chunk_emb,
+            np.array(chunk_doc, dtype=np.int32),
+            doc_chunk_start,
+            doc_n_chunks,
+            window_texts,
+        )
+
+    # -- public --------------------------------------------------------------
+
+    def build(self, documents: Iterable[Document]) -> IndexArtifacts:
+        docs = list(documents)
+        term_counts = self.analyzer.analyze_batch(
+            (f"{d.title} {d.text}" if d.title else d.text) for d in docs
+        )
+        (indptr, post_docs, post_impact, idf, df, doc_len, avgdl), vocab = (
+            self._build_bm25(term_counts)
+        )
+        chunk_emb, chunk_doc, doc_chunk_start, doc_n_chunks, window_texts = (
+            self._build_dense(docs)
+        )
+        return IndexArtifacts(
+            indptr=indptr,
+            post_docs=post_docs,
+            post_impact=post_impact,
+            idf=idf,
+            df=df,
+            doc_len=doc_len,
+            avgdl=avgdl,
+            chunk_emb=chunk_emb,
+            chunk_doc=chunk_doc,
+            doc_chunk_start=doc_chunk_start,
+            doc_n_chunks=doc_n_chunks,
+            vocab=vocab,
+            doc_ids=[d.doc_id for d in docs],
+            urls=[d.url for d in docs],
+            titles=[d.title for d in docs],
+            domains=[extract_domain(d.url) for d in docs],
+            snippets=[make_snippet(d.title, d.text) for d in docs],
+            window_texts=window_texts,
+            config=self.config,
+        )

@@ -1,0 +1,67 @@
+"""Deterministic random-projection bag-of-words encoder.
+
+A self-contained stand-in for the reference's downloaded SentenceTransformer
+(``as-bessonov/reranker_searchengines_cos2``, reference ``config.py:1``):
+each hashed token id maps to a fixed pseudo-random unit vector; a text's
+embedding is the L2-normalized sum.  Deterministic across processes (vectors
+are generated per-id from a counter-based hash, not a stateful RNG), so
+index-time and query-time embeddings always agree.
+
+This gives real lexical-overlap cosine structure for tests/benchmarks, and
+implements the same ``encode_batch`` protocol as the trained JAX bi-encoder
+(``models/encoder.py``) so the two are interchangeable in the build pipeline
+and the serving engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from modern_search_engines_project_tpu.text.hash_tokenizer import HashTokenizer
+
+
+class HashingEncoder:
+    """encode_batch(texts) -> float32 [n, dim] L2-normalized embeddings."""
+
+    def __init__(self, dim: int = 768, vocab_size: int = 50257, seed: int = 0):
+        self.dim = dim
+        self.vocab_size = vocab_size
+        self.seed = seed
+        self.tokenizer = HashTokenizer(vocab_size)
+
+    def _token_vec(self, token_ids: np.ndarray) -> np.ndarray:
+        """Pseudo-random unit vectors per token id, counter-based (stateless)."""
+        # Philox-style determinism via per-id seeded Generator streams would be
+        # slow per token; instead derive a [n_ids, dim] matrix from a hashed
+        # counter sequence in one vectorized pass.
+        idx = token_ids.astype(np.uint64)
+        cols = np.arange(self.dim, dtype=np.uint64)
+        # splitmix64-inspired mixing of (token_id, col, seed)
+        x = idx[:, None] * np.uint64(0x9E3779B97F4A7C15)
+        x = x + cols[None, :] * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(self.seed)
+        x ^= x >> np.uint64(30)
+        x = x * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        # map to float in [-1, 1)
+        vals = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+        return vals.astype(np.float32)
+
+    def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)
+            if ids.size == 0:
+                out[i, 0] = 1.0
+                continue
+            vecs = self._token_vec(ids)
+            emb = vecs.sum(axis=0)
+            norm = float(np.linalg.norm(emb))
+            out[i] = emb / norm if norm > 0 else 0.0
+            if norm == 0:
+                out[i, 0] = 1.0
+        return out
+
+    def encode(self, text: str) -> np.ndarray:
+        return self.encode_batch([text])[0]

@@ -1,0 +1,179 @@
+"""SearchEngine: host orchestration around the jitted hybrid query path.
+
+The reference's three cooperating processes (Flask search_api -> FastAPI
+reranker -> DuckDB, SURVEY.md §1) collapse into this one class: query
+preprocessing + term lookup on host, one compiled device program for
+BM25 + dense + fusion + ranking, then host-side domain diversification and
+result formatting over the (at most) ``top_k_retrieval`` candidates.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index.builder import IndexArtifacts
+from modern_search_engines_project_tpu.retrieval import ops
+from modern_search_engines_project_tpu.retrieval.device_index import DeviceIndex
+from modern_search_engines_project_tpu.retrieval.numpy_ref import preprocess_query
+from modern_search_engines_project_tpu.retrieval.rerank import (
+    RankedDoc,
+    hybrid_diversification,
+)
+from modern_search_engines_project_tpu.text.analyzer import Analyzer
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        artifacts: IndexArtifacts,
+        encoder,
+        config: Optional[Config] = None,
+        bank_dtype=None,
+        analyzer: Optional[Analyzer] = None,
+    ):
+        import jax.numpy as jnp
+
+        self.art = artifacts
+        self.cfg = config or artifacts.config
+        self.encoder = encoder
+        self.analyzer = analyzer or Analyzer()
+        dtype = bank_dtype if bank_dtype is not None else jnp.float32
+        self.didx = DeviceIndex.from_artifacts(
+            artifacts, self.cfg, bank_dtype=dtype
+        )
+        self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
+
+    # --- host-side query prep ----------------------------------------------
+
+    def prepare_queries(self, queries: Sequence[str], augment: bool = True):
+        """queries -> (term_ids [B, T], qtf [B, T], processed texts).
+
+        Mirrors search_api.preprocess_query (tübingen augmentation,
+        search_api.py:155-166) + BM25._tokenize (bm25_indexer.py:149-155).
+        Unique terms with query-term-frequency weights, parity with
+        bm25_indexer.py:455-479.
+        """
+        T = self.cfg.max_query_terms
+        B = len(queries)
+        term_ids = np.full((B, T), -1, np.int32)
+        qtf = np.zeros((B, T), np.float32)
+        processed = []
+        for i, q in enumerate(queries):
+            pq = preprocess_query(q) if augment else q
+            processed.append(pq)
+            counts = Counter(self.analyzer.tokens(pq))
+            slot = 0
+            for term, tf in counts.items():
+                tid = self.art.vocab.get(term)
+                if tid < 0:
+                    continue
+                if slot >= T:
+                    break
+                term_ids[i, slot] = tid
+                qtf[i, slot] = float(tf)
+                slot += 1
+        return term_ids, qtf, processed
+
+    def encode_queries(self, processed: Sequence[str]) -> np.ndarray:
+        q = np.asarray(self.encoder.encode_batch(list(processed)), np.float32)
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        return q / np.maximum(norms, 1e-12)
+
+    # --- device calls -------------------------------------------------------
+
+    def _device_rank(self, term_ids, qtf, qvec):
+        d = self.didx
+        return ops.hybrid_rank(
+            d.indptr,
+            d.post_docs,
+            d.post_impact,
+            d.chunk_emb,
+            d.chunk_doc,
+            d.doc_chunk_start,
+            d.doc_n_chunks,
+            term_ids,
+            qtf,
+            qvec,
+            n_docs_pad=d.n_docs_pad,
+            posting_cap=d.posting_cap,
+            k_ret=self.k_ret,
+            smoothing=self.cfg.smoothing,
+        )
+
+    # --- public API ---------------------------------------------------------
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: Optional[int] = None,
+        augment: bool = True,
+    ) -> List[List[RankedDoc]]:
+        """Hybrid two-stage search for a batch of queries (reference P3:
+        all batch queries scored as one device batch)."""
+        top_k = top_k or self.cfg.top_k_reranking
+        term_ids, qtf, processed = self.prepare_queries(queries, augment)
+        qvec = self.encode_queries(processed)
+        doc, vals, old, win, valid = (
+            np.asarray(x) for x in self._device_rank(term_ids, qtf, qvec)
+        )
+        out: List[List[RankedDoc]] = []
+        for b in range(len(queries)):
+            ranked: List[RankedDoc] = []
+            for j in range(doc.shape[1]):
+                if not valid[b, j]:
+                    break  # invalid candidates sort to the tail
+                d = int(doc[b, j])
+                w = int(win[b, j])
+                w = w if 0 <= w < len(self.art.window_texts) else 0
+                ranked.append(
+                    RankedDoc(
+                        doc_id=self.art.doc_ids[d],
+                        url=self.art.urls[d],
+                        title=self.art.titles[d],
+                        similarity_score=float(vals[b, j]),
+                        original_similarity=float(old[b, j]),
+                        window_index=w,
+                        window_text=self.art.window_texts[w],
+                        domain=self.art.domains[d],
+                    )
+                )
+            if self.cfg.diversification:
+                ranked = hybrid_diversification(
+                    ranked,
+                    relevance_threshold=self.cfg.diversification_threshold,
+                    top_k=top_k,
+                )
+            else:
+                ranked = ranked[:top_k]
+            out.append(ranked)
+        return out
+
+    def search(self, query: str, top_k: Optional[int] = None) -> List[RankedDoc]:
+        return self.search_batch([query], top_k=top_k)[0]
+
+    def bm25_search(self, query: str, top_k: int = 1000, augment: bool = False):
+        """Stage-1-only search (BM25.search parity, bm25_indexer.py:383-514).
+
+        Returns [{doc_id, score, text_snippet}] like the reference.
+        """
+        term_ids, qtf, _ = self.prepare_queries([query], augment=augment)
+        idx, vals = ops.bm25_topk(
+            self.didx, term_ids, qtf, min(top_k, self.didx.n_docs_pad)
+        )
+        idx, vals = np.asarray(idx)[0], np.asarray(vals)[0]
+        results = []
+        for d, s in zip(idx, vals):
+            if s <= 0:
+                break
+            results.append(
+                {
+                    "doc_id": self.art.doc_ids[int(d)],
+                    "score": float(s),
+                    "text_snippet": self.art.snippets[int(d)],
+                }
+            )
+        return results

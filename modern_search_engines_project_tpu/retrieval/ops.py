@@ -1,0 +1,247 @@
+"""Jitted device scoring: the whole online query path as one XLA program.
+
+This replaces the reference's Flask -> DuckDB -> HTTP-reranker hot path
+(SURVEY.md §3.1) with a single compiled function:
+
+  1. **BM25 stage** — static-shape CSR gather/scatter.  Each query's term
+     postings are flattened into a fixed ``posting_cap`` gather budget via
+     searchsorted over cumulative postings lengths (no dynamic shapes, no
+     host round-trip), then scatter-added into a dense ``[B, n_docs+1]``
+     score accumulator (sentinel row swallows masked lanes).  Terms are
+     processed rarest-first so an over-budget query degrades by dropping
+     postings of the most common (lowest-idf) term — never the informative
+     ones.  Postings carry *precomputed impacts* (idf and tf/length
+     saturation folded in at build), so per-posting work is one multiply.
+  2. **Dense stage** — one ``[B, dim] x [dim, n_chunks]`` matmul against the
+     whole chunk bank (MXU-shaped; no gathers), then per-document top-2 via
+     sorted segment reductions.
+  3. **Fusion** — per-pool min-max normalization (cosine over candidate
+     chunks, BM25 over candidate docs, reranker_api.py:289-296,357-362),
+     0.85/0.15 fusion, additive positional adjustment of each doc's best
+     chunk with post-adjustment winner re-selection
+     (reranker_api.py:299-334,370-372), and a fused final top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modern_search_engines_project_tpu.retrieval.device_index import DeviceIndex
+
+_BIG = jnp.int32(2**31 - 1)
+
+
+def bm25_score_batch(
+    indptr: jnp.ndarray,
+    post_docs: jnp.ndarray,
+    post_impact: jnp.ndarray,
+    term_ids: jnp.ndarray,  # int32 [B, T], pad = -1
+    qtf: jnp.ndarray,  # float32 [B, T]
+    *,
+    n_docs_pad: int,
+    posting_cap: int,
+) -> jnp.ndarray:
+    """Dense BM25 scores [B, n_docs_pad + 1] (last row = scatter sentinel)."""
+    B, T = term_ids.shape
+    nnz = post_docs.shape[0]
+    n_terms = indptr.shape[0] - 1
+
+    valid_term = term_ids >= 0
+    tid = jnp.clip(term_ids, 0, max(n_terms - 1, 0))
+    starts = indptr[tid]
+    lens = jnp.where(valid_term, indptr[tid + 1] - starts, 0)
+
+    # rarest-first ordering: graceful degradation under the gather budget
+    order = jnp.argsort(lens, axis=1)
+    lens_s = jnp.take_along_axis(lens, order, axis=1)
+    starts_s = jnp.take_along_axis(starts, order, axis=1)
+    qtf_s = jnp.take_along_axis(qtf, order, axis=1)
+
+    cum = jnp.cumsum(lens_s, axis=1)  # [B, T]
+    total = cum[:, -1:]
+    j = jnp.arange(posting_cap, dtype=jnp.int32)[None, :]  # [1, Q]
+
+    slot = jax.vmap(
+        lambda c, jj: jnp.searchsorted(c, jj, side="right")
+    )(cum, jnp.broadcast_to(j, (B, posting_cap)))
+    slot = jnp.clip(slot, 0, T - 1).astype(jnp.int32)
+
+    cum0 = jnp.concatenate(
+        [jnp.zeros((B, 1), cum.dtype), cum[:, :-1]], axis=1
+    )
+    prev = jnp.take_along_axis(cum0, slot, axis=1)
+    within = j - prev
+    src = jnp.take_along_axis(starts_s, slot, axis=1) + within
+    src = jnp.clip(src, 0, max(nnz - 1, 0))
+
+    valid = j < total
+    d = jnp.where(valid, post_docs[src], n_docs_pad)
+    contrib = jnp.where(
+        valid, post_impact[src] * jnp.take_along_axis(qtf_s, slot, axis=1), 0.0
+    )
+
+    scores = jnp.zeros((B, n_docs_pad + 1), jnp.float32)
+    b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    scores = scores.at[b_rows, d].add(
+        contrib, indices_are_sorted=False, unique_indices=False
+    )
+    return scores
+
+
+def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Batched sorted-segment reduction: data [B, C] -> [B, num_segments]."""
+    return op(
+        data_bt.T, seg, num_segments=num_segments, indices_are_sorted=True
+    ).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_docs_pad",
+        "posting_cap",
+        "k_ret",
+        "smoothing",
+    ),
+)
+def hybrid_rank(
+    indptr,
+    post_docs,
+    post_impact,
+    chunk_emb,
+    chunk_doc,
+    doc_chunk_start,
+    doc_n_chunks,
+    term_ids,
+    qtf,
+    qvec,
+    *,
+    n_docs_pad: int,
+    posting_cap: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+):
+    """Full hybrid ranking. Returns per query the k_ret fused-ranked
+    candidates: (doc_idx, fused_score, bm25_norm, winner_chunk, valid)."""
+    B = term_ids.shape[0]
+    Dp1 = n_docs_pad + 1
+    C = chunk_emb.shape[0]
+    b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    # ---- stage 1: BM25 + candidate selection -------------------------------
+    bm = bm25_score_batch(
+        indptr,
+        post_docs,
+        post_impact,
+        term_ids,
+        qtf,
+        n_docs_pad=n_docs_pad,
+        posting_cap=posting_cap,
+    )
+    top_vals, top_idx = lax.top_k(bm[:, :n_docs_pad], k_ret)
+    valid_c = top_vals > 0.0
+
+    # min-max normalize BM25 over the candidate pool (reranker_api.py:361)
+    lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True)
+    denom = hi - lo
+    ok = valid_c & (denom > 0)
+    old_norm = jnp.where(ok, (top_vals - lo) / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+    # scatter candidate info onto dense doc axis (invalid -> sentinel row)
+    scatter_idx = jnp.where(valid_c, top_idx, n_docs_pad)
+    cand_mask = (
+        jnp.zeros((B, Dp1), jnp.bool_).at[b_rows, scatter_idx].set(True)
+    )
+    cand_mask = cand_mask.at[:, n_docs_pad].set(False)
+    old_dense = (
+        jnp.zeros((B, Dp1), jnp.float32).at[b_rows, scatter_idx].set(old_norm)
+    )
+
+    # ---- stage 2: dense similarity over the whole bank ---------------------
+    sims = jnp.dot(
+        qvec.astype(chunk_emb.dtype),
+        chunk_emb.T,
+        preferred_element_type=jnp.float32,
+    )  # [B, C]
+    chunk_mask = jnp.take(cand_mask, chunk_doc, axis=1)
+
+    # min-max normalize cosine over candidate *chunks* (reranker_api.py:360)
+    lo_c = jnp.min(jnp.where(chunk_mask, sims, jnp.inf), axis=1, keepdims=True)
+    hi_c = jnp.max(jnp.where(chunk_mask, sims, -jnp.inf), axis=1, keepdims=True)
+    den_c = hi_c - lo_c
+    new_norm = jnp.where(
+        chunk_mask & (den_c > 0),
+        (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+        0.0,
+    )
+
+    # ---- fusion + positional (reranker_api.py:362,299-334) -----------------
+    old_chunk = jnp.take(old_dense, chunk_doc, axis=1)
+    fused = jnp.where(
+        chunk_mask,
+        new_norm * (1.0 - smoothing) + old_chunk * smoothing,
+        -jnp.inf,
+    )
+
+    seg = chunk_doc  # sorted ascending (doc-major bank)
+    cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    m1 = _segment(jax.ops.segment_max, fused, seg, Dp1)  # best chunk score
+    m1_chunk = jnp.take(m1, seg, axis=1)
+    is_w1 = (fused == m1_chunk) & chunk_mask
+    w1 = _segment(
+        jax.ops.segment_min,
+        jnp.where(is_w1, cidx, _BIG),
+        seg,
+        Dp1,
+    )  # first argmax chunk (pandas idxmax parity)
+    w1_chunk = jnp.take(w1, seg, axis=1)
+
+    fused2 = jnp.where(cidx == w1_chunk, -jnp.inf, fused)
+    m2 = _segment(jax.ops.segment_max, fused2, seg, Dp1)
+    is_w2 = (fused2 == jnp.take(m2, seg, axis=1)) & chunk_mask
+    w2 = _segment(
+        jax.ops.segment_min, jnp.where(is_w2, cidx, _BIG), seg, Dp1
+    )
+
+    nck = doc_n_chunks[None, :]  # [1, Dp1]
+    pos = w1 - doc_chunk_start[None, :]
+    ratio = pos.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(jnp.float32)
+    adj = 0.10 - (0.10 + 0.05) * ratio
+    m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
+
+    doc_score = jnp.maximum(m1_adj, m2)
+    win = jnp.where(m1_adj >= m2, w1, w2)
+
+    # ---- final ranking over candidates -------------------------------------
+    cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
+    cand_win = jnp.take_along_axis(win, top_idx, axis=1)
+    sort_key = jnp.where(valid_c, cand_scores, -1.0)
+    final_vals, order = lax.top_k(sort_key, k_ret)
+    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
+    final_win = jnp.take_along_axis(cand_win, order, axis=1)
+    final_old = jnp.take_along_axis(old_norm, order, axis=1)
+    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
+    return final_doc, final_vals, final_old, final_win, final_valid
+
+
+def bm25_topk(
+    index: DeviceIndex, term_ids, qtf, k: int
+):
+    """BM25-only retrieval (reference BM25.search / USE_BM25=false-off path)."""
+    bm = bm25_score_batch(
+        index.indptr,
+        index.post_docs,
+        index.post_impact,
+        term_ids,
+        qtf,
+        n_docs_pad=index.n_docs_pad,
+        posting_cap=index.posting_cap,
+    )
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    return idx, vals

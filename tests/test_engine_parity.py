@@ -1,0 +1,179 @@
+"""Device engine vs numpy golden reference: full-pipeline parity.
+
+SURVEY.md §4(d): the jitted TPU path must reproduce the reference scoring
+(reimplemented faithfully in retrieval/numpy_ref.py) on a synthetic corpus.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index import Document, IndexBuilder
+from modern_search_engines_project_tpu.models import HashingEncoder
+from modern_search_engines_project_tpu.retrieval import (
+    SearchEngine,
+    bm25_search_numpy,
+    hybrid_search_numpy,
+    preprocess_query,
+)
+
+WORDS = (
+    "castle river neckar museum university student market church tower bridge "
+    "library garden forest hill chocolate festival boat punt cafe bakery "
+    "physics biology informatics hospital cathedral history art gallery "
+    "mountain valley street square station train"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(42)
+    docs = []
+    for i in range(80):
+        n = rng.randint(20, 300)
+        words = [rng.choice(WORDS) for _ in range(n)]
+        if rng.random() < 0.7:
+            words.insert(rng.randrange(len(words)), "tübingen")
+        text = " ".join(words)
+        domain = f"www.site{rng.randint(0, 15)}.de"
+        docs.append(
+            Document(
+                doc_id=1000 + i,
+                url=f"https://{domain}/page{i}",
+                title=f"{rng.choice(WORDS)} page {i}",
+                text=text,
+            )
+        )
+    return docs
+
+
+@pytest.fixture(scope="module")
+def built(corpus):
+    cfg = Config(
+        embedding_dim=64,
+        window_size=64,
+        step_size=50,
+        top_k_retrieval=50,
+        top_k_reranking=10,
+        max_query_terms=8,
+    )
+    enc = HashingEncoder(dim=64)
+    art = IndexBuilder(enc, cfg).build(corpus)
+    eng = SearchEngine(art, enc, cfg)
+    return art, enc, eng, cfg
+
+
+QUERIES = [
+    "castle river",
+    "university museum",
+    "tübingen chocolate festival",
+    "physics informatics library",
+    "boat punt neckar",
+]
+
+
+class TestBM25Parity:
+    def test_bm25_topk_matches_numpy(self, built):
+        art, enc, eng, cfg = built
+        for q in QUERIES:
+            ref_idx, ref_vals = bm25_search_numpy(
+                art, preprocess_query(q), top_k=50
+            )
+            got = eng.bm25_search(preprocess_query(q), top_k=50)
+            got_ids = [g["doc_id"] for g in got]
+            got_vals = np.array([g["score"] for g in got])
+            ref_ids = [art.doc_ids[i] for i in ref_idx]
+            # scores must match; order may differ only within exact ties
+            assert np.allclose(
+                np.sort(got_vals)[::-1], np.sort(ref_vals)[::-1], atol=1e-4
+            ), q
+            assert set(got_ids) == set(ref_ids), q
+            # non-tied prefix must match exactly
+            for a, b, va, vb in zip(got_ids, ref_ids, got_vals, ref_vals):
+                if abs(va - vb) > 1e-5:
+                    break
+                assert a == b or abs(va - vb) < 1e-5
+
+
+class TestHybridParity:
+    def test_full_pipeline_matches_numpy(self, built):
+        art, enc, eng, cfg = built
+        for q in QUERIES:
+            pq = preprocess_query(q)
+            qemb = enc.encode(pq)
+            ref = hybrid_search_numpy(
+                art,
+                pq,
+                qemb,
+                top_k_retrieval=cfg.top_k_retrieval,
+                top_k=cfg.top_k_reranking,
+                smoothing=cfg.smoothing,
+                diversification=True,
+            )
+            got = eng.search(q, top_k=cfg.top_k_reranking)
+            assert len(got) == len(ref), q
+            got_scores = np.array([r.similarity_score for r in got])
+            ref_scores = np.array([r.similarity_score for r in ref])
+            assert np.allclose(got_scores, ref_scores, atol=2e-4), (
+                q,
+                got_scores,
+                ref_scores,
+            )
+            # doc identity parity where scores are distinct
+            for g, r in zip(got, ref):
+                if abs(g.similarity_score - r.similarity_score) < 1e-5:
+                    pass
+                assert g.doc_id == r.doc_id or abs(
+                    g.similarity_score - r.similarity_score
+                ) < 1e-5, q
+
+    def test_window_selection_parity(self, built):
+        art, enc, eng, cfg = built
+        for q in QUERIES[:3]:
+            pq = preprocess_query(q)
+            ref = hybrid_search_numpy(
+                art, pq, enc.encode(pq), cfg.top_k_retrieval,
+                cfg.top_k_reranking, diversification=False,
+            )
+            got_all = eng.search_batch([q], top_k=cfg.top_k_reranking)
+            eng_no_div = SearchEngine(
+                art, enc, cfg.replace(diversification=False)
+            )
+            got = eng_no_div.search(q, top_k=cfg.top_k_reranking)
+            for g, r in zip(got, ref):
+                if g.doc_id == r.doc_id:
+                    assert g.window_index == r.window_index
+
+    def test_batch_equals_single(self, built):
+        art, enc, eng, cfg = built
+        batch = eng.search_batch(QUERIES, top_k=10)
+        for q, expected in zip(QUERIES, batch):
+            single = eng.search(q, top_k=10)
+            assert [r.doc_id for r in single] == [r.doc_id for r in expected]
+
+    def test_scores_sorted_desc(self, built):
+        _, _, eng, _ = built
+        res = eng.search("castle museum", top_k=10)
+        scores = [r.similarity_score for r in res]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_no_match_query(self, built):
+        _, _, eng, _ = built
+        res = eng.search("zzzzqqqq xxyyzz", top_k=10)
+        # query augmentation appends tuebingen -> docs containing it match
+        assert all(r.similarity_score >= 0 for r in res)
+
+    def test_empty_query_no_crash(self, built):
+        _, _, eng, _ = built
+        eng.search("", top_k=5)
+
+
+class TestDiversification:
+    def test_domain_cap_applied(self, built):
+        art, enc, eng, cfg = built
+        res = eng.search("castle river", top_k=10)
+        high = [r for r in res if r.similarity_score >= 0.8]
+        domains = [r.domain for r in high]
+        assert len(domains) == len(set(domains))
