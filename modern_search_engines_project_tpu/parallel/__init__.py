@@ -1,0 +1,7 @@
+from modern_search_engines_project_tpu.parallel.sharding import (
+    ShardedDeviceIndex,
+    ShardedEngineBackend,
+    make_mesh,
+)
+
+__all__ = ["ShardedDeviceIndex", "ShardedEngineBackend", "make_mesh"]

@@ -1,0 +1,441 @@
+"""Multi-chip sharded serving: postings + chunk banks partitioned over a mesh.
+
+TPU-native replacement for the reference's "distributed architecture"
+(three localhost HTTP processes sharing one DuckDB file, SURVEY.md §5.8):
+the document axis is range-partitioned across a 1-D ``jax.sharding.Mesh``
+axis ``"shard"``; every shard holds its own CSR impact postings and the
+chunk embeddings of its documents (chunks colocate with their documents, so
+per-doc pooling never crosses chips).
+
+Query flow inside ONE ``shard_map`` program (BASELINE.json P8):
+  1. per-shard BM25 scoring + local top-k,
+  2. ``all_gather`` of (global doc id, score) candidate sets over ICI and a
+     replicated re-top-k merge,
+  3. per-shard dense scoring of the local chunk bank, with the candidate-
+     pool min/max reduced via ``pmin``/``pmax`` (the reference's per-pool
+     normalization needs global extrema),
+  4. per-shard fusion + positional adjustment for locally-owned candidates,
+     combined across shards with ``pmax`` (each doc is owned by exactly one
+     shard), and a replicated final top-k.
+
+Only O(B x k) tensors ever cross ICI; the banks never move.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index.builder import IndexArtifacts
+from modern_search_engines_project_tpu.retrieval.ops import (
+    bm25_score_batch,
+    _segment,
+)
+
+_BIG = jnp.int32(2**31 - 1)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class ShardedDeviceIndex:
+    """Stacked per-shard arrays, leading axis sharded over the mesh."""
+
+    indptr: jnp.ndarray  # [S, V+1]
+    post_docs: jnp.ndarray  # [S, nnz_pad] local doc ids
+    post_impact: jnp.ndarray  # [S, nnz_pad]
+    chunk_emb: jnp.ndarray  # [S, C_loc, dim]
+    chunk_doc: jnp.ndarray  # [S, C_loc] local doc ids (pad -> D_loc)
+    chunk_gid: jnp.ndarray  # [S, C_loc] global chunk ids (pad -> 0)
+    doc_chunk_start: jnp.ndarray  # [S, D_loc+1] local chunk offsets
+    doc_n_chunks: jnp.ndarray  # [S, D_loc+1]
+    mesh: Mesh
+    n_shards: int
+    n_docs: int
+    d_loc: int  # docs per shard (padded)
+    c_loc: int  # chunks per shard (padded)
+    posting_cap: int
+
+    @property
+    def n_docs_pad(self) -> int:
+        return self.n_shards * self.d_loc
+
+    @classmethod
+    def from_artifacts(
+        cls,
+        art: IndexArtifacts,
+        mesh: Mesh,
+        config: Optional[Config] = None,
+        bank_dtype=jnp.float32,
+        posting_cap: Optional[int] = None,
+    ) -> "ShardedDeviceIndex":
+        cfg = config or art.config
+        S = mesh.devices.size
+        n_docs = art.n_docs
+        d_loc = max(_round_up(-(-max(n_docs, 1) // S), 8), 8)
+        V = art.n_terms
+        dim = art.chunk_emb.shape[1]
+
+        term_of_post = np.repeat(
+            np.arange(V, dtype=np.int64), np.diff(art.indptr)
+        )
+
+        indptr_l, docs_l, imp_l = [], [], []
+        chunks_per_shard = []
+        for s in range(S):
+            lo, hi = s * d_loc, min((s + 1) * d_loc, n_docs)
+            mask = (art.post_docs >= lo) & (art.post_docs < hi)
+            docs_l.append(art.post_docs[mask].astype(np.int32) - lo)
+            imp_l.append(art.post_impact[mask])
+            counts = np.bincount(term_of_post[mask], minlength=V)
+            ip = np.zeros(V + 1, np.int32)
+            np.cumsum(counts, out=ip[1:])
+            indptr_l.append(ip)
+            # chunk range of this shard's docs (chunks are doc-major)
+            if hi > lo:
+                c0 = int(art.doc_chunk_start[lo])
+                c1 = (
+                    int(art.doc_chunk_start[hi - 1] + art.doc_n_chunks[hi - 1])
+                )
+            else:
+                c0 = c1 = 0
+            chunks_per_shard.append((c0, c1))
+
+        nnz_pad = max(_round_up(max(len(d) for d in docs_l), 128), 128)
+        c_loc = max(
+            _round_up(max(c1 - c0 for c0, c1 in chunks_per_shard), 128), 128
+        )
+
+        post_docs = np.zeros((S, nnz_pad), np.int32)
+        post_impact = np.zeros((S, nnz_pad), np.float32)
+        chunk_emb = np.zeros((S, c_loc, dim), np.float32)
+        chunk_doc = np.full((S, c_loc), d_loc, np.int32)
+        chunk_gid = np.zeros((S, c_loc), np.int32)
+        doc_chunk_start = np.zeros((S, d_loc + 1), np.int32)
+        doc_n_chunks = np.ones((S, d_loc + 1), np.int32)
+        indptr = np.stack(indptr_l)
+
+        for s in range(S):
+            nl = len(docs_l[s])
+            post_docs[s, :nl] = docs_l[s]
+            post_impact[s, :nl] = imp_l[s]
+            c0, c1 = chunks_per_shard[s]
+            nc = c1 - c0
+            lo = s * d_loc
+            hi = min((s + 1) * d_loc, n_docs)
+            if nc > 0:
+                chunk_emb[s, :nc] = art.chunk_emb[c0:c1]
+                chunk_doc[s, :nc] = art.chunk_doc[c0:c1] - lo
+                chunk_gid[s, :nc] = np.arange(c0, c1, dtype=np.int32)
+            if hi > lo:
+                doc_chunk_start[s, : hi - lo] = (
+                    art.doc_chunk_start[lo:hi] - c0
+                )
+                doc_n_chunks[s, : hi - lo] = art.doc_n_chunks[lo:hi]
+
+        if posting_cap is None:
+            caps = []
+            for s in range(S):
+                lens = np.diff(indptr[s])
+                top = np.sort(lens)[::-1][: cfg.max_query_terms]
+                caps.append(int(top.sum()) + 1)
+            posting_cap = max(1024, _round_up(max(caps), 1024))
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        sh = P("shard")
+        return cls(
+            indptr=put(indptr, sh),
+            post_docs=put(post_docs, sh),
+            post_impact=put(post_impact, sh),
+            chunk_emb=put(chunk_emb.astype(bank_dtype), sh),
+            chunk_doc=put(chunk_doc, sh),
+            chunk_gid=put(chunk_gid, sh),
+            doc_chunk_start=put(doc_chunk_start, sh),
+            doc_n_chunks=put(doc_n_chunks, sh),
+            mesh=mesh,
+            n_shards=S,
+            n_docs=n_docs,
+            d_loc=d_loc,
+            c_loc=c_loc,
+            posting_cap=int(posting_cap),
+        )
+
+
+def _sharded_hybrid_fn(
+    d_loc: int,
+    posting_cap: int,
+    k_ret: int,
+    smoothing: float,
+    axis: str = "shard",
+):
+    """Builds the per-shard function run under shard_map."""
+
+    def fn(
+        indptr,
+        post_docs,
+        post_impact,
+        chunk_emb,
+        chunk_doc,
+        chunk_gid,
+        doc_chunk_start,
+        doc_n_chunks,
+        term_ids,
+        qtf,
+        qvec,
+    ):
+        # local blocks arrive with a leading shard axis of size 1
+        indptr, post_docs, post_impact = indptr[0], post_docs[0], post_impact[0]
+        chunk_emb, chunk_doc, chunk_gid = (
+            chunk_emb[0],
+            chunk_doc[0],
+            chunk_gid[0],
+        )
+        doc_chunk_start, doc_n_chunks = doc_chunk_start[0], doc_n_chunks[0]
+
+        B = term_ids.shape[0]
+        s_id = lax.axis_index(axis)
+        S = lax.psum(1, axis)
+        Dl1 = d_loc + 1
+        C = chunk_emb.shape[0]
+        b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        k_loc = min(k_ret, d_loc)
+
+        # ---- stage 1: local BM25 + global candidate merge over ICI ---------
+        bm = bm25_score_batch(
+            indptr,
+            post_docs,
+            post_impact,
+            term_ids,
+            qtf,
+            n_docs_pad=d_loc,
+            posting_cap=posting_cap,
+        )
+        lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
+        gidx = lidx + s_id * d_loc
+
+        all_vals = lax.all_gather(lvals, axis)  # [S, B, k_loc]
+        all_idx = lax.all_gather(gidx, axis)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(B, -1)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(B, -1)
+        k_eff = min(k_ret, all_vals.shape[1])
+        top_vals, sel = lax.top_k(all_vals, k_eff)
+        top_idx = jnp.take_along_axis(all_idx, sel, axis=1)
+        valid_c = top_vals >= 0.0
+
+        lo = jnp.min(
+            jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True
+        )
+        hi = jnp.max(
+            jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True
+        )
+        denom = hi - lo
+        old_norm = jnp.where(
+            valid_c & (denom > 0),
+            (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
+            0.0,
+        )
+
+        # ---- local candidate scatter ---------------------------------------
+        local = top_idx - s_id * d_loc
+        in_shard = (local >= 0) & (local < d_loc) & valid_c
+        scatter_idx = jnp.where(in_shard, local, d_loc).astype(jnp.int32)
+        cand_mask = (
+            jnp.zeros((B, Dl1), jnp.bool_).at[b_rows, scatter_idx].set(True)
+        )
+        cand_mask = cand_mask.at[:, d_loc].set(False)
+        old_dense = (
+            jnp.zeros((B, Dl1), jnp.float32)
+            .at[b_rows, scatter_idx]
+            .set(jnp.where(in_shard, old_norm, 0.0))
+        )
+
+        # ---- stage 2: local dense + global pool extrema --------------------
+        sims = jnp.dot(
+            qvec.astype(chunk_emb.dtype),
+            chunk_emb.T,
+            preferred_element_type=jnp.float32,
+        )
+        chunk_mask = jnp.take(cand_mask, chunk_doc, axis=1)
+        lo_l = jnp.min(
+            jnp.where(chunk_mask, sims, jnp.inf), axis=1, keepdims=True
+        )
+        hi_l = jnp.max(
+            jnp.where(chunk_mask, sims, -jnp.inf), axis=1, keepdims=True
+        )
+        lo_c = lax.pmin(lo_l, axis)
+        hi_c = lax.pmax(hi_l, axis)
+        den_c = hi_c - lo_c
+        new_norm = jnp.where(
+            chunk_mask & (den_c > 0),
+            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+            0.0,
+        )
+
+        old_chunk = jnp.take(old_dense, chunk_doc, axis=1)
+        fused = jnp.where(
+            chunk_mask,
+            new_norm * (1.0 - smoothing) + old_chunk * smoothing,
+            -jnp.inf,
+        )
+
+        cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+        m1 = _segment(jax.ops.segment_max, fused, chunk_doc, Dl1)
+        m1_chunk = jnp.take(m1, chunk_doc, axis=1)
+        is_w1 = (fused == m1_chunk) & chunk_mask
+        w1 = _segment(
+            jax.ops.segment_min, jnp.where(is_w1, cidx, _BIG), chunk_doc, Dl1
+        )
+        w1_chunk = jnp.take(w1, chunk_doc, axis=1)
+        fused2 = jnp.where(cidx == w1_chunk, -jnp.inf, fused)
+        m2 = _segment(jax.ops.segment_max, fused2, chunk_doc, Dl1)
+        is_w2 = (fused2 == jnp.take(m2, chunk_doc, axis=1)) & chunk_mask
+        w2 = _segment(
+            jax.ops.segment_min, jnp.where(is_w2, cidx, _BIG), chunk_doc, Dl1
+        )
+
+        nck = doc_n_chunks[None, :]
+        pos = w1 - doc_chunk_start[None, :]
+        ratio = pos.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
+            jnp.float32
+        )
+        adj = 0.10 - (0.10 + 0.05) * ratio
+        m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
+        doc_score = jnp.maximum(m1_adj, m2)
+        win = jnp.where(m1_adj >= m2, w1, w2)
+
+        # ---- combine per-candidate results across shards -------------------
+        cand_scores_l = jnp.where(
+            in_shard,
+            jnp.take_along_axis(doc_score, scatter_idx, axis=1),
+            -jnp.inf,
+        )
+        win_cand_l = jnp.take_along_axis(win, scatter_idx, axis=1)
+        win_gid_l = chunk_gid[jnp.clip(win_cand_l, 0, C - 1)]
+        win_cand_l = jnp.where(
+            in_shard & (win_cand_l < C), win_gid_l, -1
+        )
+        cand_scores = lax.pmax(cand_scores_l, axis)
+        cand_win = lax.pmax(win_cand_l, axis)
+
+        sort_key = jnp.where(valid_c, cand_scores, -1.0)
+        final_vals, order = lax.top_k(sort_key, k_eff)
+        final_doc = jnp.take_along_axis(top_idx, order, axis=1)
+        final_win = jnp.take_along_axis(cand_win, order, axis=1)
+        final_old = jnp.take_along_axis(old_norm, order, axis=1)
+        final_valid = jnp.take_along_axis(valid_c, order, axis=1)
+        return final_doc, final_vals, final_old, final_win, final_valid
+
+    return fn
+
+
+class ShardedEngineBackend:
+    """Drop-in replacement for the single-chip device call in SearchEngine."""
+
+    def __init__(
+        self,
+        art: IndexArtifacts,
+        mesh: Mesh,
+        config: Optional[Config] = None,
+        bank_dtype=jnp.float32,
+    ):
+        from jax import shard_map
+
+        cfg = config or art.config
+        self.sidx = ShardedDeviceIndex.from_artifacts(
+            art, mesh, cfg, bank_dtype=bank_dtype
+        )
+        s = self.sidx
+        self.k_ret = min(cfg.top_k_retrieval, s.n_docs_pad)
+        fn = _sharded_hybrid_fn(
+            s.d_loc, s.posting_cap, self.k_ret, cfg.smoothing
+        )
+        sharded = P("shard")
+        repl = P()
+        self._ranker = jax.jit(
+            shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(sharded,) * 8 + (repl, repl, repl),
+                out_specs=(repl, repl, repl, repl, repl),
+                check_vma=False,
+            )
+        )
+
+    def rank(self, term_ids, qtf, qvec):
+        s = self.sidx
+        return self._ranker(
+            s.indptr,
+            s.post_docs,
+            s.post_impact,
+            s.chunk_emb,
+            s.chunk_doc,
+            s.chunk_gid,
+            s.doc_chunk_start,
+            s.doc_n_chunks,
+            jnp.asarray(term_ids),
+            jnp.asarray(qtf),
+            jnp.asarray(qvec),
+        )
+
+    def bm25_topk(self, term_ids, qtf, k: int):
+        """Sharded BM25-only retrieval: local top-k + allgather merge."""
+        from jax import shard_map
+
+        s = self.sidx
+        d_loc, cap = s.d_loc, s.posting_cap
+        k_loc = min(k, d_loc)
+
+        def fn(indptr, post_docs, post_impact, tids, qw):
+            bm = bm25_score_batch(
+                indptr[0],
+                post_docs[0],
+                post_impact[0],
+                tids,
+                qw,
+                n_docs_pad=d_loc,
+                posting_cap=cap,
+            )
+            lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
+            gidx = lidx + lax.axis_index("shard") * d_loc
+            av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
+                lvals.shape[0], -1
+            )
+            ai = jnp.moveaxis(lax.all_gather(gidx, "shard"), 0, 1).reshape(
+                lvals.shape[0], -1
+            )
+            vals, sel = lax.top_k(av, min(k, av.shape[1]))
+            return jnp.take_along_axis(ai, sel, axis=1), vals
+
+        ranker = jax.jit(
+            shard_map(
+                fn,
+                mesh=s.mesh,
+                in_specs=(P("shard"),) * 3 + (P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+        return ranker(
+            s.indptr,
+            s.post_docs,
+            s.post_impact,
+            jnp.asarray(term_ids),
+            jnp.asarray(qtf),
+        )

@@ -106,6 +106,14 @@ class SearchEngine:
 
     # --- public API ---------------------------------------------------------
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round batch up to a power of two: bounded set of compiled shapes."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def search_batch(
         self,
         queries: Sequence[str],
@@ -115,13 +123,15 @@ class SearchEngine:
         """Hybrid two-stage search for a batch of queries (reference P3:
         all batch queries scored as one device batch)."""
         top_k = top_k or self.cfg.top_k_reranking
-        term_ids, qtf, processed = self.prepare_queries(queries, augment)
+        n_real = len(queries)
+        padded = list(queries) + [""] * (self._bucket(n_real) - n_real)
+        term_ids, qtf, processed = self.prepare_queries(padded, augment)
         qvec = self.encode_queries(processed)
         doc, vals, old, win, valid = (
             np.asarray(x) for x in self._device_rank(term_ids, qtf, qvec)
         )
         out: List[List[RankedDoc]] = []
-        for b in range(len(queries)):
+        for b in range(n_real):
             ranked: List[RankedDoc] = []
             for j in range(doc.shape[1]):
                 if not valid[b, j]:
@@ -155,20 +165,61 @@ class SearchEngine:
     def search(self, query: str, top_k: Optional[int] = None) -> List[RankedDoc]:
         return self.search_batch([query], top_k=top_k)[0]
 
+    @classmethod
+    def sharded(
+        cls,
+        artifacts: IndexArtifacts,
+        encoder,
+        mesh,
+        config: Optional[Config] = None,
+        bank_dtype=None,
+        analyzer: Optional[Analyzer] = None,
+    ) -> "SearchEngine":
+        """Multi-chip engine: same API, index sharded over ``mesh`` with
+        per-shard top-k + ICI allgather merge (parallel/sharding.py)."""
+        import jax.numpy as jnp
+
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedEngineBackend,
+        )
+
+        self = cls.__new__(cls)
+        self.art = artifacts
+        self.cfg = config or artifacts.config
+        self.encoder = encoder
+        self.analyzer = analyzer or Analyzer()
+        backend = ShardedEngineBackend(
+            artifacts,
+            mesh,
+            self.cfg,
+            bank_dtype=bank_dtype if bank_dtype is not None else jnp.float32,
+        )
+        self.didx = backend.sidx  # for introspection
+        self.k_ret = backend.k_ret
+        self._backend = backend
+        self._device_rank = backend.rank  # type: ignore[method-assign]
+        return self
+
     def bm25_search(self, query: str, top_k: int = 1000, augment: bool = False):
         """Stage-1-only search (BM25.search parity, bm25_indexer.py:383-514).
 
         Returns [{doc_id, score, text_snippet}] like the reference.
         """
         term_ids, qtf, _ = self.prepare_queries([query], augment=augment)
-        idx, vals = ops.bm25_topk(
-            self.didx, term_ids, qtf, min(top_k, self.didx.n_docs_pad)
-        )
+        backend = getattr(self, "_backend", None)
+        if backend is not None:
+            idx, vals = backend.bm25_topk(
+                term_ids, qtf, min(top_k, self.didx.n_docs_pad)
+            )
+        else:
+            idx, vals = ops.bm25_topk(
+                self.didx, term_ids, qtf, min(top_k, self.didx.n_docs_pad)
+            )
         idx, vals = np.asarray(idx)[0], np.asarray(vals)[0]
         results = []
         for d, s in zip(idx, vals):
-            if s <= 0:
-                break
+            if s < 0:
+                break  # keyed scores: inadmissible candidates are -1
             results.append(
                 {
                     "doc_id": self.art.doc_ids[int(d)],

@@ -45,7 +45,10 @@ def bm25_score_batch(
     n_docs_pad: int,
     posting_cap: int,
 ) -> jnp.ndarray:
-    """Dense BM25 scores [B, n_docs_pad + 1] (last row = scatter sentinel)."""
+    """Keyed BM25 scores [B, n_docs_pad + 1] (last row = scatter sentinel).
+
+    Admissible candidates (matched, score >= 0) keep their raw score;
+    everything else is -1.0 so it sorts below every candidate."""
     B, T = term_ids.shape
     nnz = post_docs.shape[0]
     n_terms = indptr.shape[0] - 1
@@ -65,10 +68,12 @@ def bm25_score_batch(
     total = cum[:, -1:]
     j = jnp.arange(posting_cap, dtype=jnp.int32)[None, :]  # [1, Q]
 
-    slot = jax.vmap(
-        lambda c, jj: jnp.searchsorted(c, jj, side="right")
-    )(cum, jnp.broadcast_to(j, (B, posting_cap)))
-    slot = jnp.clip(slot, 0, T - 1).astype(jnp.int32)
+    # slot assignment via compare-all over the T term boundaries (T is tiny;
+    # a vmapped searchsorted costs ~100s of TPU compile time vs <1s for this)
+    slot = jnp.zeros((B, posting_cap), jnp.int32)
+    for t in range(T):
+        slot = slot + (j >= cum[:, t : t + 1]).astype(jnp.int32)
+    slot = jnp.clip(slot, 0, T - 1)
 
     cum0 = jnp.concatenate(
         [jnp.zeros((B, 1), cum.dtype), cum[:, :-1]], axis=1
@@ -84,12 +89,20 @@ def bm25_score_batch(
         valid, post_impact[src] * jnp.take_along_axis(qtf_s, slot, axis=1), 0.0
     )
 
-    scores = jnp.zeros((B, n_docs_pad + 1), jnp.float32)
+    # one scatter accumulates (score, match-count): the reference's
+    # ``score >= min_score(=0.0)`` rule admits *matched* docs whose score is
+    # exactly 0 (idf==0 terms), so matched-ness must be tracked, not inferred
+    # from score sign (bm25_indexer.py:383,481).
+    updates = jnp.stack([contrib, valid.astype(jnp.float32)], axis=-1)
+    acc = jnp.zeros((B, n_docs_pad + 1, 2), jnp.float32)
     b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    scores = scores.at[b_rows, d].add(
-        contrib, indices_are_sorted=False, unique_indices=False
+    acc = acc.at[b_rows, d].add(
+        updates, indices_are_sorted=False, unique_indices=False
     )
-    return scores
+    scores, matched = acc[..., 0], acc[..., 1] > 0
+    # ranking key: matched docs with score >= 0 keep their score, everything
+    # else sorts below all admissible candidates (parity with min_score=0.0)
+    return jnp.where(matched & (scores >= 0.0), scores, -1.0)
 
 
 def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
@@ -143,7 +156,7 @@ def hybrid_rank(
         posting_cap=posting_cap,
     )
     top_vals, top_idx = lax.top_k(bm[:, :n_docs_pad], k_ret)
-    valid_c = top_vals > 0.0
+    valid_c = top_vals >= 0.0
 
     # min-max normalize BM25 over the candidate pool (reranker_api.py:361)
     lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)

@@ -7,12 +7,20 @@ allgather merges and shard_map partitioning are exercised for real.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of ambient JAX_PLATFORMS: the dev box force-registers
+# a TPU tunnel platform ("axon") that ignores the env var — only
+# jax.config.update reliably overrides it.  Tests must never compile over
+# the tunnel (it is ~100x slower and single-device).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -4,13 +4,12 @@ SURVEY.md §4(d): the jitted TPU path must reproduce the reference scoring
 (reimplemented faithfully in retrieval/numpy_ref.py) on a synthetic corpus.
 """
 
-import random
-
 import numpy as np
 import pytest
 
+from corpus_util import make_corpus
 from modern_search_engines_project_tpu.config import Config
-from modern_search_engines_project_tpu.index import Document, IndexBuilder
+from modern_search_engines_project_tpu.index import IndexBuilder
 from modern_search_engines_project_tpu.models import HashingEncoder
 from modern_search_engines_project_tpu.retrieval import (
     SearchEngine,
@@ -19,34 +18,10 @@ from modern_search_engines_project_tpu.retrieval import (
     preprocess_query,
 )
 
-WORDS = (
-    "castle river neckar museum university student market church tower bridge "
-    "library garden forest hill chocolate festival boat punt cafe bakery "
-    "physics biology informatics hospital cathedral history art gallery "
-    "mountain valley street square station train"
-).split()
-
 
 @pytest.fixture(scope="module")
 def corpus():
-    rng = random.Random(42)
-    docs = []
-    for i in range(80):
-        n = rng.randint(20, 300)
-        words = [rng.choice(WORDS) for _ in range(n)]
-        if rng.random() < 0.7:
-            words.insert(rng.randrange(len(words)), "tübingen")
-        text = " ".join(words)
-        domain = f"www.site{rng.randint(0, 15)}.de"
-        docs.append(
-            Document(
-                doc_id=1000 + i,
-                url=f"https://{domain}/page{i}",
-                title=f"{rng.choice(WORDS)} page {i}",
-                text=text,
-            )
-        )
-    return docs
+    return make_corpus(n_docs=80, seed=42)
 
 
 @pytest.fixture(scope="module")
@@ -65,12 +40,15 @@ def built(corpus):
     return art, enc, eng, cfg
 
 
+# mid-df terms: informative (positive idf) in the seed-42 corpus; the
+# ubiquitous zipf-head words ("castle", "river") have negative idf there and
+# are excluded by the reference's min_score=0 rule — also covered below.
 QUERIES = [
-    "castle river",
-    "university museum",
-    "tübingen chocolate festival",
-    "physics informatics library",
-    "boat punt neckar",
+    "research square law",
+    "ai faculty cyber",
+    "neuro tour square",
+    "castleaq gardenaq universityaq",
+    "tübingen research faculty",
 ]
 
 
@@ -85,6 +63,7 @@ class TestBM25Parity:
             got_ids = [g["doc_id"] for g in got]
             got_vals = np.array([g["score"] for g in got])
             ref_ids = [art.doc_ids[i] for i in ref_idx]
+            assert len(ref_ids) > 0, f"vacuous test: no candidates for {q!r}"
             # scores must match; order may differ only within exact ties
             assert np.allclose(
                 np.sort(got_vals)[::-1], np.sort(ref_vals)[::-1], atol=1e-4
@@ -113,6 +92,7 @@ class TestHybridParity:
                 diversification=True,
             )
             got = eng.search(q, top_k=cfg.top_k_reranking)
+            assert len(ref) > 0, f"vacuous test: no results for {q!r}"
             assert len(got) == len(ref), q
             got_scores = np.array([r.similarity_score for r in got])
             ref_scores = np.array([r.similarity_score for r in ref])
@@ -147,15 +127,21 @@ class TestHybridParity:
                     assert g.window_index == r.window_index
 
     def test_batch_equals_single(self, built):
+        # batch size changes XLA matmul tiling -> 1-ulp float differences can
+        # flip exact ties; require score parity and id parity off-ties.
         art, enc, eng, cfg = built
         batch = eng.search_batch(QUERIES, top_k=10)
         for q, expected in zip(QUERIES, batch):
             single = eng.search(q, top_k=10)
-            assert [r.doc_id for r in single] == [r.doc_id for r in expected]
+            ss = np.array([r.similarity_score for r in single])
+            bs = np.array([r.similarity_score for r in expected])
+            assert np.allclose(ss, bs, atol=1e-4), q
+            for a, b, va, vb in zip(single, expected, ss, bs):
+                assert a.doc_id == b.doc_id or abs(va - vb) < 1e-4
 
     def test_scores_sorted_desc(self, built):
         _, _, eng, _ = built
-        res = eng.search("castle museum", top_k=10)
+        res = eng.search("research square", top_k=10)
         scores = [r.similarity_score for r in res]
         assert scores == sorted(scores, reverse=True)
 
@@ -173,7 +159,7 @@ class TestHybridParity:
 class TestDiversification:
     def test_domain_cap_applied(self, built):
         art, enc, eng, cfg = built
-        res = eng.search("castle river", top_k=10)
+        res = eng.search("research law faculty", top_k=10)
         high = [r for r in res if r.similarity_score >= 0.8]
         domains = [r.domain for r in high]
         assert len(domains) == len(set(domains))

@@ -1,0 +1,90 @@
+"""Sharded (multi-chip) serving vs single-device engine: result parity.
+
+Runs on the 8-virtual-CPU-device mesh (conftest) — the TPU-native answer to
+"test multi-node without a cluster" (SURVEY.md §4c).
+"""
+
+import numpy as np
+import pytest
+
+from corpus_util import make_corpus
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index import IndexBuilder
+from modern_search_engines_project_tpu.models import HashingEncoder
+from modern_search_engines_project_tpu.parallel import make_mesh
+from modern_search_engines_project_tpu.retrieval import SearchEngine
+
+QUERIES = [
+    "research square law",
+    "ai faculty cyber",
+    "tübingen research faculty",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(eight_devices):
+    docs = make_corpus(n_docs=100, seed=11, min_len=30, max_len=150)
+    cfg = Config(
+        embedding_dim=32,
+        window_size=32,
+        step_size=25,
+        top_k_retrieval=40,
+        top_k_reranking=10,
+        max_query_terms=8,
+    )
+    enc = HashingEncoder(dim=32)
+    art = IndexBuilder(enc, cfg).build(docs)
+    single = SearchEngine(art, enc, cfg)
+    mesh = make_mesh(8)
+    sharded = SearchEngine.sharded(art, enc, mesh, cfg)
+    return single, sharded
+
+
+class TestShardedParity:
+    def test_mesh_has_8_devices(self, engines):
+        _, sharded = engines
+        assert sharded.didx.n_shards == 8
+
+    def test_hybrid_results_match(self, engines):
+        single, sharded = engines
+        for q in QUERIES:
+            r1 = single.search(q, top_k=10)
+            r2 = sharded.search(q, top_k=10)
+            assert len(r1) > 0, f"vacuous: {q!r}"
+            assert len(r1) == len(r2), q
+            s1 = np.array([r.similarity_score for r in r1])
+            s2 = np.array([r.similarity_score for r in r2])
+            assert np.allclose(s1, s2, atol=2e-4), (q, s1, s2)
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
+
+    def test_bm25_results_match(self, engines):
+        single, sharded = engines
+        for q in QUERIES:
+            r1 = single.bm25_search(q, top_k=30)
+            r2 = sharded.bm25_search(q, top_k=30)
+            assert len(r1) > 0
+            assert len(r1) == len(r2), q
+            v1 = np.array([r["score"] for r in r1])
+            v2 = np.array([r["score"] for r in r2])
+            assert np.allclose(v1, v2, atol=1e-4), q
+
+    def test_batch_path(self, engines):
+        _, sharded = engines
+        res = sharded.search_batch(QUERIES, top_k=5)
+        assert len(res) == 3
+        for r in res:
+            scores = [d.similarity_score for d in r]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_window_ids_global(self, engines):
+        single, sharded = engines
+        for q in QUERIES[:1]:
+            r1 = single.search(q, top_k=10)
+            r2 = sharded.search(q, top_k=10)
+            m1 = {r.doc_id: r.window_index for r in r1}
+            m2 = {r.doc_id: r.window_index for r in r2}
+            for doc in set(m1) & set(m2):
+                assert m1[doc] == m2[doc]
