@@ -1,0 +1,243 @@
+"""Bi-encoder fine-tuning: cosine-similarity loss + hard-negative mining.
+
+TPU-native port of the reference's embedder training
+(``embedder_training/train.py``): pairs with binary labels trained under
+``CosineSimilarityLoss`` (MSE between cosine and label, train.py:93),
+hard negatives mined per anchor with an embedding model (train.py:48-60 —
+the reference uses a static retrieval model + FAISS; here mining is one
+brute-force device matmul, which on TPU *is* the fast path), AdamW with
+linear warmup (warmup_ratio 0.1, lr 2e-5, train.py:96-112), bf16 compute.
+
+Multi-chip: parameters are sharded tensor-parallel over axis ``"tp"`` and
+the batch data-parallel over ``"dp"`` via NamedSharding annotations — XLA's
+SPMD partitioner inserts the psum/all-gather collectives (no hand-written
+NCCL analog, SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from modern_search_engines_project_tpu.models.encoder import (
+    BiEncoder,
+    EncoderConfig,
+)
+from modern_search_engines_project_tpu.text.hash_tokenizer import HashTokenizer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-5  # train.py:101
+    warmup_ratio: float = 0.1  # train.py:102
+    batch_size: int = 256  # train.py:99 (report: 1024 on H100)
+    epochs: int = 1  # train.py:100
+    num_negatives: int = 5  # train.py:54
+    max_len: int = 128
+    weight_decay: float = 0.01
+    seed: int = 0
+
+
+def cosine_loss(model: BiEncoder, params, batch) -> jnp.ndarray:
+    """CosineSimilarityLoss parity: MSE(cos(e1, e2), label)."""
+    e1 = model.apply({"params": params}, batch["ids1"], batch["mask1"])
+    e2 = model.apply({"params": params}, batch["ids2"], batch["mask2"])
+    cos = jnp.sum(e1 * e2, axis=-1)
+    return jnp.mean((cos - batch["label"]) ** 2)
+
+
+def mine_hard_negatives(
+    encoder,
+    queries: Sequence[str],
+    positives: Sequence[str],
+    pool: Sequence[str],
+    k: int = 5,
+) -> List[Tuple[str, str, float]]:
+    """(query, passage, label) triples: each positive pair plus the k
+    most-similar non-positive pool passages as negatives (train.py:48-92).
+
+    ``encoder`` is any encode_batch model (typically the untrained or a
+    frozen encoder, mirroring the reference's separate static mining model).
+    """
+    q = np.asarray(encoder.encode_batch(list(queries)), np.float32)
+    p = np.asarray(encoder.encode_batch(list(pool)), np.float32)
+    sims = q @ p.T  # one device matmul; the TPU-native FAISS
+    triples: List[Tuple[str, str, float]] = []
+    for i, (query, pos) in enumerate(zip(queries, positives)):
+        triples.append((query, pos, 1.0))
+        order = np.argsort(-sims[i])
+        negs = 0
+        for j in order:
+            if pool[j] == pos:
+                continue
+            triples.append((query, pool[j], 0.0))
+            negs += 1
+            if negs >= k:
+                break
+    return triples
+
+
+class Trainer:
+    def __init__(
+        self,
+        enc_cfg: Optional[EncoderConfig] = None,
+        train_cfg: Optional[TrainConfig] = None,
+        mesh: Optional[Mesh] = None,
+        dp_axis: str = "dp",
+        tp_axis: str = "tp",
+    ):
+        self.enc_cfg = enc_cfg or EncoderConfig()
+        self.cfg = train_cfg or TrainConfig()
+        self.model = BiEncoder(self.enc_cfg)
+        self.tokenizer = HashTokenizer(self.enc_cfg.vocab_size)
+        self.mesh = mesh
+        self.dp_axis, self.tp_axis = dp_axis, tp_axis
+        self._step_fn = None
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.step_count = 0
+
+    # -- setup ---------------------------------------------------------------
+
+    def init(self, total_steps: int = 1000):
+        cfg = self.cfg
+        L = cfg.max_len
+        ids = jnp.zeros((1, L), jnp.int32)
+        mask = jnp.ones((1, L), jnp.int32)
+        params = self.model.init(jax.random.key(cfg.seed), ids, mask)["params"]
+        warmup = max(1, int(total_steps * cfg.warmup_ratio))
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+                optax.linear_schedule(
+                    cfg.learning_rate, 0.0, max(1, total_steps - warmup)
+                ),
+            ],
+            [warmup],
+        )
+        self.tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+        if self.mesh is not None:
+            params = jax.device_put(params, self.param_shardings(params))
+        self.params = params
+        self.opt_state = self.tx.init(params)
+        self._step_fn = self._build_step()
+        return self
+
+    # -- sharding rules (tp over feature axes, scaling-book style) -----------
+
+    def _param_spec(self, path: Tuple[str, ...], x) -> P:
+        names = [getattr(k, "key", str(k)) for k in path]
+        joined = "/".join(names)
+        if x.ndim < 2:
+            return P()
+        if "tok" in joined and "embedding" in joined:
+            return P(None, self.tp_axis)
+        if "qkv" in joined or "wi" in joined:
+            return P(None, self.tp_axis)
+        if "proj" in joined or "wo" in joined:
+            return P(self.tp_axis, None)
+        return P()
+
+    def param_shardings(self, params):
+        mesh = self.mesh
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: NamedSharding(mesh, self._param_spec(path, x)),
+            params,
+        )
+
+    # -- train step ----------------------------------------------------------
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: cosine_loss(model, p, batch)
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+        pshard = self.param_shardings(self.params)
+        dshard = NamedSharding(self.mesh, P(self.dp_axis))
+        batch_shardings = {
+            k: dshard for k in ("ids1", "mask1", "ids2", "mask2", "label")
+        }
+        # opt_state sharding is inherited from the (sharded) params it was
+        # initialized from; jit keeps it via in_shardings=None passthrough
+        return jax.jit(
+            step,
+            in_shardings=(pshard, None, batch_shardings),
+            # pin output param shardings: otherwise GSPMD may re-propagate a
+            # different layout and step N+1's input constraint mismatches
+            out_shardings=(pshard, None, NamedSharding(self.mesh, P())),
+            donate_argnums=(0, 1),
+        )
+
+    # -- data ----------------------------------------------------------------
+
+    def encode_pairs(
+        self, triples: Sequence[Tuple[str, str, float]]
+    ) -> dict:
+        L = self.cfg.max_len
+        t1 = [self.tokenizer.encode(a) for a, _, _ in triples]
+        t2 = [self.tokenizer.encode(b) for _, b, _ in triples]
+        ids1, mask1 = self.tokenizer.pad_batch(t1, L)
+        ids2, mask2 = self.tokenizer.pad_batch(t2, L)
+        return {
+            "ids1": np.asarray(ids1, np.int32),
+            "mask1": np.asarray(mask1, np.int32),
+            "ids2": np.asarray(ids2, np.int32),
+            "mask2": np.asarray(mask2, np.int32),
+            "label": np.asarray([l for _, _, l in triples], np.float32),
+        }
+
+    def train(
+        self,
+        triples: Sequence[Tuple[str, str, float]],
+        epochs: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        log_every: int = 50,
+    ) -> List[float]:
+        """Mini-batch training loop; returns per-step losses."""
+        epochs = epochs or self.cfg.epochs
+        bs = batch_size or self.cfg.batch_size
+        n = len(triples)
+        steps_per_epoch = max(1, n // bs)
+        if self.params is None:
+            self.init(total_steps=steps_per_epoch * epochs)
+        rng = np.random.default_rng(self.cfg.seed)
+        losses: List[float] = []
+        order = np.arange(n)
+        for _ in range(epochs):
+            rng.shuffle(order)
+            for s in range(steps_per_epoch):
+                idx = order[s * bs : (s + 1) * bs]
+                if len(idx) < bs:  # static shapes: wrap around
+                    idx = np.concatenate([idx, order[: bs - len(idx)]])
+                batch = self.encode_pairs([triples[i] for i in idx])
+                self.params, self.opt_state, loss = self._step_fn(
+                    self.params, self.opt_state, batch
+                )
+                self.step_count += 1
+                losses.append(float(loss))
+        return losses
+
+    def to_encoder(self, batch_size: int = 64):
+        from modern_search_engines_project_tpu.models.encoder import JaxEncoder
+
+        return JaxEncoder(
+            self.enc_cfg,
+            params=self.params,
+            batch_size=batch_size,
+            max_len=self.cfg.max_len,
+        )

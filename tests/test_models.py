@@ -1,0 +1,130 @@
+"""Encoder forward + training tests (single-device and dp x tp sharded)."""
+
+import numpy as np
+import pytest
+
+from modern_search_engines_project_tpu.models.encoder import (
+    BiEncoder,
+    EncoderConfig,
+    JaxEncoder,
+)
+from modern_search_engines_project_tpu.models.train import (
+    TrainConfig,
+    Trainer,
+    mine_hard_negatives,
+)
+
+TINY = EncoderConfig(
+    vocab_size=1024, dim=64, n_layers=2, n_heads=4, mlp_ratio=2, max_len=32
+)
+
+
+class TestEncoderForward:
+    def test_output_shape_and_norm(self):
+        enc = JaxEncoder(TINY, batch_size=4, max_len=32)
+        out = enc.encode_batch(["hello world", "tübingen castle tour"])
+        assert out.shape == (2, 64)
+        assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+
+    def test_deterministic(self):
+        enc = JaxEncoder(TINY, batch_size=4, max_len=32)
+        a = enc.encode("the neckar river")
+        b = enc.encode("the neckar river")
+        assert np.allclose(a, b)
+
+    def test_padding_invariance(self):
+        # same text in different batch positions -> same embedding
+        enc = JaxEncoder(TINY, batch_size=4, max_len=32)
+        alone = enc.encode_batch(["castle tour"])[0]
+        batched = enc.encode_batch(["castle tour", "x", "y z", "w q r"])[0]
+        assert np.allclose(alone, batched, atol=1e-4)
+
+    def test_mask_respected(self):
+        # trailing pad must not change the embedding
+        enc = JaxEncoder(TINY, batch_size=2, max_len=32)
+        e1 = enc.encode("short text")
+        enc2 = JaxEncoder(TINY, batch_size=2, max_len=16)
+        e2 = enc2.encode("short text")
+        assert np.allclose(e1, e2, atol=1e-3)
+
+
+class TestTraining:
+    def test_loss_decreases(self):
+        cfg = TrainConfig(
+            learning_rate=3e-3, batch_size=8, epochs=30, max_len=16, seed=0
+        )
+        tr = Trainer(TINY, cfg).init(total_steps=60)
+        triples = [
+            ("castle tour", "the castle overlooks the town", 1.0),
+            ("castle tour", "pizza dough recipe", 0.0),
+            ("river punting", "boats race on the neckar", 1.0),
+            ("river punting", "tax law seminar", 0.0),
+            ("university library", "books and study halls", 1.0),
+            ("university library", "chocolate festival stalls", 0.0),
+            ("market square", "stalls on the town square", 1.0),
+            ("market square", "hospital emergency room", 0.0),
+        ]
+        losses = tr.train(triples)
+        assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+    def test_trained_encoder_usable(self):
+        cfg = TrainConfig(batch_size=4, epochs=1, max_len=16)
+        tr = Trainer(TINY, cfg).init(total_steps=2)
+        tr.train([("a b", "a b c", 1.0), ("d", "e f", 0.0)] * 2)
+        enc = tr.to_encoder(batch_size=2)
+        out = enc.encode_batch(["query text"])
+        assert out.shape == (1, 64)
+
+    def test_mining(self):
+        enc = JaxEncoder(TINY, batch_size=4, max_len=32)
+        queries = ["castle", "river"]
+        positives = ["castle hill", "river bank"]
+        pool = ["castle hill", "river bank", "pizza", "law", "cyber", "art"]
+        triples = mine_hard_negatives(enc, queries, positives, pool, k=2)
+        # 2 positives + 2x2 negatives
+        assert len(triples) == 6
+        assert triples[0] == ("castle", "castle hill", 1.0)
+        labels = [t[2] for t in triples]
+        assert labels.count(1.0) == 2 and labels.count(0.0) == 4
+        # negatives never equal the positive
+        for q, p, l in triples:
+            if l == 0.0:
+                assert p != dict(zip(queries, positives))[q]
+
+
+class TestShardedTraining:
+    def test_dp_tp_train_step(self, eight_devices):
+        import jax
+        import numpy as np_
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(eight_devices).reshape(4, 2), ("dp", "tp"))
+        cfg = TrainConfig(batch_size=8, epochs=2, max_len=16, seed=1)
+        tr = Trainer(TINY, cfg, mesh=mesh).init(total_steps=4)
+        triples = [
+            ("castle tour", "the castle overlooks the town", 1.0),
+            ("castle tour", "pizza dough recipe", 0.0),
+            ("river punting", "boats race on the neckar", 1.0),
+            ("river punting", "tax law seminar", 0.0),
+        ] * 2
+        losses = tr.train(triples)
+        assert len(losses) == 2
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_sharded_matches_single(self, eight_devices):
+        import numpy as np_
+        from jax.sharding import Mesh
+
+        triples = [
+            ("castle", "castle hill town", 1.0),
+            ("castle", "pizza", 0.0),
+            ("river", "neckar water boats", 1.0),
+            ("river", "law faculty", 0.0),
+        ]
+        cfg = TrainConfig(batch_size=4, epochs=1, max_len=16, seed=3)
+        tr1 = Trainer(TINY, cfg).init(total_steps=1)
+        l1 = tr1.train(triples)
+        mesh = Mesh(np.array(eight_devices).reshape(4, 2), ("dp", "tp"))
+        tr2 = Trainer(TINY, cfg, mesh=mesh).init(total_steps=1)
+        l2 = tr2.train(triples)
+        assert abs(l1[0] - l2[0]) < 1e-3, (l1, l2)
