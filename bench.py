@@ -1,0 +1,197 @@
+"""Benchmark: hybrid query throughput + latency on the real device.
+
+Prints ONE JSON line:
+  {"metric": "hybrid_qps", "value": N, "unit": "queries/sec",
+   "vs_baseline": N / 0.0333}
+
+Baseline: the reference serves a hybrid query in "< 30 seconds"
+(reference README.md:290) => ~0.0333 q/s.  BASELINE.md's north-star target
+is >= 10,000 q/s on a v5e-8 at p50 < 5 ms; this bench runs on however many
+devices are visible (one chip on the dev box) and also reports p50 batch-1
+latency plus stage timings on stderr.
+
+The index is synthetic but realistically shaped (Zipf document frequencies,
+~3 chunks/doc, 768-d bf16 bank) so the measured path is exactly the
+production one: ops.hybrid_rank — CSR gather/scatter BM25, full-bank
+matmul, segment top-2, fusion, final top-k.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_synthetic_index(
+    n_docs: int,
+    n_terms: int,
+    avg_chunks: float,
+    dim: int,
+    nnz_target: int,
+    seed: int = 0,
+    bank_dtype=None,
+):
+    import jax.numpy as jnp
+
+    from modern_search_engines_project_tpu.retrieval.device_index import (
+        DeviceIndex,
+    )
+
+    rng = np.random.default_rng(seed)
+    # Zipf-ish dfs normalized to hit nnz_target
+    ranks = np.arange(1, n_terms + 1)
+    dfs = (1.0 / ranks) ** 0.7
+    dfs = np.maximum((dfs / dfs.sum() * nnz_target).astype(np.int64), 1)
+    dfs = np.minimum(dfs, n_docs)
+    nnz = int(dfs.sum())
+    indptr = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(dfs, out=indptr[1:])
+    post_docs = rng.integers(0, n_docs, size=nnz, dtype=np.int32)
+    post_impact = rng.gamma(2.0, 1.5, size=nnz).astype(np.float32)
+
+    n_chunks = int(n_docs * avg_chunks)
+    chunk_doc = np.sort(rng.integers(0, n_docs, size=n_chunks, dtype=np.int32))
+    # ensure every doc has at least a contiguous segment id mapping
+    doc_n = np.bincount(chunk_doc, minlength=n_docs).astype(np.int32)
+    doc_start = np.zeros(n_docs, np.int32)
+    np.cumsum(doc_n[:-1], out=doc_start[1:])
+    bank = rng.standard_normal((n_chunks, dim), dtype=np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+
+    class _Art:
+        pass
+
+    art = _Art()
+    art.indptr = indptr.astype(np.int32)
+    art.post_docs = post_docs
+    art.post_impact = post_impact
+    art.chunk_emb = bank
+    art.chunk_doc = chunk_doc
+    art.doc_chunk_start = doc_start
+    art.doc_n_chunks = np.maximum(doc_n, 1)
+    art.n_docs = n_docs
+    art.n_chunks = n_chunks
+    art.n_terms = n_terms
+
+    from modern_search_engines_project_tpu.config import Config
+
+    cfg = Config(embedding_dim=dim)
+    dtype = bank_dtype if bank_dtype is not None else jnp.bfloat16
+    return DeviceIndex.from_artifacts(art, cfg, bank_dtype=dtype), cfg, dfs
+
+
+def sample_queries(rng, n_terms, dfs, B, T, dim):
+    # realistic mix: a couple of common terms + informative tail terms
+    probs = dfs / dfs.sum()
+    term_ids = rng.choice(n_terms, size=(B, T), p=probs).astype(np.int32)
+    qtf = np.ones((B, T), np.float32)
+    qvec = rng.standard_normal((B, dim)).astype(np.float32)
+    qvec /= np.linalg.norm(qvec, axis=1, keepdims=True)
+    return term_ids, qtf, qvec
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from modern_search_engines_project_tpu.retrieval import ops
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    B = 64
+    T = 16
+    dim = 768
+    k_ret = 1000
+
+    print(
+        f"devices={jax.devices()} n_docs={n_docs}", file=sys.stderr
+    )
+    t0 = time.time()
+    didx, cfg, dfs = make_synthetic_index(
+        n_docs=n_docs,
+        n_terms=50_000,
+        avg_chunks=3.0,
+        dim=dim,
+        nnz_target=8_000_000,
+    )
+    print(
+        f"index built in {time.time() - t0:.1f}s: nnz={didx.nnz} "
+        f"chunks={didx.n_chunks_pad} posting_cap={didx.posting_cap}",
+        file=sys.stderr,
+    )
+
+    rng = np.random.default_rng(1)
+    k_ret = min(k_ret, didx.n_docs_pad)
+
+    def run(term_ids, qtf, qvec):
+        return ops.hybrid_rank(
+            didx.indptr,
+            didx.post_docs,
+            didx.post_impact,
+            didx.chunk_emb,
+            didx.chunk_doc,
+            didx.doc_chunk_start,
+            didx.doc_n_chunks,
+            jnp.asarray(term_ids),
+            jnp.asarray(qtf),
+            jnp.asarray(qvec),
+            n_docs_pad=didx.n_docs_pad,
+            posting_cap=didx.posting_cap,
+            k_ret=k_ret,
+            smoothing=cfg.smoothing,
+        )
+
+    # warmup / compile
+    args = sample_queries(rng, 50_000, dfs, B, T, dim)
+    t0 = time.time()
+    out = run(*args)
+    jax.block_until_ready(out)
+    print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # throughput
+    n_iters = 20
+    batches = [sample_queries(rng, 50_000, dfs, B, T, dim) for _ in range(4)]
+    t0 = time.time()
+    for i in range(n_iters):
+        out = run(*batches[i % 4])
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    qps = n_iters * B / dt
+    print(f"throughput: {qps:.1f} q/s ({dt / n_iters * 1e3:.2f} ms/batch of {B})",
+          file=sys.stderr)
+
+    # batch-1 latency p50
+    args1 = sample_queries(rng, 50_000, dfs, 1, T, dim)
+    out = run(*args1)
+    jax.block_until_ready(out)
+    lats = []
+    for _ in range(30):
+        a = sample_queries(rng, 50_000, dfs, 1, T, dim)
+        t0 = time.time()
+        out = run(*a)
+        jax.block_until_ready(out)
+        lats.append(time.time() - t0)
+    p50 = float(np.median(lats)) * 1e3
+    print(f"batch-1 p50 latency: {p50:.2f} ms", file=sys.stderr)
+
+    baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
+    print(
+        json.dumps(
+            {
+                "metric": "hybrid_qps",
+                "value": round(qps, 1),
+                "unit": "queries/sec",
+                "vs_baseline": round(qps / baseline_qps, 1),
+                "extras": {
+                    "p50_ms_batch1": round(p50, 2),
+                    "n_docs": n_docs,
+                    "batch": B,
+                    "k_ret": k_ret,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
