@@ -82,10 +82,16 @@ def make_synthetic_index(
 
 
 def sample_queries(rng, n_terms, dfs, B, T, dim):
-    # realistic mix: a couple of common terms + informative tail terms
+    # realistic mix: a couple of common terms + informative tail terms.
+    # Unique term ids with qtf counts (engine.prepare_queries semantics).
     probs = dfs / dfs.sum()
-    term_ids = rng.choice(n_terms, size=(B, T), p=probs).astype(np.int32)
-    qtf = np.ones((B, T), np.float32)
+    term_ids = np.full((B, T), -1, np.int32)
+    qtf = np.zeros((B, T), np.float32)
+    for b in range(B):
+        draws = rng.choice(n_terms, size=T, p=probs)
+        uniq, counts = np.unique(draws, return_counts=True)
+        term_ids[b, : len(uniq)] = uniq
+        qtf[b, : len(uniq)] = counts
     qvec = rng.standard_normal((B, dim)).astype(np.float32)
     qvec /= np.linalg.norm(qvec, axis=1, keepdims=True)
     return term_ids, qtf, qvec
@@ -124,10 +130,10 @@ def main():
     k_ret = min(k_ret, didx.n_docs_pad)
 
     def run(term_ids, qtf, qvec):
-        return ops.hybrid_rank(
-            didx.indptr,
-            didx.post_docs,
-            didx.post_impact,
+        return ops.hybrid_rank_blocked(
+            didx.blk_terms,
+            didx.blk_impact,
+            didx.blk_local,
             didx.chunk_emb,
             didx.chunk_doc,
             didx.doc_chunk_start,
@@ -136,7 +142,6 @@ def main():
             jnp.asarray(qtf),
             jnp.asarray(qvec),
             n_docs_pad=didx.n_docs_pad,
-            posting_cap=didx.posting_cap,
             k_ret=k_ret,
             smoothing=cfg.smoothing,
         )

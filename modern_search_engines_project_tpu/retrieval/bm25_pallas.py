@@ -1,0 +1,151 @@
+"""Pallas TPU kernel: doc-major blocked BM25 scoring.
+
+Why a kernel: the XLA gather/scatter formulation of BM25
+(ops.bm25_score_batch) serializes ~posting_cap random accesses per query on
+TPU — measured 3.3 s for a 64-query batch over 8M postings, i.e. 99% of the
+whole hybrid pipeline (see bench history).  This kernel re-states BM25 as
+regular, MXU/VPU-shaped work with NO gathers or scatters:
+
+  layout  : postings stored doc-major in blocks of 128 docs, each block's
+            postings padded to a common chunk multiple
+            (device_index.build_blocked_postings), tiled as
+            ``[n_blocks, n_chunks, 8, pc/8]`` — native (8, 128k) TPU tiles;
+            the per-posting local doc ids additionally ship pre-transposed
+            ``[..., pc/8, 8]`` so the kernel never reshapes or transposes
+            (Mosaic rejects cross-tile shape casts).
+  match   : for each posting, its term id is compared against the <= T query
+            term ids (VPU compare-accumulate, T tiny) -> per-posting query
+            weight and match count.
+  reduce  : per-document reduction via a one-hot ``[pc/8, 128]`` matmul on
+            the MXU per sublane row — "scatter as matmul".
+  stream  : grid = (doc_blocks, posting_chunks); postings stream HBM->VMEM
+            once per query *batch* (not per query), output block revisited
+            across posting chunks (TPU grids run sequentially per core).
+
+Matched-ness is accumulated alongside scores (one stacked matmul) because
+the reference admits matched docs whose score is exactly 0
+(min_score=0.0 with >=, bm25_indexer.py:383).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DOC_BLOCK = 128
+SUB = 8  # sublane tiling factor for streamed posting operands
+
+
+def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
+    """One (doc_block, posting_chunk) grid step.
+
+    refs: tids/qtf [B, T]; terms/impact [1, 1, 8, pcL]; localT [1, 1, pcL, 8];
+    out [2B, 128] f32 — rows [0, B) scores, rows [B, 2B) match counts.
+    """
+    j = pl.program_id(1)
+    B, T = tids_ref.shape
+    pcL = terms_ref.shape[3]
+
+    acc = jnp.zeros((2 * B, DOC_BLOCK), jnp.float32)
+    for s in range(SUB):
+        terms_s = terms_ref[0, 0, s : s + 1, :]  # (1, pcL) int32, pad -1
+        impact_s = impact_ref[0, 0, s : s + 1, :]  # (1, pcL)
+        local_s = localt_ref[0, 0, :, s : s + 1]  # (pcL, 1)
+
+        m = jnp.zeros((B, pcL), jnp.float32)
+        cnt = jnp.zeros((B, pcL), jnp.float32)
+        for t in range(T):
+            tid = tids_ref[:, t : t + 1]  # (B, 1)
+            q = qtf_ref[:, t : t + 1]
+            eq = (terms_s == tid) & (tid >= 0)
+            m = m + jnp.where(eq, q, 0.0)
+            cnt = cnt + eq.astype(jnp.float32)
+
+        v = m * impact_s
+        onehot = (
+            local_s
+            == jax.lax.broadcasted_iota(jnp.int32, (pcL, DOC_BLOCK), 1)
+        ).astype(jnp.float32)
+        stacked = jnp.concatenate([v, cnt], axis=0)  # (2B, pcL)
+        # HIGHEST: bf16x3 passes — default MXU bf16 rounding costs ~4e-3
+        # relative score error, enough to reorder near-ties vs the reference
+        acc = acc + jnp.dot(
+            stacked,
+            onehot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs_pad", "posting_chunk", "interpret")
+)
+def bm25_score_blocked(
+    blk_terms: jnp.ndarray,  # [n_blocks, p_blk] (tiled 4D internally)
+    blk_impact: jnp.ndarray,
+    blk_local: jnp.ndarray,
+    term_ids: jnp.ndarray,  # [B, T]
+    qtf: jnp.ndarray,  # [B, T]
+    *,
+    n_docs_pad: int,
+    posting_chunk: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Keyed BM25 scores [B, n_docs_pad + 1] (same contract as
+    ops.bm25_score_batch): admissible candidates keep their score,
+    everything else is -1.0; last column is a dead sentinel."""
+    B, T = term_ids.shape
+    n_blocks, p_blk = blk_terms.shape
+    pc = min(posting_chunk, p_blk)
+    assert p_blk % pc == 0 and pc % (SUB * 128) == 0
+    n_chunks = p_blk // pc
+    assert n_blocks * DOC_BLOCK == n_docs_pad
+    pcL = pc // SUB
+
+    def tile(x):
+        return x.reshape(n_blocks, n_chunks, SUB, pcL)
+
+    stream_spec = pl.BlockSpec(
+        (1, 1, SUB, pcL), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    localt_spec = pl.BlockSpec(
+        (1, 1, pcL, SUB), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((B, T), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            stream_spec,
+            stream_spec,
+            localt_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * B, DOC_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * B, n_docs_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        term_ids,
+        qtf,
+        tile(blk_terms),
+        tile(blk_impact),
+        tile(blk_local).swapaxes(2, 3),
+    )
+
+    scores, matched = out[:B], out[B:] > 0.0
+    keyed = jnp.where(matched & (scores >= 0.0), scores, -1.0)
+    return jnp.concatenate(
+        [keyed, jnp.full((B, 1), -1.0, jnp.float32)], axis=1
+    )

@@ -28,12 +28,63 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+DOC_BLOCK = 128  # docs per kernel block (MXU lane width)
+POSTING_CHUNK = 2048  # postings processed per kernel grid step
+
+
+def build_blocked_postings(
+    indptr: np.ndarray,
+    post_docs: np.ndarray,
+    post_impact: np.ndarray,
+    n_docs_pad: int,
+    posting_chunk: int = POSTING_CHUNK,
+):
+    """Term-major CSR -> doc-major blocked layout for the Pallas kernel.
+
+    Returns (blk_terms, blk_impact, blk_local) of shape
+    ``[n_blocks, p_blk]`` where block i holds the postings of docs
+    ``[i*128, (i+1)*128)`` padded to a common multiple of posting_chunk.
+    Pad terms are -1 (query term ids are >= 0, so they never match).
+    """
+    V = indptr.shape[0] - 1
+    nnz = post_docs.shape[0]
+    term_of_post = np.repeat(np.arange(V, dtype=np.int32), np.diff(indptr))
+    order = np.argsort(post_docs, kind="stable")
+    d_sorted = post_docs[order]
+    t_sorted = term_of_post[order]
+    i_sorted = post_impact[order]
+
+    n_blocks = n_docs_pad // DOC_BLOCK
+    bounds = np.searchsorted(
+        d_sorted, np.arange(0, n_docs_pad + 1, DOC_BLOCK)
+    )
+    sizes = np.diff(bounds)
+    p_blk = int(max(sizes.max() if len(sizes) else 0, 1))
+    p_blk = ((p_blk + posting_chunk - 1) // posting_chunk) * posting_chunk
+
+    blk_terms = np.full((n_blocks, p_blk), -1, np.int32)
+    blk_impact = np.zeros((n_blocks, p_blk), np.float32)
+    blk_local = np.zeros((n_blocks, p_blk), np.int32)
+    for i in range(n_blocks):
+        s, e = bounds[i], bounds[i + 1]
+        n = e - s
+        if n:
+            blk_terms[i, :n] = t_sorted[s:e]
+            blk_impact[i, :n] = i_sorted[s:e]
+            blk_local[i, :n] = d_sorted[s:e] - i * DOC_BLOCK
+    return blk_terms, blk_impact, blk_local
+
+
 @dataclasses.dataclass
 class DeviceIndex:
     # BM25
     indptr: jnp.ndarray  # int32 [V+1]
     post_docs: jnp.ndarray  # int32 [nnz]
     post_impact: jnp.ndarray  # float32 [nnz]
+    # BM25, doc-major blocked (Pallas kernel layout)
+    blk_terms: jnp.ndarray  # int32 [n_blocks, p_blk]
+    blk_impact: jnp.ndarray  # float32 [n_blocks, p_blk]
+    blk_local: jnp.ndarray  # int32 [n_blocks, p_blk]
     # dense
     chunk_emb: jnp.ndarray  # bank_dtype [n_chunks_pad, dim]
     chunk_doc: jnp.ndarray  # int32 [n_chunks_pad] (pad -> n_docs_pad sentinel)
@@ -80,10 +131,20 @@ class DeviceIndex:
             top_lens = np.sort(lens)[::-1][: cfg.max_query_terms]
             posting_cap = max(1024, _round_up(int(top_lens.sum()) + 1, 1024))
 
+        blk_terms, blk_impact, blk_local = build_blocked_postings(
+            np.asarray(art.indptr),
+            np.asarray(art.post_docs),
+            np.asarray(art.post_impact),
+            n_docs_pad,
+        )
+
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
             post_docs=jnp.asarray(art.post_docs, jnp.int32),
             post_impact=jnp.asarray(art.post_impact, jnp.float32),
+            blk_terms=jnp.asarray(blk_terms),
+            blk_impact=jnp.asarray(blk_impact),
+            blk_local=jnp.asarray(blk_local),
             chunk_emb=jnp.asarray(chunk_emb, bank_dtype),
             chunk_doc=jnp.asarray(chunk_doc),
             doc_chunk_start=jnp.asarray(doc_chunk_start),

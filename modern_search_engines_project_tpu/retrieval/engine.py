@@ -34,7 +34,9 @@ class SearchEngine:
         config: Optional[Config] = None,
         bank_dtype=None,
         analyzer: Optional[Analyzer] = None,
+        use_pallas: Optional[bool] = None,
     ):
+        import jax
         import jax.numpy as jnp
 
         self.art = artifacts
@@ -46,6 +48,14 @@ class SearchEngine:
             artifacts, self.cfg, bank_dtype=dtype
         )
         self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
+        # Pallas blocked BM25 kernel: the TPU fast path (bm25_pallas.py).
+        # On CPU it runs in interpreter mode — correct but slow, so only
+        # when explicitly requested (tests do, for parity coverage).
+        backend = jax.default_backend()
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else backend == "tpu"
+        )
+        self._pallas_interpret = backend != "tpu"
 
     # --- host-side query prep ----------------------------------------------
 
@@ -87,6 +97,23 @@ class SearchEngine:
 
     def _device_rank(self, term_ids, qtf, qvec):
         d = self.didx
+        if self.use_pallas:
+            return ops.hybrid_rank_blocked(
+                d.blk_terms,
+                d.blk_impact,
+                d.blk_local,
+                d.chunk_emb,
+                d.chunk_doc,
+                d.doc_chunk_start,
+                d.doc_n_chunks,
+                term_ids,
+                qtf,
+                qvec,
+                n_docs_pad=d.n_docs_pad,
+                k_ret=self.k_ret,
+                smoothing=self.cfg.smoothing,
+                interpret=self._pallas_interpret,
+            )
         return ops.hybrid_rank(
             d.indptr,
             d.post_docs,
@@ -196,6 +223,7 @@ class SearchEngine:
         )
         self.didx = backend.sidx  # for introspection
         self.k_ret = backend.k_ret
+        self.use_pallas = False  # sharded backend has its own dispatch
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
         return self
@@ -210,6 +238,14 @@ class SearchEngine:
         if backend is not None:
             idx, vals = backend.bm25_topk(
                 term_ids, qtf, min(top_k, self.didx.n_docs_pad)
+            )
+        elif self.use_pallas:
+            idx, vals = ops.bm25_topk_blocked(
+                self.didx,
+                term_ids,
+                qtf,
+                min(top_k, self.didx.n_docs_pad),
+                interpret=self._pallas_interpret,
             )
         else:
             idx, vals = ops.bm25_topk(

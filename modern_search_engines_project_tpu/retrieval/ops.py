@@ -112,49 +112,25 @@ def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     ).T
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_docs_pad",
-        "posting_cap",
-        "k_ret",
-        "smoothing",
-    ),
-)
-def hybrid_rank(
-    indptr,
-    post_docs,
-    post_impact,
+def _hybrid_tail(
+    bm,
     chunk_emb,
     chunk_doc,
     doc_chunk_start,
     doc_n_chunks,
-    term_ids,
-    qtf,
     qvec,
     *,
     n_docs_pad: int,
-    posting_cap: int,
     k_ret: int,
-    smoothing: float = 0.15,
+    smoothing: float,
 ):
-    """Full hybrid ranking. Returns per query the k_ret fused-ranked
-    candidates: (doc_idx, fused_score, bm25_norm, winner_chunk, valid)."""
-    B = term_ids.shape[0]
+    """Stages 2+3 of the hybrid ranking, shared by the scatter-based and the
+    Pallas-blocked BM25 front ends.  ``bm`` is keyed scores [B, Dp+1]."""
+    B = qvec.shape[0]
     Dp1 = n_docs_pad + 1
     C = chunk_emb.shape[0]
     b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    # ---- stage 1: BM25 + candidate selection -------------------------------
-    bm = bm25_score_batch(
-        indptr,
-        post_docs,
-        post_impact,
-        term_ids,
-        qtf,
-        n_docs_pad=n_docs_pad,
-        posting_cap=posting_cap,
-    )
     top_vals, top_idx = lax.top_k(bm[:, :n_docs_pad], k_ret)
     valid_c = top_vals >= 0.0
 
@@ -241,6 +217,120 @@ def hybrid_rank(
     final_old = jnp.take_along_axis(old_norm, order, axis=1)
     final_valid = jnp.take_along_axis(valid_c, order, axis=1)
     return final_doc, final_vals, final_old, final_win, final_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_docs_pad", "posting_cap", "k_ret", "smoothing"),
+)
+def hybrid_rank(
+    indptr,
+    post_docs,
+    post_impact,
+    chunk_emb,
+    chunk_doc,
+    doc_chunk_start,
+    doc_n_chunks,
+    term_ids,
+    qtf,
+    qvec,
+    *,
+    n_docs_pad: int,
+    posting_cap: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+):
+    """Full hybrid ranking (XLA gather/scatter BM25 front end).  Returns per
+    query the k_ret fused-ranked candidates:
+    (doc_idx, fused_score, bm25_norm, winner_chunk, valid)."""
+    bm = bm25_score_batch(
+        indptr,
+        post_docs,
+        post_impact,
+        term_ids,
+        qtf,
+        n_docs_pad=n_docs_pad,
+        posting_cap=posting_cap,
+    )
+    return _hybrid_tail(
+        bm,
+        chunk_emb,
+        chunk_doc,
+        doc_chunk_start,
+        doc_n_chunks,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_docs_pad", "k_ret", "smoothing", "interpret"),
+)
+def hybrid_rank_blocked(
+    blk_terms,
+    blk_impact,
+    blk_local,
+    chunk_emb,
+    chunk_doc,
+    doc_chunk_start,
+    doc_n_chunks,
+    term_ids,
+    qtf,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+    interpret: bool = False,
+):
+    """Full hybrid ranking with the Pallas doc-major blocked BM25 kernel
+    (bm25_pallas.py) — the TPU fast path (no gathers/scatters)."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_blocked,
+    )
+
+    bm = bm25_score_blocked(
+        blk_terms,
+        blk_impact,
+        blk_local,
+        term_ids,
+        qtf,
+        n_docs_pad=n_docs_pad,
+        interpret=interpret,
+    )
+    return _hybrid_tail(
+        bm,
+        chunk_emb,
+        chunk_doc,
+        doc_chunk_start,
+        doc_n_chunks,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+    )
+
+
+def bm25_topk_blocked(index, term_ids, qtf, k: int, interpret: bool = False):
+    """BM25-only retrieval via the Pallas kernel."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_blocked,
+    )
+
+    bm = bm25_score_blocked(
+        index.blk_terms,
+        index.blk_impact,
+        index.blk_local,
+        jnp.asarray(term_ids),
+        jnp.asarray(qtf),
+        n_docs_pad=index.n_docs_pad,
+        interpret=interpret,
+    )
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    return idx, vals
 
 
 def bm25_topk(

@@ -1,0 +1,89 @@
+"""CLI: serve a built index over HTTP.
+
+    python -m modern_search_engines_project_tpu.serving \
+        --index /path/to/artifacts [--port 5000] [--sharded]
+
+Builds a demo index from bundled sample documents when --index is omitted,
+so the UI can be driven end-to-end without a crawl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def _demo_artifacts(cfg):
+    from modern_search_engines_project_tpu.index import Document, IndexBuilder
+    from modern_search_engines_project_tpu.models import HashingEncoder
+
+    docs = [
+        Document(1, "https://www.tuebingen.de/en/schloss",
+                 "Hohentübingen Castle",
+                 "The castle of Tuebingen overlooks the Neckar river and the "
+                 "old town. The university museum of ancient cultures is "
+                 "inside the castle walls. " * 12),
+        Document(2, "https://uni-tuebingen.de/en/",
+                 "University of Tübingen",
+                 "The Eberhard Karls University of Tuebingen is one of the "
+                 "oldest universities in Germany, known for philosophy, "
+                 "medicine, theology and machine learning research. " * 12),
+        Document(3, "https://www.stocherkahn.de/race",
+                 "Stocherkahn punting race",
+                 "Punt boats race on the Neckar every June, a Tuebingen "
+                 "student tradition with decorated boats and crowds on the "
+                 "Neckar bridge. " * 10),
+        Document(4, "https://www.tuebingen-info.de/en/chocolart",
+                 "ChocolART festival",
+                 "ChocolART is Germany's biggest chocolate festival held in "
+                 "the old town of Tuebingen every December with chocolatiers "
+                 "from around the world. " * 10),
+        Document(5, "https://cyber-valley.de/en/",
+                 "Cyber Valley",
+                 "Cyber Valley is Europe's largest research consortium for "
+                 "artificial intelligence with the Max Planck Institute and "
+                 "the University of Tuebingen. " * 10),
+    ]
+    enc = HashingEncoder(dim=cfg.embedding_dim)
+    return IndexBuilder(enc, cfg).build(docs), enc
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--index", default=None, help="artifacts directory")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument("--sharded", action="store_true",
+                        help="shard the index over all visible devices")
+    parser.add_argument("--queries", default="queries.txt")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from modern_search_engines_project_tpu.config import DEFAULT_CONFIG
+    from modern_search_engines_project_tpu.retrieval import SearchEngine
+    from modern_search_engines_project_tpu.serving.api import SearchService
+
+    if args.index:
+        from modern_search_engines_project_tpu.index import load_artifacts
+        from modern_search_engines_project_tpu.models import HashingEncoder
+
+        art = load_artifacts(args.index)
+        enc = HashingEncoder(dim=art.config.embedding_dim)
+        cfg = art.config
+    else:
+        cfg = DEFAULT_CONFIG
+        art, enc = _demo_artifacts(cfg)
+
+    if args.sharded:
+        from modern_search_engines_project_tpu.parallel import make_mesh
+
+        engine = SearchEngine.sharded(art, enc, make_mesh(), cfg)
+    else:
+        engine = SearchEngine(art, enc, cfg)
+
+    service = SearchService(engine, queries_path=args.queries)
+    service.run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""HTTP serving surface: the reference's Flask API, TPU-engine-backed.
+
+Endpoint and response-schema parity with ``search_api.py``:
+
+  POST /api/search            {query, top_k?, query_id?} ->
+                              {llm_response, documents:[{query_id, rank,
+                               url, score, title, snippet, domain, doc_id}]}
+                              (search_api.py:69-152)
+  POST /api/batch_search      runs queries.txt -> {total_queries,
+                              total_results, results:[{query_num, rank, url,
+                              score, formatted_line}], queries_processed,
+                              processing_time}          (search_api.py:204-328)
+  POST /api/batch_search_file same, saved to batch_search_results.txt
+                              (search_api.py:331-367)
+  POST /api/generate_summary  {most_relevant_windows, query} -> {response}
+                              (search_assistant/main.py:35-76 parity)
+  GET  /api/health            {status, search_engine_ready}
+  GET  /                      D3 bubble UI (ui/)
+
+The three reference processes (Flask + reranker + assistant sidecars) are
+one aiohttp app here; "calling the reranker" is a jitted device function,
+not HTTP.  Device calls run in a single-worker executor so the event loop
+stays responsive while queries batch up.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import re
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+from urllib.parse import urlparse
+
+from aiohttp import web
+
+from modern_search_engines_project_tpu.eval.batch import parse_queries_file
+from modern_search_engines_project_tpu.serving.assistant import (
+    ExtractiveSummarizer,
+    Summarizer,
+)
+
+log = logging.getLogger("serving")
+
+UI_DIR = Path(__file__).resolve().parent.parent.parent / "ui"
+
+
+def extract_domain_topic(url: str) -> str:
+    """Domain-derived topic label (search_api.py:168-201 parity)."""
+    if not url or url == "#":
+        return "unknown"
+    try:
+        domain = urlparse(url).netloc.lower()
+        domain = re.sub(r"^www\.", "", domain)
+        parts = domain.split(".")
+        main = parts[0] if len(parts) == 2 else (
+            parts[-2] if len(parts) > 2 else domain
+        )
+        main = re.sub(r"[^a-zA-Z0-9-]", "", main)
+        return main or "unknown"
+    except Exception:
+        return "unknown"
+
+
+class SearchService:
+    """Wraps a SearchEngine + Summarizer behind the HTTP handlers."""
+
+    def __init__(
+        self,
+        engine,
+        summarizer: Optional[Summarizer] = None,
+        queries_path: str = "queries.txt",
+        results_path: str = "batch_search_results.txt",
+    ):
+        self.engine = engine
+        self.summarizer = summarizer or ExtractiveSummarizer()
+        self.queries_path = Path(queries_path)
+        self.results_path = Path(results_path)
+        # one worker: device calls serialize, host work stays async
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    # --- handlers -----------------------------------------------------------
+
+    async def search(self, request: web.Request) -> web.Response:
+        t0 = time.time()
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "Query is required"}, status=400)
+        query = (data.get("query") or "").strip()
+        if not query:
+            return web.json_response({"error": "Query is required"}, status=400)
+        top_k = int(data.get("top_k") or self.engine.cfg.top_k_reranking)
+        query_id = data.get("query_id", uuid.uuid4().hex)
+
+        loop = asyncio.get_running_loop()
+        ranked = await loop.run_in_executor(
+            self._pool, lambda: self.engine.search(query, top_k=top_k)
+        )
+
+        documents = []
+        for i, doc in enumerate(ranked, start=1):
+            content = doc.window_text or ""
+            documents.append(
+                {
+                    "query_id": query_id,
+                    "rank": i,
+                    "url": doc.url,
+                    "score": doc.similarity_score,
+                    "title": doc.title or "No Title",
+                    "snippet": (
+                        content[:200] + "..." if len(content) > 200 else content
+                    )
+                    or "No content available",
+                    "domain": extract_domain_topic(doc.url),
+                    "doc_id": str(doc.doc_id),
+                }
+            )
+        windows = [d.window_text for d in ranked[:10] if d.window_text]
+        llm_response = ""
+        if windows:
+            llm_response = await loop.run_in_executor(
+                None, lambda: self.summarizer.generate_summary(query, windows)
+            )
+        log.info(
+            "search %r -> %d docs in %.3fs", query, len(documents),
+            time.time() - t0,
+        )
+        return web.json_response(
+            {"llm_response": llm_response, "documents": documents}
+        )
+
+    async def _run_batch(self):
+        if not self.queries_path.exists():
+            return None
+        queries = parse_queries_file(
+            self.queries_path.read_text(encoding="utf-8")
+        )
+        if not queries:
+            return None
+        t0 = time.time()
+        loop = asyncio.get_running_loop()
+
+        def run():
+            texts = [q for _, q in queries]
+            return self.engine.search_batch(texts, top_k=100)
+
+        ranked_lists = await loop.run_in_executor(self._pool, run)
+        all_results = []
+        for (qn, _qt), ranked in zip(queries, ranked_lists):
+            for rank, doc in enumerate(ranked, start=1):
+                all_results.append(
+                    {
+                        "query_num": str(qn),
+                        "rank": rank,
+                        "url": doc.url,
+                        "score": f"{doc.similarity_score:.3f}",
+                        "formatted_line": (
+                            f"{qn}\t{rank}\t{doc.url}\t"
+                            f"{doc.similarity_score:.3f}"
+                        ),
+                    }
+                )
+        return {
+            "total_queries": len(queries),
+            "total_results": len(all_results),
+            "results": all_results,
+            "queries_processed": [
+                {"query_num": str(qn), "query_text": qt} for qn, qt in queries
+            ],
+            "processing_time": f"{time.time() - t0:.2f}s",
+        }
+
+    async def batch_search(self, request: web.Request) -> web.Response:
+        data = await self._run_batch()
+        if data is None:
+            return web.json_response(
+                {"error": "queries.txt file not found"}, status=404
+            )
+        return web.json_response(data)
+
+    async def batch_search_file(self, request: web.Request) -> web.Response:
+        data = await self._run_batch()
+        if data is None:
+            return web.json_response(
+                {"error": "queries.txt file not found"}, status=404
+            )
+        with open(self.results_path, "w", encoding="utf-8") as f:
+            for row in data["results"]:
+                f.write(row["formatted_line"] + "\n")
+        return web.json_response(
+            {
+                "message": f"Results saved to {self.results_path}",
+                "total_queries": data["total_queries"],
+                "total_results": data["total_results"],
+                "output_file": str(self.results_path),
+                "format": "query_num<tab>rank<tab>url<tab>score per line",
+            }
+        )
+
+    async def generate_summary(self, request: web.Request) -> web.Response:
+        """Reference assistant endpoint parity
+        (search_assistant/main.py:35-76)."""
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid json"}, status=400)
+        windows = data.get("most_relevant_windows") or []
+        query = data.get("query") or ""
+        loop = asyncio.get_running_loop()
+        text = await loop.run_in_executor(
+            None, lambda: self.summarizer.generate_summary(query, windows)
+        )
+        return web.json_response({"response": text})
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {"status": "healthy", "search_engine_ready": self.engine is not None}
+        )
+
+    async def index(self, request: web.Request) -> web.Response:
+        page = UI_DIR / "templates" / "index.html"
+        if not page.exists():
+            return web.Response(text="UI not built", status=404)
+        return web.FileResponse(page)
+
+    # --- app ----------------------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=16 * 1024 * 1024)
+        app.router.add_post("/api/search", self.search)
+        app.router.add_post("/api/batch_search", self.batch_search)
+        app.router.add_post("/api/batch_search_file", self.batch_search_file)
+        app.router.add_post("/api/generate_summary", self.generate_summary)
+        app.router.add_get("/api/health", self.health)
+        app.router.add_get("/", self.index)
+        static = UI_DIR / "static"
+        if static.exists():
+            app.router.add_static("/static/", static)
+        return app
+
+    def run(self, host: str = "0.0.0.0", port: int = 5000):
+        web.run_app(self.build_app(), host=host, port=port)

@@ -1,0 +1,92 @@
+"""Search assistant: LLM-style summary over the top result windows.
+
+Reference C9 (``search_assistant/main.py``) is a FastAPI sidecar calling
+the external Cerebras API (qwen-3-235b) with the top <= 10 windows truncated
+to 4000 chars each.  Here the assistant is an in-process component with a
+pluggable backend:
+
+  * ``ExtractiveSummarizer`` (default) — deterministic, fully offline:
+    ranks sentences from the windows by query-term overlap and stitches a
+    short grounded summary.  No network, no model weights.
+  * ``HttpLlmClient`` — POSTs the reference's exact request schema
+    ``{most_relevant_windows, query}`` to any compatible endpoint
+    (search_assistant/main.py:35-76), for deployments that do run an
+    external LLM.  Strips a leading ``</think>`` reasoning prefix like the
+    reference (main.py:69-71).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Protocol, Sequence
+
+MAX_WINDOWS = 10  # config.py:22
+WINDOW_CHARS = 4000  # search_assistant/main.py:47
+
+
+class Summarizer(Protocol):
+    def generate_summary(self, query: str, windows: Sequence[str]) -> str: ...
+
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+_WORD_RE = re.compile(r"[a-zA-Zäöüß]+")
+
+
+class ExtractiveSummarizer:
+    """Query-focused extractive summary (offline default backend)."""
+
+    def __init__(self, max_sentences: int = 4, max_chars: int = 700):
+        self.max_sentences = max_sentences
+        self.max_chars = max_chars
+
+    def generate_summary(self, query: str, windows: Sequence[str]) -> str:
+        windows = [w[:WINDOW_CHARS] for w in windows[:MAX_WINDOWS] if w]
+        if not windows:
+            return ""
+        q_terms = {w.lower() for w in _WORD_RE.findall(query) if len(w) > 2}
+        scored = []
+        seen = set()
+        for wi, window in enumerate(windows):
+            for sent in _SENT_RE.split(window):
+                sent = sent.strip()
+                if len(sent) < 30 or len(sent) > 400:
+                    continue
+                key = sent.lower()[:80]
+                if key in seen:
+                    continue
+                seen.add(key)
+                words = {w.lower() for w in _WORD_RE.findall(sent)}
+                overlap = len(words & q_terms)
+                # earlier windows come from higher-ranked documents
+                scored.append((overlap - 0.1 * wi, sent))
+        scored.sort(key=lambda x: -x[0])
+        picked = [s for score, s in scored[: self.max_sentences] if score > 0]
+        if not picked and scored:
+            picked = [scored[0][1]]
+        out = " ".join(picked)
+        return out[: self.max_chars]
+
+
+class HttpLlmClient:
+    """Client for a reference-compatible /generate_summary endpoint."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+
+    def generate_summary(self, query: str, windows: Sequence[str]) -> str:
+        import httpx
+
+        payload = {
+            "most_relevant_windows": [
+                w[:WINDOW_CHARS] for w in windows[:MAX_WINDOWS]
+            ],
+            "query": query,
+        }
+        resp = httpx.post(self.url, json=payload, timeout=self.timeout)
+        resp.raise_for_status()
+        text = resp.json().get("response", "")
+        # strip reasoning prefix (search_assistant/main.py:69-71)
+        if "</think>" in text:
+            text = text.split("</think>", 1)[1].strip()
+        return text

@@ -1,0 +1,99 @@
+"""Pallas blocked BM25 kernel vs scatter path vs numpy reference.
+
+Runs the kernel in interpreter mode on CPU (SURVEY.md §4b: kernel tests vs
+a dense reference) — the compiled path is exercised on real TPU by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+from corpus_util import make_corpus
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index import IndexBuilder
+from modern_search_engines_project_tpu.models import HashingEncoder
+from modern_search_engines_project_tpu.retrieval import (
+    SearchEngine,
+    bm25_search_numpy,
+    preprocess_query,
+)
+from modern_search_engines_project_tpu.retrieval.device_index import (
+    DeviceIndex,
+    build_blocked_postings,
+)
+
+QUERIES = ["research square law", "ai faculty cyber", "tübingen research faculty"]
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = Config(
+        embedding_dim=32,
+        window_size=32,
+        step_size=25,
+        top_k_retrieval=30,
+        top_k_reranking=10,
+        max_query_terms=8,
+    )
+    enc = HashingEncoder(dim=32)
+    art = IndexBuilder(enc, cfg).build(make_corpus(60, seed=5))
+    return art, enc, cfg
+
+
+class TestBlockedLayout:
+    def test_blocked_roundtrip(self, built):
+        art, _, _ = built
+        n_docs_pad = 128
+        bt, bi, bl = build_blocked_postings(
+            np.asarray(art.indptr),
+            np.asarray(art.post_docs),
+            np.asarray(art.post_impact),
+            n_docs_pad,
+            posting_chunk=256,
+        )
+        # every real posting appears exactly once with its impact
+        total = (bt >= 0).sum()
+        assert total == art.post_docs.shape[0]
+        # reconstruct per-doc impact sums and compare with CSR
+        want = np.zeros(n_docs_pad)
+        np.add.at(want, art.post_docs, art.post_impact)
+        got = np.zeros(n_docs_pad)
+        for b in range(bt.shape[0]):
+            mask = bt[b] >= 0
+            np.add.at(got, b * 128 + bl[b][mask], bi[b][mask])
+        assert np.allclose(got, want, atol=1e-4)
+
+
+class TestPallasParity:
+    def test_engine_pallas_matches_scatter(self, built):
+        art, enc, cfg = built
+        eng_scatter = SearchEngine(art, enc, cfg, use_pallas=False)
+        eng_pallas = SearchEngine(art, enc, cfg, use_pallas=True)
+        assert eng_pallas._pallas_interpret  # CPU -> interpreter mode
+        for q in QUERIES[:2]:
+            r1 = eng_scatter.search(q, top_k=10)
+            r2 = eng_pallas.search(q, top_k=10)
+            assert len(r1) > 0
+            assert len(r1) == len(r2)
+            s1 = np.array([r.similarity_score for r in r1])
+            s2 = np.array([r.similarity_score for r in r2])
+            assert np.allclose(s1, s2, atol=1e-4), (q, s1, s2)
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4
+
+    def test_bm25_only_pallas_matches_numpy(self, built):
+        art, enc, cfg = built
+        eng = SearchEngine(art, enc, cfg, use_pallas=True)
+        for q in QUERIES:
+            pq = preprocess_query(q)
+            ref_idx, ref_vals = bm25_search_numpy(art, pq, top_k=30)
+            got = eng.bm25_search(pq, top_k=30)
+            assert len(got) == len(ref_idx), q
+            got_vals = np.sort([g["score"] for g in got])[::-1]
+            assert np.allclose(
+                got_vals, np.sort(ref_vals)[::-1], atol=1e-4
+            ), q
+            assert {g["doc_id"] for g in got} == {
+                art.doc_ids[i] for i in ref_idx
+            }

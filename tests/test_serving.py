@@ -1,0 +1,174 @@
+"""HTTP serving surface tests: endpoint schema parity with the reference."""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from corpus_util import make_corpus
+from modern_search_engines_project_tpu.config import Config
+from modern_search_engines_project_tpu.index import IndexBuilder
+from modern_search_engines_project_tpu.models import HashingEncoder
+from modern_search_engines_project_tpu.retrieval import SearchEngine
+from modern_search_engines_project_tpu.serving import (
+    ExtractiveSummarizer,
+    SearchService,
+    extract_domain_topic,
+)
+
+
+class TestDomainTopic:
+    def test_simple(self):
+        assert extract_domain_topic("https://www.tuebingen.de/x") == "tuebingen"
+
+    def test_subdomain(self):
+        assert extract_domain_topic("https://en.wikipedia.org/wiki/X") == "wikipedia"
+
+    def test_hyphen_domain(self):
+        assert extract_domain_topic("https://uni-tuebingen.de/") == "uni-tuebingen"
+
+    def test_empty(self):
+        assert extract_domain_topic("") == "unknown"
+        assert extract_domain_topic("#") == "unknown"
+
+
+class TestSummarizer:
+    def test_extractive_query_focus(self):
+        s = ExtractiveSummarizer()
+        windows = [
+            "The castle of Tuebingen overlooks the Neckar river valley below. "
+            "Unrelated filler sentence about nothing in particular here now.",
+            "The castle museum hosts ancient cultures and is open daily today.",
+        ]
+        out = s.generate_summary("castle museum", windows)
+        assert "castle" in out.lower()
+        assert len(out) <= 700
+
+    def test_empty_windows(self):
+        assert ExtractiveSummarizer().generate_summary("x", []) == ""
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    docs = make_corpus(n_docs=40, seed=3, min_len=40, max_len=120)
+    cfg = Config(
+        embedding_dim=32, window_size=32, step_size=25,
+        top_k_retrieval=20, top_k_reranking=10, max_query_terms=8,
+    )
+    enc = HashingEncoder(dim=32)
+    engine = SearchEngine(IndexBuilder(enc, cfg).build(docs), enc, cfg)
+    tmp = tmp_path_factory.mktemp("serving")
+    qfile = tmp / "queries.txt"
+    qfile.write_text("1\tresearch law\n2\tforest library\n")
+    return SearchService(
+        engine,
+        queries_path=str(qfile),
+        results_path=str(tmp / "batch_search_results.txt"),
+    )
+
+
+def with_client(service, coro):
+    """Run an async test body against a live test server (no async plugin
+    in the image, so tests drive the loop explicitly)."""
+
+    async def runner():
+        client = TestClient(TestServer(service.build_app()))
+        await client.start_server()
+        try:
+            return await coro(client)
+        finally:
+            await client.close()
+
+    return asyncio.run(runner())
+
+
+class TestEndpoints:
+    def test_health(self, service):
+        async def body(client):
+            resp = await client.get("/api/health")
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["status"] == "healthy"
+            assert data["search_engine_ready"] is True
+
+        with_client(service, body)
+
+    def test_search_schema(self, service):
+        async def body(client):
+            resp = await client.post(
+                "/api/search",
+                json={"query": "research law faculty", "top_k": 5},
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            assert "documents" in data and "llm_response" in data
+            docs = data["documents"]
+            assert len(docs) > 0
+            first = docs[0]
+            for key in ("query_id", "rank", "url", "score", "title",
+                        "snippet", "domain", "doc_id"):
+                assert key in first, key
+            assert first["rank"] == 1
+            ranks = [d["rank"] for d in docs]
+            assert ranks == list(range(1, len(docs) + 1))
+            scores = [d["score"] for d in docs]
+            assert scores == sorted(scores, reverse=True)
+
+        with_client(service, body)
+
+    def test_search_empty_query_400(self, service):
+        async def body(client):
+            resp = await client.post("/api/search", json={"query": "  "})
+            assert resp.status == 400
+
+        with_client(service, body)
+
+    def test_search_invalid_json_400(self, service):
+        async def body(client):
+            resp = await client.post("/api/search", data=b"not json")
+            assert resp.status == 400
+
+        with_client(service, body)
+
+    def test_batch_search(self, service):
+        async def body(client):
+            resp = await client.post("/api/batch_search")
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["total_queries"] == 2
+            assert data["total_results"] > 0
+            row = data["results"][0]
+            assert row["formatted_line"].count("\t") == 3
+            qn, rank, url, score = row["formatted_line"].split("\t")
+            assert qn == row["query_num"] and int(rank) == row["rank"]
+            float(score)
+
+        with_client(service, body)
+
+    def test_batch_search_file(self, service):
+        async def body(client):
+            resp = await client.post("/api/batch_search_file")
+            assert resp.status == 200
+            data = await resp.json()
+            lines = open(data["output_file"]).read().strip().splitlines()
+            assert len(lines) == data["total_results"]
+            assert all(l.count("\t") == 3 for l in lines)
+
+        with_client(service, body)
+
+    def test_generate_summary(self, service):
+        async def body(client):
+            resp = await client.post(
+                "/api/generate_summary",
+                json={
+                    "most_relevant_windows": [
+                        "The Neckar river flows through the old town daily."
+                    ],
+                    "query": "neckar river",
+                },
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            assert "response" in data
+
+        with_client(service, body)
