@@ -17,10 +17,16 @@ matmul, segment top-2, fusion, final top-k.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the tunnel's remote compiles are slow (and
+# high-variance); cache them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def make_synthetic_index(

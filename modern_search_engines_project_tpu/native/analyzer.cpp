@@ -1,0 +1,320 @@
+// Native text analyzer: tokenize + normalize + stopword filter + lemma-light.
+//
+// C++ fast path for the corpus analysis pipeline (the role spaCy/Cython
+// plays in the reference, bm25_indexer.py:16-54).  Behavior is bit-identical
+// to the Python implementation in text/analyzer.py — the Python side is the
+// specification, this is the speed; tests/test_native.py asserts parity.
+//
+// Exposed via a minimal C ABI for ctypes (no pybind11 in the image):
+//   msetpu_analyze(text, len) -> newline-joined tokens (caller frees with
+//   msetpu_free).
+//
+// Build: g++ -O2 -shared -fPIC -o libmse_analyzer.so analyzer.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr size_t MAX_DOC_CHARS = 1000000;  // bm25_indexer.py:33 analog
+
+// ---- codepoint classification ------------------------------------------
+
+// letters accepted by the token pattern (analyzer.py _TOKEN_RE)
+bool is_token_cp(uint32_t cp) {
+  if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) return true;
+  switch (cp) {
+    case 0x00E4: case 0x00F6: case 0x00FC:               // ä ö ü
+    case 0x00C4: case 0x00D6: case 0x00DC:               // Ä Ö Ü
+    case 0x00DF:                                         // ß
+    case 0x00E0: case 0x00E2: case 0x00E9: case 0x00E8:  // à â é è
+    case 0x00EA: case 0x00EB: case 0x00ED: case 0x00EC:  // ê ë í ì
+    case 0x00EE: case 0x00EF: case 0x00F3: case 0x00F2:  // î ï ó ò
+    case 0x00F4: case 0x00FA: case 0x00F9: case 0x00FB:  // ô ú ù û
+    case 0x00F1: case 0x00E7:                            // ñ ç
+      return true;
+    default:
+      return false;
+  }
+}
+
+uint32_t lower_cp(uint32_t cp) {
+  if (cp >= 'A' && cp <= 'Z') return cp + 32;
+  if (cp >= 0x00C0 && cp <= 0x00DE && cp != 0x00D7) return cp + 32;
+  return cp;
+}
+
+// decode one UTF-8 codepoint; advances i; returns 0xFFFD on invalid bytes
+uint32_t decode_utf8(const unsigned char* s, size_t len, size_t& i) {
+  unsigned char c = s[i];
+  if (c < 0x80) { i += 1; return c; }
+  if ((c >> 5) == 0x6 && i + 1 < len) {
+    uint32_t cp = ((c & 0x1F) << 6) | (s[i + 1] & 0x3F);
+    i += 2; return cp;
+  }
+  if ((c >> 4) == 0xE && i + 2 < len) {
+    uint32_t cp = ((c & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) |
+                  (s[i + 2] & 0x3F);
+    i += 3; return cp;
+  }
+  if ((c >> 3) == 0x1E && i + 3 < len) {
+    uint32_t cp = ((c & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
+                  ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
+    i += 4; return cp;
+  }
+  i += 1;
+  return 0xFFFD;
+}
+
+void append_utf8(std::string& out, uint32_t cp) {
+  if (cp < 0x80) {
+    out.push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// ---- tübingen normalization (analyzer.py _TUEBINGEN_RE) ------------------
+// pattern: t(ü|ue|u)binge[nr]s?  (case handled by pre-lowercasing)
+// applied as substring replacement inside each token.
+
+const char* UML_UE = "\xC3\xBC";  // ü (lowercased already)
+
+std::string normalize_tuebingen(const std::string& tok) {
+  std::string out;
+  size_t i = 0;
+  const size_t n = tok.size();
+  while (i < n) {
+    if (tok[i] == 't') {
+      size_t j = i + 1;
+      bool stem = false;
+      if (j + 1 < n && static_cast<unsigned char>(tok[j]) == 0xC3 &&
+          static_cast<unsigned char>(tok[j + 1]) == 0xBC) {
+        stem = true; j += 2;                 // tü
+      } else if (tok.compare(j, 2, "ue") == 0) {
+        stem = true; j += 2;                 // tue
+      } else if (j < n && tok[j] == 'u') {
+        stem = true; j += 1;                 // tu
+      }
+      if (stem && tok.compare(j, 5, "binge") == 0) {
+        size_t k = j + 5;
+        if (k < n && (tok[k] == 'n' || tok[k] == 'r')) {
+          ++k;
+          if (k < n && tok[k] == 's') ++k;
+          out += "tuebingen";
+          i = k;
+          continue;
+        }
+      }
+    }
+    out.push_back(tok[i]);
+    ++i;
+  }
+  return out;
+}
+
+// ---- stopwords (analyzer.py STOPWORDS, frozen) ---------------------------
+
+const std::unordered_set<std::string>& stopwords() {
+  static const std::unordered_set<std::string> S = {
+    "a","about","above","after","again","against","all","am","an","and",
+    "any","are","aren","as","at","be","because","been","before","being",
+    "below","between","both","but","by","can","cannot","could","couldn",
+    "did","didn","do","does","doesn","doing","don","down","during","each",
+    "few","for","from","further","had","hadn","has","hasn","have","haven",
+    "having","he","her","here","hers","herself","him","himself","his","how",
+    "i","if","in","into","is","isn","it","its","itself","just","ll","m",
+    "ma","me","mightn","more","most","mustn","my","myself","needn","no",
+    "nor","not","now","o","of","off","on","once","only","or","other","our",
+    "ours","ourselves","out","over","own","re","s","same","shan","she",
+    "should","shouldn","so","some","such","t","than","that","the","their",
+    "theirs","them","themselves","then","there","these","they","this",
+    "those","through","to","too","under","until","up","ve","very","was",
+    "wasn","we","were","weren","what","when","where","which","while","who",
+    "whom","why","will","with","won","would","wouldn","y","you","your",
+    "yours","yourself","yourselves"};
+  return S;
+}
+
+// ---- lemma-light (analyzer.py _IRREGULAR + suffix rules) -----------------
+
+const std::unordered_map<std::string, std::string>& irregular() {
+  static const std::unordered_map<std::string, std::string> M = {
+    {"is","be"},{"was","be"},{"are","be"},{"were","be"},{"been","be"},
+    {"am","be"},{"being","be"},
+    {"has","have"},{"had","have"},{"having","have"},
+    {"does","do"},{"did","do"},{"done","do"},{"doing","do"},
+    {"goes","go"},{"went","go"},{"gone","go"},{"going","go"},
+    {"said","say"},{"says","say"},{"saying","say"},
+    {"made","make"},{"making","make"},
+    {"took","take"},{"taken","take"},{"taking","take"},
+    {"came","come"},{"coming","come"},
+    {"saw","see"},{"seen","see"},{"seeing","see"},
+    {"got","get"},{"gotten","get"},{"getting","get"},
+    {"gave","give"},{"given","give"},{"giving","give"},
+    {"found","find"},{"finding","find"},
+    {"knew","know"},{"known","know"},{"knowing","know"},
+    {"thought","think"},{"thinking","think"},
+    {"children","child"},{"men","man"},{"women","woman"},
+    {"people","person"},{"feet","foot"},{"teeth","tooth"},
+    {"mice","mouse"},{"geese","goose"},
+    {"better","good"},{"best","good"},{"worse","bad"},{"worst","bad"},
+    {"cities","city"},{"universities","university"},{"studies","study"},
+    {"lives","life"},{"leaves","leaf"}};
+  return M;
+}
+
+bool ends_with(const std::string& w, const char* suf) {
+  size_t n = std::strlen(suf);
+  return w.size() >= n && w.compare(w.size() - n, n, suf) == 0;
+}
+
+// NOTE: vowel test operates on UTF-8 bytes; multibyte vowels (äöü) are
+// detected by their second byte.  Mirrors Python's set("aeiouäöü") checks.
+bool byte_is_vowel_end(const std::string& s, size_t pos_end) {
+  // is the character ending at byte index pos_end (exclusive) a vowel?
+  if (pos_end == 0) return false;
+  unsigned char b = s[pos_end - 1];
+  if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') return true;
+  if (pos_end >= 2 && static_cast<unsigned char>(s[pos_end - 2]) == 0xC3 &&
+      (b == 0xA4 || b == 0xB6 || b == 0xBC))  // ä ö ü
+    return true;
+  return false;
+}
+
+bool any_vowel(const std::string& s) {
+  for (size_t i = 1; i <= s.size(); ++i)
+    if (byte_is_vowel_end(s, i)) return true;
+  return false;
+}
+
+size_t cp_length(const std::string& s) {
+  size_t n = 0;
+  for (size_t i = 0; i < s.size();) {
+    unsigned char c = s[i];
+    i += (c < 0x80) ? 1 : ((c >> 5) == 0x6 ? 2 : ((c >> 4) == 0xE ? 3 : 4));
+    ++n;
+  }
+  return n;
+}
+
+std::string strip_suffix(const std::string& w) {
+  size_t n = cp_length(w);
+  if (n <= 3) return w;
+  if (ends_with(w, "ies") && n > 4) return w.substr(0, w.size() - 3) + "y";
+  if (ends_with(w, "sses")) return w.substr(0, w.size() - 2);
+  if (ends_with(w, "xes") || ends_with(w, "zes") || ends_with(w, "ches") ||
+      ends_with(w, "shes"))
+    return w.substr(0, w.size() - 2);
+  if (ends_with(w, "s") && !ends_with(w, "ss") && !ends_with(w, "us") &&
+      !ends_with(w, "is"))
+    return w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string strip_verbal(const std::string& w) {
+  size_t n = cp_length(w);
+  if (n <= 4) return w;
+  if (ends_with(w, "ing") && n >= 6) {
+    std::string stem = w.substr(0, w.size() - 3);
+    size_t sn = cp_length(stem);
+    if (sn >= 3 && any_vowel(stem)) {
+      char last = stem[stem.size() - 1];
+      bool last_ascii = static_cast<unsigned char>(last) < 0x80;
+      bool last_vowel = byte_is_vowel_end(stem, stem.size());
+      if (sn >= 2 && last_ascii && stem.size() >= 2 &&
+          stem[stem.size() - 1] == stem[stem.size() - 2] && !last_vowel &&
+          last != 'l' && last != 's')
+        return stem.substr(0, stem.size() - 1);
+      bool prev_vowel =
+          stem.size() >= 2 && byte_is_vowel_end(stem, stem.size() - 1);
+      if (!last_vowel && prev_vowel && sn <= 4) return stem + "e";
+      return stem;
+    }
+  }
+  if (ends_with(w, "ed") && n >= 5) {
+    std::string stem = w.substr(0, w.size() - 2);
+    if (any_vowel(stem)) {
+      char last = stem[stem.size() - 1];
+      bool last_vowel = byte_is_vowel_end(stem, stem.size());
+      if (stem.size() >= 2 && stem[stem.size() - 1] == stem[stem.size() - 2] &&
+          !last_vowel && last != 'l' && last != 's')
+        return stem.substr(0, stem.size() - 1);
+      if (last == 'i') return stem.substr(0, stem.size() - 1) + "y";
+      return stem;
+    }
+  }
+  return w;
+}
+
+std::string lemmatize(const std::string& w) {
+  const auto& irr = irregular();
+  auto it = irr.find(w);
+  if (it != irr.end()) return it->second;
+  std::string s = strip_suffix(w);
+  it = irr.find(s);
+  if (it != irr.end()) return it->second;
+  return strip_verbal(s);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns a newline-joined token list (malloc'd); caller frees.
+char* msetpu_analyze(const char* text, size_t len) {
+  if (len > MAX_DOC_CHARS) len = MAX_DOC_CHARS;
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(text);
+  std::string out;
+  out.reserve(len / 4);
+  std::string tok;
+  size_t i = 0;
+  const auto& stops = stopwords();
+
+  auto flush = [&]() {
+    if (tok.empty()) return;
+    std::string t = normalize_tuebingen(tok);
+    if (cp_length(t) >= 2 && !stops.count(t)) {
+      std::string lemma = lemmatize(t);
+      if (cp_length(lemma) >= 2 && !stops.count(lemma)) {
+        out += lemma;
+        out.push_back('\n');
+      }
+    }
+    tok.clear();
+  };
+
+  while (i < len) {
+    size_t before = i;
+    uint32_t cp = decode_utf8(s, len, i);
+    if (i > len) { i = before + 1; cp = 0xFFFD; }
+    // lowercase BEFORE membership: the Python pipeline lowercases the whole
+    // text before tokenizing, so uppercase accents (É) are in-class
+    cp = lower_cp(cp);
+    if (is_token_cp(cp)) {
+      append_utf8(tok, cp);
+    } else {
+      flush();
+    }
+  }
+  flush();
+
+  char* ret = static_cast<char*>(std::malloc(out.size() + 1));
+  std::memcpy(ret, out.data(), out.size());
+  ret[out.size()] = '\0';
+  return ret;
+}
+
+void msetpu_free(char* p) { std::free(p); }
+
+}  // extern "C"

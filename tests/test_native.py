@@ -1,0 +1,73 @@
+"""Native C++ analyzer: parity with the Python specification + speed."""
+
+import random
+import time
+
+import pytest
+
+from corpus_util import make_corpus
+from modern_search_engines_project_tpu.text.analyzer import Analyzer
+
+try:
+    from modern_search_engines_project_tpu.native import native_analyzer
+
+    NATIVE = native_analyzer.load()
+except Exception as e:  # pragma: no cover
+    NATIVE = None
+    NATIVE_ERR = e
+
+pytestmark = pytest.mark.skipif(
+    NATIVE is None, reason="native analyzer unavailable"
+)
+
+PY = Analyzer(use_native=False)
+
+SAMPLES = [
+    "The University of Tübingen is one of Germany's oldest universities.",
+    "Students were walking through Tubingen's old town near the Neckar.",
+    "Tuebingen TÜBINGEN tübinger Tübingens",
+    "running walked cities studies leaves children better",
+    "CAFÉ naïve façade — émigré!",
+    "a b c xy 42 k9 --- ??? !!!",
+    "",
+    "castles punting boats raced past the Stocherkahn bridges",
+    "hölderlinturm überquert die neckarbrücke",
+    "ChocolART festival: chocolate-makers & handmade sweets (December).",
+]
+
+
+class TestNativeParity:
+    @pytest.mark.parametrize("text", SAMPLES)
+    def test_matches_python(self, text):
+        assert NATIVE.analyze(text) == PY.tokens(text)
+
+    def test_matches_on_corpus(self):
+        docs = make_corpus(n_docs=12, seed=17, min_len=50, max_len=200)
+        for d in docs:
+            full = f"{d.title} {d.text}"
+            assert NATIVE.analyze(full) == PY.tokens(full)
+
+    def test_random_ascii_noise(self):
+        rng = random.Random(0)
+        chars = "abcdefghijklmnopqrstuvwxyz ÄÖÜäöüß .,-!?0123456789"
+        for _ in range(20):
+            text = "".join(rng.choice(chars) for _ in range(500))
+            assert NATIVE.analyze(text) == PY.tokens(text)
+
+    def test_analyzer_uses_native_when_available(self):
+        an = Analyzer(use_native=True)
+        assert an._native is not None
+        text = "The students were running through Tübingen yesterday."
+        assert an.tokens(text) == PY.tokens(text)
+
+    def test_native_faster(self):
+        text = "the castle overlooks the river and students walk daily " * 2000
+        t0 = time.time()
+        for _ in range(5):
+            PY.tokens(text)
+        t_py = time.time() - t0
+        t0 = time.time()
+        for _ in range(5):
+            NATIVE.analyze(text)
+        t_nat = time.time() - t0
+        assert t_nat < t_py, (t_nat, t_py)
