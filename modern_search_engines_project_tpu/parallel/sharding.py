@@ -34,6 +34,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from modern_search_engines_project_tpu.config import Config
 from modern_search_engines_project_tpu.index.builder import IndexArtifacts
+from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+    bm25_score_blocked,
+)
+from modern_search_engines_project_tpu.retrieval.device_index import (
+    build_blocked_postings,
+)
 from modern_search_engines_project_tpu.retrieval.ops import (
     bm25_score_batch,
     _segment,
@@ -59,6 +65,9 @@ class ShardedDeviceIndex:
     indptr: jnp.ndarray  # [S, V+1]
     post_docs: jnp.ndarray  # [S, nnz_pad] local doc ids
     post_impact: jnp.ndarray  # [S, nnz_pad]
+    blk_terms: jnp.ndarray  # [S, n_blocks_loc, p_blk] doc-major blocked
+    blk_impact: jnp.ndarray
+    blk_local: jnp.ndarray
     chunk_emb: jnp.ndarray  # [S, C_loc, dim]
     chunk_doc: jnp.ndarray  # [S, C_loc] local doc ids (pad -> D_loc)
     chunk_gid: jnp.ndarray  # [S, C_loc] global chunk ids (pad -> 0)
@@ -87,7 +96,9 @@ class ShardedDeviceIndex:
         cfg = config or art.config
         S = mesh.devices.size
         n_docs = art.n_docs
-        d_loc = max(_round_up(-(-max(n_docs, 1) // S), 8), 8)
+        # 128-multiple: each local doc range tiles exactly into the Pallas
+        # kernel's doc blocks
+        d_loc = max(_round_up(-(-max(n_docs, 1) // S), 128), 128)
         V = art.n_terms
         dim = art.chunk_emb.shape[1]
 
@@ -148,6 +159,22 @@ class ShardedDeviceIndex:
                 )
                 doc_n_chunks[s, : hi - lo] = art.doc_n_chunks[lo:hi]
 
+        # per-shard doc-major blocked layout (Pallas fast path); pad the
+        # posting capacity to a common p_blk across shards so they stack
+        blocked = [
+            build_blocked_postings(indptr_l[s_], docs_l[s_], imp_l[s_], d_loc)
+            for s_ in range(S)
+        ]
+        p_blk_max = max(b[0].shape[1] for b in blocked)
+        n_blocks_loc = d_loc // 128
+        blk_terms = np.full((S, n_blocks_loc, p_blk_max), -1, np.int32)
+        blk_impactA = np.zeros((S, n_blocks_loc, p_blk_max), np.float32)
+        blk_localA = np.zeros((S, n_blocks_loc, p_blk_max), np.int32)
+        for s_, (bt, bi, bl) in enumerate(blocked):
+            blk_terms[s_, :, : bt.shape[1]] = bt
+            blk_impactA[s_, :, : bt.shape[1]] = bi
+            blk_localA[s_, :, : bt.shape[1]] = bl
+
         if posting_cap is None:
             caps = []
             for s in range(S):
@@ -164,6 +191,9 @@ class ShardedDeviceIndex:
             indptr=put(indptr, sh),
             post_docs=put(post_docs, sh),
             post_impact=put(post_impact, sh),
+            blk_terms=put(blk_terms, sh),
+            blk_impact=put(blk_impactA, sh),
+            blk_local=put(blk_localA, sh),
             chunk_emb=put(chunk_emb.astype(bank_dtype), sh),
             chunk_doc=put(chunk_doc, sh),
             chunk_gid=put(chunk_gid, sh),
@@ -184,6 +214,8 @@ def _sharded_hybrid_fn(
     k_ret: int,
     smoothing: float,
     axis: str = "shard",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Builds the per-shard function run under shard_map."""
 
@@ -191,6 +223,9 @@ def _sharded_hybrid_fn(
         indptr,
         post_docs,
         post_impact,
+        blk_terms,
+        blk_impact,
+        blk_local,
         chunk_emb,
         chunk_doc,
         chunk_gid,
@@ -202,6 +237,11 @@ def _sharded_hybrid_fn(
     ):
         # local blocks arrive with a leading shard axis of size 1
         indptr, post_docs, post_impact = indptr[0], post_docs[0], post_impact[0]
+        blk_terms, blk_impact, blk_local = (
+            blk_terms[0],
+            blk_impact[0],
+            blk_local[0],
+        )
         chunk_emb, chunk_doc, chunk_gid = (
             chunk_emb[0],
             chunk_doc[0],
@@ -218,15 +258,26 @@ def _sharded_hybrid_fn(
         k_loc = min(k_ret, d_loc)
 
         # ---- stage 1: local BM25 + global candidate merge over ICI ---------
-        bm = bm25_score_batch(
-            indptr,
-            post_docs,
-            post_impact,
-            term_ids,
-            qtf,
-            n_docs_pad=d_loc,
-            posting_cap=posting_cap,
-        )
+        if use_pallas:
+            bm = bm25_score_blocked(
+                blk_terms,
+                blk_impact,
+                blk_local,
+                term_ids,
+                qtf,
+                n_docs_pad=d_loc,
+                interpret=interpret,
+            )
+        else:
+            bm = bm25_score_batch(
+                indptr,
+                post_docs,
+                post_impact,
+                term_ids,
+                qtf,
+                n_docs_pad=d_loc,
+                posting_cap=posting_cap,
+            )
         lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
         gidx = lidx + s_id * d_loc
 
@@ -354,17 +405,28 @@ class ShardedEngineBackend:
         mesh: Mesh,
         config: Optional[Config] = None,
         bank_dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
     ):
         from jax import shard_map
 
         cfg = config or art.config
+        backend = jax.default_backend()
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else backend == "tpu"
+        )
+        self._interpret = backend != "tpu"
         self.sidx = ShardedDeviceIndex.from_artifacts(
             art, mesh, cfg, bank_dtype=bank_dtype
         )
         s = self.sidx
         self.k_ret = min(cfg.top_k_retrieval, s.n_docs_pad)
         fn = _sharded_hybrid_fn(
-            s.d_loc, s.posting_cap, self.k_ret, cfg.smoothing
+            s.d_loc,
+            s.posting_cap,
+            self.k_ret,
+            cfg.smoothing,
+            use_pallas=self.use_pallas,
+            interpret=self._interpret,
         )
         sharded = P("shard")
         repl = P()
@@ -372,7 +434,7 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=mesh,
-                in_specs=(sharded,) * 8 + (repl, repl, repl),
+                in_specs=(sharded,) * 11 + (repl, repl, repl),
                 out_specs=(repl, repl, repl, repl, repl),
                 check_vma=False,
             )
@@ -384,6 +446,9 @@ class ShardedEngineBackend:
             s.indptr,
             s.post_docs,
             s.post_impact,
+            s.blk_terms,
+            s.blk_impact,
+            s.blk_local,
             s.chunk_emb,
             s.chunk_doc,
             s.chunk_gid,

@@ -42,6 +42,7 @@ from modern_search_engines_project_tpu.serving.assistant import (
     ExtractiveSummarizer,
     Summarizer,
 )
+from modern_search_engines_project_tpu.serving.rate_limiter import RateLimiter
 
 log = logging.getLogger("serving")
 
@@ -74,11 +75,14 @@ class SearchService:
         summarizer: Optional[Summarizer] = None,
         queries_path: str = "queries.txt",
         results_path: str = "batch_search_results.txt",
+        rate_limiter: Optional[RateLimiter] = None,
     ):
         self.engine = engine
         self.summarizer = summarizer or ExtractiveSummarizer()
         self.queries_path = Path(queries_path)
         self.results_path = Path(results_path)
+        # disabled by default, like the reference reranker config
+        self.rate_limiter = rate_limiter or RateLimiter(enabled=False)
         # one worker: device calls serialize, host work stays async
         self._pool = ThreadPoolExecutor(max_workers=1)
 
@@ -86,6 +90,10 @@ class SearchService:
 
     async def search(self, request: web.Request) -> web.Response:
         t0 = time.time()
+        if not await self.rate_limiter.acquire():
+            return web.json_response(
+                {"error": "Rate limit exceeded"}, status=429
+            )
         try:
             data = await request.json()
         except Exception:
@@ -221,6 +229,22 @@ class SearchService:
             {"status": "healthy", "search_engine_ready": self.engine is not None}
         )
 
+    async def stats(self, request: web.Request) -> web.Response:
+        """Index introspection (reference get_index_stats + /database/stats
+        role, bm25_indexer.py:546-568, reranker_api.py:440-466)."""
+        art = getattr(self.engine, "art", None)
+        payload = art.index_stats() if art is not None else {}
+        return web.json_response(payload)
+
+    async def config_view(self, request: web.Request) -> web.Response:
+        """Serving config with nothing secret to redact (reference /config
+        redacts api keys, reranker_api.py:518-526)."""
+        cfg = self.engine.cfg
+        return web.json_response({k: v for k, v in cfg.__dict__.items()})
+
+    async def rate_limit_status(self, request: web.Request) -> web.Response:
+        return web.json_response(self.rate_limiter.status())
+
     async def index(self, request: web.Request) -> web.Response:
         page = UI_DIR / "templates" / "index.html"
         if not page.exists():
@@ -236,6 +260,9 @@ class SearchService:
         app.router.add_post("/api/batch_search_file", self.batch_search_file)
         app.router.add_post("/api/generate_summary", self.generate_summary)
         app.router.add_get("/api/health", self.health)
+        app.router.add_get("/api/stats", self.stats)
+        app.router.add_get("/api/config", self.config_view)
+        app.router.add_get("/api/rate-limit-status", self.rate_limit_status)
         app.router.add_get("/", self.index)
         static = UI_DIR / "static"
         if static.exists():

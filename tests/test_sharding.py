@@ -88,3 +88,29 @@ class TestShardedParity:
             m2 = {r.doc_id: r.window_index for r in r2}
             for doc in set(m1) & set(m2):
                 assert m1[doc] == m2[doc]
+
+
+class TestShardedPallas:
+    def test_sharded_pallas_matches_scatter(self, engines, eight_devices):
+        import numpy as np
+
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedEngineBackend,
+        )
+
+        single, sharded = engines
+        art, cfg = single.art, single.cfg
+        mesh = sharded.didx.mesh
+        pallas_backend = ShardedEngineBackend(
+            art, mesh, cfg, use_pallas=True
+        )
+        assert pallas_backend._interpret  # CPU -> interpreter mode
+        term_ids, qtf, processed = single.prepare_queries(QUERIES)
+        qvec = single.encode_queries(processed)
+        out_p = [np.asarray(x) for x in pallas_backend.rank(term_ids, qtf, qvec)]
+        out_s = [np.asarray(x) for x in sharded._backend.rank(term_ids, qtf, qvec)]
+        # same candidates, same fused scores
+        assert np.allclose(out_p[1], out_s[1], atol=1e-4)
+        same = out_p[0] == out_s[0]
+        close = np.abs(out_p[1] - out_s[1]) < 1e-4
+        assert np.all(same | close)
