@@ -43,6 +43,32 @@ def _demo_artifacts(cfg):
                  "Cyber Valley is Europe's largest research consortium for "
                  "artificial intelligence with the Max Planck Institute and "
                  "the University of Tuebingen. " * 10),
+        # docs without the anchor city term keep its document frequency
+        # below N/2 — in a tiny all-Tübingen corpus its idf goes negative
+        # and (faithfully to the reference's min_score=0 rule) every
+        # augmented query returns nothing
+        Document(6, "https://www.example.com/pizza",
+                 "Pizza dough basics",
+                 "How to make pizza dough with yeast, flour, salt and time. "
+                 * 10),
+        Document(7, "https://www.example.com/cycling",
+                 "Cycling guide",
+                 "Road cycling training plans for beginners and commuters. "
+                 * 10),
+        Document(8, "https://www.example.com/coffee",
+                 "Coffee brewing",
+                 "Pour over coffee brewing ratios and grinder settings. " * 10),
+        Document(9, "https://www.example.com/garden",
+                 "Garden tips",
+                 "Vegetable garden planning for small urban balconies. " * 10),
+        Document(10, "https://www.example.com/chess",
+                 "Chess openings",
+                 "An overview of classical chess openings for club players. "
+                 * 10),
+        Document(11, "https://www.example.com/hiking",
+                 "Hiking checklist",
+                 "A packing checklist for multi day hiking trips in the alps. "
+                 * 10),
     ]
     enc = HashingEncoder(dim=cfg.embedding_dim)
     return IndexBuilder(enc, cfg).build(docs), enc
