@@ -57,13 +57,14 @@ def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
         local_s = localt_ref[0, 0, :, s : s + 1]  # (pcL, 1)
 
         m = jnp.zeros((B, pcL), jnp.float32)
-        cnt = jnp.zeros((B, pcL), jnp.float32)
         for t in range(T):
             tid = tids_ref[:, t : t + 1]  # (B, 1)
             q = qtf_ref[:, t : t + 1]
             eq = (terms_s == tid) & (tid >= 0)
             m = m + jnp.where(eq, q, 0.0)
-            cnt = cnt + eq.astype(jnp.float32)
+        # qtf >= 1 for every real query term, so m > 0 <=> posting matched —
+        # the match channel needs no per-term accumulation
+        cnt = (m > 0.0).astype(jnp.float32)
 
         v = m * impact_s
         onehot = (

@@ -128,3 +128,53 @@ class TestShardedTraining:
         tr2 = Trainer(TINY, cfg, mesh=mesh).init(total_steps=1)
         l2 = tr2.train(triples)
         assert abs(l1[0] - l2[0]) < 1e-3, (l1, l2)
+
+
+class TestDataAndCheckpoint:
+    def test_synthetic_pairs_deterministic(self):
+        from modern_search_engines_project_tpu.models.data import synthetic_pairs
+
+        a = synthetic_pairs(16, seed=1)
+        b = synthetic_pairs(16, seed=1)
+        assert a == b and len(a) == 16
+        assert all(q and p for q, p in a)
+
+    def test_load_pairs_tsv(self, tmp_path):
+        from modern_search_engines_project_tpu.models.data import load_pairs_tsv
+
+        f = tmp_path / "pairs.tsv"
+        f.write_text("q one\tp one\nbadline\nq two\tp two\n\n")
+        pairs = load_pairs_tsv(str(f))
+        assert pairs == [("q one", "p one"), ("q two", "p two")]
+        assert load_pairs_tsv(str(f), limit=1) == [("q one", "p one")]
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from modern_search_engines_project_tpu.models.checkpoint import (
+            load_encoder,
+            save_encoder,
+        )
+
+        enc = JaxEncoder(TINY, batch_size=2, max_len=16)
+        save_encoder(enc.params, TINY, str(tmp_path / "ckpt"))
+        params2, cfg2 = load_encoder(str(tmp_path / "ckpt"))
+        assert cfg2 == TINY
+        enc2 = JaxEncoder(cfg2, params=params2, batch_size=2, max_len=16)
+        a = enc.encode("castle on the hill")
+        b = enc2.encode("castle on the hill")
+        assert np.allclose(a, b, atol=1e-6)
+
+    def test_train_cli_synthetic(self, tmp_path):
+        from modern_search_engines_project_tpu.models.train_cli import main
+
+        out = str(tmp_path / "enc")
+        main([
+            "--synthetic", "24", "--epochs", "1", "--batch-size", "8",
+            "--dim", "64", "--layers", "1", "--max-len", "16",
+            "--negatives", "2", "--out", out,
+        ])
+        import os
+
+        assert os.path.exists(os.path.join(out, "params.msgpack"))
+        assert os.path.exists(os.path.join(out, "config.json"))
