@@ -142,6 +142,9 @@ class Crawler:
             self.frontier.set_domain_delay(domain, when)
             return
         if decision.action == "drop":
+            self.store.log_error(
+                url, res.status, decision.reason, time.time()
+            )
             self.frontier.disallow_url(url)
             return
 

@@ -41,6 +41,13 @@ CREATE TABLE IF NOT EXISTS crawl_state (
     key TEXT PRIMARY KEY,
     value TEXT NOT NULL
 );
+CREATE TABLE IF NOT EXISTS error_log (
+    id INTEGER PRIMARY KEY,
+    url TEXT NOT NULL,
+    code INTEGER,
+    reason TEXT,
+    ts REAL
+);
 """
 
 
@@ -122,6 +129,44 @@ class CrawlStore:
             for rid, url, title, text in rows:
                 last_id = rid
                 yield Document(doc_id=rid, url=url, title=title, text=text)
+
+    # --- error storage (errorStorage/strangeUrls analog,
+    # databaseManagement.py:126-137) --------------------------------------
+
+    def log_error(self, url: str, code: int, reason: str, ts: float) -> None:
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO error_log (url, code, reason, ts) "
+                "VALUES (?, ?, ?, ?)",
+                (url, code, reason, ts),
+            )
+            self._conn.commit()
+
+    def recent_errors(self, limit: int = 100) -> List[Tuple]:
+        with self._lock:
+            return self._conn.execute(
+                "SELECT url, code, reason, ts FROM error_log "
+                "ORDER BY id DESC LIMIT ?",
+                (limit,),
+            ).fetchall()
+
+    def export_csv(self, path: str, limit: int = 1000) -> int:
+        """Dump the most recent documents to CSV (the reference exports
+        recent frontier/urlsDB rows at each checkpoint,
+        databaseManagement.py:481-501)."""
+        import csv
+
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT id, url, title, tue_eng_score, last_fetch "
+                "FROM documents ORDER BY id DESC LIMIT ?",
+                (limit,),
+            ).fetchall()
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["id", "url", "title", "tue_eng_score", "last_fetch"])
+            w.writerows(rows)
+        return len(rows)
 
     # --- state checkpoint ---------------------------------------------------
 

@@ -116,6 +116,42 @@ class IndexArtifacts:
             "embedding_dim": int(self.chunk_emb.shape[1]),
         }
 
+    def get_term_stats(self, term: str) -> Optional[dict]:
+        """Per-term stats (BM25.get_term_stats parity,
+        bm25_indexer.py:516-531)."""
+        tid = self.vocab.get(term)
+        if tid < 0:
+            return None
+        return {
+            "term": term,
+            "doc_freq": int(self.df[tid]),
+            "idf": float(self.idf[tid]),
+            "postings": int(self.indptr[tid + 1] - self.indptr[tid]),
+        }
+
+    def get_document_terms(self, doc_id: int, top_n: int = 20) -> List[dict]:
+        """Highest-impact terms of a document (BM25.get_document_terms
+        parity, bm25_indexer.py:533-544).  Impact-ordered postings make
+        this a scan over the CSR with early rank available."""
+        try:
+            internal = self.doc_ids.index(doc_id)
+        except ValueError:
+            return []
+        rows = []
+        id_to_term = {v: k for k, v in self.vocab.term_to_id.items()}
+        for tid in range(self.n_terms):
+            s, e = int(self.indptr[tid]), int(self.indptr[tid + 1])
+            hit = np.nonzero(self.post_docs[s:e] == internal)[0]
+            if hit.size:
+                rows.append(
+                    {
+                        "term": id_to_term[tid],
+                        "impact": float(self.post_impact[s + hit[0]]),
+                    }
+                )
+        rows.sort(key=lambda r: -abs(r["impact"]))
+        return rows[:top_n]
+
 
 class IndexBuilder:
     """Builds IndexArtifacts from an iterable of Documents.

@@ -8,6 +8,7 @@ from modern_search_engines_project_tpu.retrieval.numpy_ref import (
 from modern_search_engines_project_tpu.retrieval.rerank import (
     RankedDoc,
     apply_domain_cap,
+    dedup_by_base_url,
     hybrid_diversification,
     positional_adjustment,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "SearchEngine",
     "RankedDoc",
     "apply_domain_cap",
+    "dedup_by_base_url",
     "hybrid_diversification",
     "positional_adjustment",
     "bm25_search_numpy",

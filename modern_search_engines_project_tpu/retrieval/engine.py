@@ -21,9 +21,11 @@ from modern_search_engines_project_tpu.retrieval.device_index import DeviceIndex
 from modern_search_engines_project_tpu.retrieval.numpy_ref import preprocess_query
 from modern_search_engines_project_tpu.retrieval.rerank import (
     RankedDoc,
+    dedup_by_base_url,
     hybrid_diversification,
 )
 from modern_search_engines_project_tpu.text.analyzer import Analyzer
+from modern_search_engines_project_tpu.utils.timing import StageTimes, stage_timer
 
 
 class SearchEngine:
@@ -56,6 +58,7 @@ class SearchEngine:
             use_pallas if use_pallas is not None else backend == "tpu"
         )
         self._pallas_interpret = backend != "tpu"
+        self.times = StageTimes()
 
     # --- host-side query prep ----------------------------------------------
 
@@ -152,12 +155,18 @@ class SearchEngine:
         top_k = top_k or self.cfg.top_k_reranking
         n_real = len(queries)
         padded = list(queries) + [""] * (self._bucket(n_real) - n_real)
-        term_ids, qtf, processed = self.prepare_queries(padded, augment)
-        qvec = self.encode_queries(processed)
-        doc, vals, old, win, valid = (
-            np.asarray(x) for x in self._device_rank(term_ids, qtf, qvec)
-        )
+        with stage_timer("query_prep", self.times):
+            term_ids, qtf, processed = self.prepare_queries(padded, augment)
+        with stage_timer("query_encode", self.times):
+            qvec = self.encode_queries(processed)
+        with stage_timer("device_rank", self.times):
+            doc, vals, old, win, valid = (
+                np.asarray(x)
+                for x in self._device_rank(term_ids, qtf, qvec)
+            )
         out: List[List[RankedDoc]] = []
+        fmt_timer = stage_timer("format_diversify", self.times)
+        fmt_timer.__enter__()
         for b in range(n_real):
             ranked: List[RankedDoc] = []
             for j in range(doc.shape[1]):
@@ -178,6 +187,7 @@ class SearchEngine:
                         domain=self.art.domains[d],
                     )
                 )
+            ranked = dedup_by_base_url(ranked)
             if self.cfg.diversification:
                 ranked = hybrid_diversification(
                     ranked,
@@ -187,6 +197,7 @@ class SearchEngine:
             else:
                 ranked = ranked[:top_k]
             out.append(ranked)
+        fmt_timer.__exit__(None, None, None)
         return out
 
     def search(self, query: str, top_k: Optional[int] = None) -> List[RankedDoc]:
@@ -224,6 +235,7 @@ class SearchEngine:
         self.didx = backend.sidx  # for introspection
         self.k_ret = backend.k_ret
         self.use_pallas = False  # sharded backend has its own dispatch
+        self.times = StageTimes()
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
         return self

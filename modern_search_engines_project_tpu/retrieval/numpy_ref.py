@@ -22,6 +22,7 @@ import numpy as np
 from modern_search_engines_project_tpu.index.builder import IndexArtifacts
 from modern_search_engines_project_tpu.retrieval.rerank import (
     RankedDoc,
+    dedup_by_base_url,
     hybrid_diversification,
     positional_adjustment,
 )
@@ -144,6 +145,7 @@ def hybrid_search_numpy(
         )
 
     results.sort(key=lambda r: -r.similarity_score)
+    results = dedup_by_base_url(results)
     if diversification:
         return hybrid_diversification(results, top_k=top_k)
     return results[:top_k]

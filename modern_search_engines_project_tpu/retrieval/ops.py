@@ -112,6 +112,9 @@ def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     ).T
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_docs_pad", "k_ret", "smoothing")
+)
 def _hybrid_tail(
     bm,
     chunk_emb,
@@ -265,10 +268,6 @@ def hybrid_rank(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_docs_pad", "k_ret", "smoothing", "interpret"),
-)
 def hybrid_rank_blocked(
     blk_terms,
     blk_impact,

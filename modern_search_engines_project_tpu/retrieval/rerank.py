@@ -112,6 +112,22 @@ def hybrid_diversification(
     return sorted(final, key=lambda x: x.similarity_score, reverse=True)[:top_k]
 
 
+def dedup_by_base_url(results: List[RankedDoc]) -> List[RankedDoc]:
+    """Collapse candidates sharing a query-param-stripped URL, keeping the
+    best-ranked one (the reference dedups inside the reranker SQL by
+    GROUP BY on url-minus-query, reranker_api.py:33-47; input must be
+    sorted desc so "best-ranked" is the kept row)."""
+    seen = set()
+    out: List[RankedDoc] = []
+    for doc in results:
+        base = doc.url.split("?", 1)[0]
+        if base in seen:
+            continue
+        seen.add(base)
+        out.append(doc)
+    return out
+
+
 def positional_adjustment(position: int, total_chunks: int) -> float:
     """Additive adjustment for the best chunk (reranker_api.py:299-334).
 

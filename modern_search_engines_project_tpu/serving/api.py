@@ -245,6 +245,11 @@ class SearchService:
     async def rate_limit_status(self, request: web.Request) -> web.Response:
         return web.json_response(self.rate_limiter.status())
 
+    async def timings(self, request: web.Request) -> web.Response:
+        """Per-stage wall times (SURVEY.md §5.1 observability)."""
+        times = getattr(self.engine, "times", None)
+        return web.json_response(times.report() if times else {})
+
     async def index(self, request: web.Request) -> web.Response:
         page = UI_DIR / "templates" / "index.html"
         if not page.exists():
@@ -263,6 +268,7 @@ class SearchService:
         app.router.add_get("/api/stats", self.stats)
         app.router.add_get("/api/config", self.config_view)
         app.router.add_get("/api/rate-limit-status", self.rate_limit_status)
+        app.router.add_get("/api/timings", self.timings)
         app.router.add_get("/", self.index)
         static = UI_DIR / "static"
         if static.exists():

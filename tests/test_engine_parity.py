@@ -163,3 +163,19 @@ class TestDiversification:
         high = [r for r in res if r.similarity_score >= 0.8]
         domains = [r.domain for r in high]
         assert len(domains) == len(set(domains))
+
+
+class TestUrlDedup:
+    def test_query_param_urls_collapse(self):
+        from modern_search_engines_project_tpu.retrieval import (
+            RankedDoc,
+            dedup_by_base_url,
+        )
+
+        docs = [
+            RankedDoc(1, "https://a.de/p?x=1", "t", 0.9, 0.5, 0, domain="a.de"),
+            RankedDoc(2, "https://a.de/p?x=2", "t", 0.8, 0.4, 0, domain="a.de"),
+            RankedDoc(3, "https://a.de/q", "t", 0.7, 0.3, 0, domain="a.de"),
+        ]
+        out = dedup_by_base_url(docs)
+        assert [d.doc_id for d in out] == [1, 3]
