@@ -240,6 +240,40 @@ class SearchEngine:
         self._device_rank = backend.rank  # type: ignore[method-assign]
         return self
 
+    def dense_search(self, query: str, top_k: int = 100, augment: bool = True):
+        """Exact brute-force dense retrieval (no BM25 candidate filter):
+        per-doc max cosine over every chunk in the bank."""
+        pq = preprocess_query(query) if augment else query
+        qvec = self.encode_queries([pq])
+        d = self.didx
+        idx, vals, win = ops.dense_rank(
+            d.chunk_emb,
+            d.chunk_doc,
+            qvec,
+            n_docs_pad=d.n_docs_pad,
+            k=min(top_k, d.n_docs_pad),
+        )
+        idx, vals, win = np.asarray(idx)[0], np.asarray(vals)[0], np.asarray(win)[0]
+        out = []
+        for di, v, w in zip(idx, vals, win):
+            if not np.isfinite(v) or int(di) >= len(self.art.doc_ids):
+                continue
+            w = int(w)
+            w = w if 0 <= w < len(self.art.window_texts) else 0
+            out.append(
+                RankedDoc(
+                    doc_id=self.art.doc_ids[int(di)],
+                    url=self.art.urls[int(di)],
+                    title=self.art.titles[int(di)],
+                    similarity_score=float(v),
+                    original_similarity=0.0,
+                    window_index=w,
+                    window_text=self.art.window_texts[w],
+                    domain=self.art.domains[int(di)],
+                )
+            )
+        return out[:top_k]
+
     def bm25_search(self, query: str, top_k: int = 1000, augment: bool = False):
         """Stage-1-only search (BM25.search parity, bm25_indexer.py:383-514).
 

@@ -347,3 +347,36 @@ def bm25_topk(
     )
     vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
     return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs_pad", "k"))
+def dense_rank(
+    chunk_emb,
+    chunk_doc,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k: int,
+):
+    """Exact brute-force dense retrieval over every chunk (BASELINE.json
+    config "exact brute-force dense search over all chunk embeddings"):
+    one q x bank matmul, per-doc max pool, top-k by cosine.  Returns
+    (doc_idx [B,k], cosine [B,k], winner_chunk [B,k])."""
+    sims = jnp.dot(
+        qvec.astype(chunk_emb.dtype),
+        chunk_emb.T,
+        preferred_element_type=jnp.float32,
+    )  # [B, C]
+    C = chunk_emb.shape[0]
+    Dp1 = n_docs_pad + 1
+    # padded chunks (chunk_doc == sentinel) must not win
+    masked = jnp.where((chunk_doc < n_docs_pad)[None, :], sims, -jnp.inf)
+    m1 = _segment(jax.ops.segment_max, masked, chunk_doc, Dp1)
+    cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    is_w = masked == jnp.take(m1, chunk_doc, axis=1)
+    w1 = _segment(
+        jax.ops.segment_min, jnp.where(is_w, cidx, _BIG), chunk_doc, Dp1
+    )
+    vals, idx = lax.top_k(m1[:, :n_docs_pad], k)
+    win = jnp.take_along_axis(w1, idx, axis=1)
+    return idx, vals, win

@@ -179,3 +179,33 @@ class TestUrlDedup:
         ]
         out = dedup_by_base_url(docs)
         assert [d.doc_id for d in out] == [1, 3]
+
+
+class TestDenseOnly:
+    def test_dense_search_matches_numpy(self, built):
+        art, enc, eng, cfg = built
+        q = "research square law"
+        pq = preprocess_query(q)
+        res = eng.dense_search(q, top_k=10)
+        assert len(res) == 10
+        # numpy ground truth: per-doc max cosine over all chunks
+        qv = enc.encode(pq)
+        qv = qv / np.linalg.norm(qv)
+        sims = art.chunk_emb @ qv
+        doc_max = np.full(art.n_docs, -np.inf)
+        np.maximum.at(doc_max, art.chunk_doc, sims)
+        order = np.argsort(-doc_max)[:10]
+        got_scores = np.array([r.similarity_score for r in res])
+        assert np.allclose(got_scores, doc_max[order], atol=1e-4)
+        for r, d in zip(res, order):
+            if abs(r.similarity_score - doc_max[d]) < 1e-6:
+                pass
+            assert r.doc_id == art.doc_ids[d] or abs(
+                r.similarity_score - doc_max[d]
+            ) < 1e-4
+
+    def test_dense_scores_descending(self, built):
+        _, _, eng, _ = built
+        res = eng.dense_search("ai faculty", top_k=5)
+        s = [r.similarity_score for r in res]
+        assert s == sorted(s, reverse=True)
