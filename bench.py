@@ -185,6 +185,24 @@ def main():
     p50 = float(np.median(lats)) * 1e3
     print(f"batch-1 p50 latency: {p50:.2f} ms", file=sys.stderr)
 
+    # real-builder throughput (BASELINE.md tracks index build time; the
+    # reference gives no number). Small corpus, full pipeline: analyze
+    # (C++ fast path) + chunk + embed + CSR/impact build.
+    from modern_search_engines_project_tpu.config import Config as _C
+    from modern_search_engines_project_tpu.index import Document, IndexBuilder
+    from modern_search_engines_project_tpu.models import HashingEncoder
+
+    bcfg = _C(embedding_dim=128)
+    docs = [
+        Document(i, f"https://s{i % 7}.de/p{i}", f"title {i}",
+                 " ".join(f"word{(i * 31 + j) % 997}" for j in range(300)))
+        for i in range(500)
+    ]
+    t0 = time.time()
+    IndexBuilder(HashingEncoder(dim=128), bcfg).build(docs)
+    build_rate = len(docs) / (time.time() - t0)
+    print(f"index build: {build_rate:.1f} docs/s", file=sys.stderr)
+
     baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
     print(
         json.dumps(
@@ -198,6 +216,7 @@ def main():
                     "n_docs": n_docs,
                     "batch": B,
                     "k_ret": k_ret,
+                    "build_docs_per_s": round(build_rate, 1),
                 },
             }
         )
