@@ -136,12 +136,12 @@ def main():
     k_ret = min(k_ret, didx.n_docs_pad)
 
     def run(term_ids, qtf, qvec):
-        return ops.hybrid_rank_blocked(
+        return ops.hybrid_rank_slots(
             didx.blk_terms,
             didx.blk_impact,
             didx.blk_local,
-            didx.chunk_emb,
-            didx.chunk_doc,
+            didx.slot_emb,
+            didx.slot_valid,
             didx.doc_chunk_start,
             didx.doc_n_chunks,
             jnp.asarray(term_ids),
@@ -150,6 +150,7 @@ def main():
             n_docs_pad=didx.n_docs_pad,
             k_ret=k_ret,
             smoothing=cfg.smoothing,
+            stride=didx.slot_stride,
         )
 
     # warmup / compile

@@ -85,11 +85,18 @@ class DeviceIndex:
     blk_terms: jnp.ndarray  # int32 [n_blocks, p_blk]
     blk_impact: jnp.ndarray  # float32 [n_blocks, p_blk]
     blk_local: jnp.ndarray  # int32 [n_blocks, p_blk]
-    # dense
+    # dense (packed layout: contiguous per-doc segments)
     chunk_emb: jnp.ndarray  # bank_dtype [n_chunks_pad, dim]
     chunk_doc: jnp.ndarray  # int32 [n_chunks_pad] (pad -> n_docs_pad sentinel)
     doc_chunk_start: jnp.ndarray  # int32 [n_docs_pad + 1]
     doc_n_chunks: jnp.ndarray  # int32 [n_docs_pad + 1]
+    # dense (slot layout: fixed max_chunks_per_doc stride per doc).  The
+    # per-doc reductions become last-axis reduces/argmaxes — the
+    # segment/scatter formulation costs minutes of (remote) TPU compile
+    # time and serialized runtime; this costs only padded matmul FLOPs.
+    slot_emb: Optional[jnp.ndarray]  # bank_dtype [n_docs_pad * S, dim]
+    slot_valid: Optional[jnp.ndarray]  # bool [n_docs_pad, S]
+    slot_stride: int
     # sizes (static)
     n_docs: int
     n_docs_pad: int
@@ -105,6 +112,7 @@ class DeviceIndex:
         config: Optional[Config] = None,
         bank_dtype=jnp.float32,
         posting_cap: Optional[int] = None,
+        slot_layout: bool = True,
     ) -> "DeviceIndex":
         cfg = config or art.config
         n_docs = art.n_docs
@@ -138,6 +146,23 @@ class DeviceIndex:
             n_docs_pad,
         )
 
+        slot_emb = slot_valid = None
+        stride = 0
+        if slot_layout and n_chunks:
+            dnc = np.asarray(art.doc_n_chunks)
+            stride = int(min(cfg.max_chunks_per_doc, max(int(dnc.max()), 1)))
+            dim = art.chunk_emb.shape[1]
+            semb = np.zeros((n_docs_pad * stride, dim), np.float32)
+            svalid = np.zeros((n_docs_pad, stride), bool)
+            starts = np.asarray(art.doc_chunk_start)
+            for d in range(n_docs):
+                n = min(int(dnc[d]), stride)
+                s0 = int(starts[d])
+                semb[d * stride : d * stride + n] = art.chunk_emb[s0 : s0 + n]
+                svalid[d, :n] = True
+            slot_emb = jnp.asarray(semb, bank_dtype)
+            slot_valid = jnp.asarray(svalid)
+
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
             post_docs=jnp.asarray(art.post_docs, jnp.int32),
@@ -149,6 +174,9 @@ class DeviceIndex:
             chunk_doc=jnp.asarray(chunk_doc),
             doc_chunk_start=jnp.asarray(doc_chunk_start),
             doc_n_chunks=jnp.asarray(doc_n_chunks),
+            slot_emb=slot_emb,
+            slot_valid=slot_valid,
+            slot_stride=stride,
             n_docs=n_docs,
             n_docs_pad=n_docs_pad,
             n_chunks_pad=n_chunks_pad,

@@ -100,6 +100,24 @@ class SearchEngine:
 
     def _device_rank(self, term_ids, qtf, qvec):
         d = self.didx
+        if self.use_pallas and d.slot_emb is not None:
+            return ops.hybrid_rank_slots(
+                d.blk_terms,
+                d.blk_impact,
+                d.blk_local,
+                d.slot_emb,
+                d.slot_valid,
+                d.doc_chunk_start,
+                d.doc_n_chunks,
+                term_ids,
+                qtf,
+                qvec,
+                n_docs_pad=d.n_docs_pad,
+                k_ret=self.k_ret,
+                smoothing=self.cfg.smoothing,
+                stride=d.slot_stride,
+                interpret=self._pallas_interpret,
+            )
         if self.use_pallas:
             return ops.hybrid_rank_blocked(
                 d.blk_terms,

@@ -380,3 +380,155 @@ def dense_rank(
     vals, idx = lax.top_k(m1[:, :n_docs_pad], k)
     win = jnp.take_along_axis(w1, idx, axis=1)
     return idx, vals, win
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs_pad", "k_ret", "smoothing", "stride")
+)
+def _hybrid_tail_slots(
+    bm,
+    slot_emb,
+    slot_valid,
+    doc_chunk_start,
+    doc_n_chunks,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float,
+    stride: int,
+):
+    """Stages 2+3 over the fixed-stride slot layout.
+
+    Same math as ``_hybrid_tail`` but every per-document reduction is a
+    last-axis reduce over ``[B, n_docs, stride]`` instead of a sorted
+    segment scatter — the scatter formulation costs minutes of TPU compile
+    time (and serialized runtime); this trades ~(stride/avg_chunks)x padded
+    matmul FLOPs for ops that compile in seconds.
+    """
+    B = qvec.shape[0]
+    Dp = n_docs_pad
+    S = stride
+
+    top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
+    valid_c = top_vals >= 0.0
+
+    lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True)
+    denom = hi - lo
+    old_norm = jnp.where(
+        valid_c & (denom > 0),
+        (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
+        0.0,
+    )
+
+    b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    scatter_idx = jnp.where(valid_c, top_idx, Dp)
+    cand_mask = (
+        jnp.zeros((B, Dp + 1), jnp.bool_).at[b_rows, scatter_idx].set(True)
+    )[:, :Dp]
+    old_dense = (
+        jnp.zeros((B, Dp + 1), jnp.float32)
+        .at[b_rows, scatter_idx]
+        .set(old_norm)
+    )[:, :Dp]
+
+    sims = jnp.dot(
+        qvec.astype(slot_emb.dtype),
+        slot_emb.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, Dp, S)
+    mask3 = cand_mask[:, :, None] & slot_valid[None]
+
+    lo_c = jnp.min(
+        jnp.where(mask3, sims, jnp.inf), axis=(1, 2), keepdims=True
+    )
+    hi_c = jnp.max(
+        jnp.where(mask3, sims, -jnp.inf), axis=(1, 2), keepdims=True
+    )
+    den_c = hi_c - lo_c
+    new_norm = jnp.where(
+        mask3 & (den_c > 0),
+        (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+        0.0,
+    )
+
+    fused = jnp.where(
+        mask3,
+        new_norm * (1.0 - smoothing) + old_dense[:, :, None] * smoothing,
+        -jnp.inf,
+    )
+
+    m1 = jnp.max(fused, axis=2)
+    w1s = jnp.argmax(fused, axis=2).astype(jnp.int32)  # first max (idxmax)
+    slot_ids = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    fused2 = jnp.where(slot_ids == w1s[:, :, None], -jnp.inf, fused)
+    m2 = jnp.max(fused2, axis=2)
+    w2s = jnp.argmax(fused2, axis=2).astype(jnp.int32)
+
+    nck = doc_n_chunks[None, :Dp]
+    ratio = w1s.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
+        jnp.float32
+    )
+    adj = 0.10 - (0.10 + 0.05) * ratio
+    m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
+    doc_score = jnp.maximum(m1_adj, m2)
+    win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
+    win = doc_chunk_start[None, :Dp] + win_slot  # packed-layout chunk id
+
+    cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
+    cand_win = jnp.take_along_axis(win, top_idx, axis=1)
+    sort_key = jnp.where(valid_c, cand_scores, -1.0)
+    final_vals, order = lax.top_k(sort_key, k_ret)
+    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
+    final_win = jnp.take_along_axis(cand_win, order, axis=1)
+    final_old = jnp.take_along_axis(old_norm, order, axis=1)
+    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
+    return final_doc, final_vals, final_old, final_win, final_valid
+
+
+def hybrid_rank_slots(
+    blk_terms,
+    blk_impact,
+    blk_local,
+    slot_emb,
+    slot_valid,
+    doc_chunk_start,
+    doc_n_chunks,
+    term_ids,
+    qtf,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+    stride: int = 10,
+    interpret: bool = False,
+):
+    """Pallas blocked BM25 + slot-layout dense tail — the fast-compile,
+    fast-run TPU configuration."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_blocked,
+    )
+
+    bm = bm25_score_blocked(
+        blk_terms,
+        blk_impact,
+        blk_local,
+        term_ids,
+        qtf,
+        n_docs_pad=n_docs_pad,
+        interpret=interpret,
+    )
+    return _hybrid_tail_slots(
+        bm,
+        slot_emb,
+        slot_valid,
+        doc_chunk_start,
+        doc_n_chunks,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+        stride=stride,
+    )
