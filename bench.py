@@ -56,10 +56,11 @@ def make_synthetic_index(
     post_docs = rng.integers(0, n_docs, size=nnz, dtype=np.int32)
     post_impact = rng.gamma(2.0, 1.5, size=nnz).astype(np.float32)
 
-    n_chunks = int(n_docs * avg_chunks)
-    chunk_doc = np.sort(rng.integers(0, n_docs, size=n_chunks, dtype=np.int32))
-    # ensure every doc has at least a contiguous segment id mapping
-    doc_n = np.bincount(chunk_doc, minlength=n_docs).astype(np.int32)
+    # builder invariant: every doc has 1..max_chunks_per_doc chunks
+    extra = rng.poisson(avg_chunks - 1.0, size=n_docs)
+    doc_n = np.minimum(1 + extra, 10).astype(np.int32)
+    n_chunks = int(doc_n.sum())
+    chunk_doc = np.repeat(np.arange(n_docs, dtype=np.int32), doc_n)
     doc_start = np.zeros(n_docs, np.int32)
     np.cumsum(doc_n[:-1], out=doc_start[1:])
     bank = rng.standard_normal((n_chunks, dim), dtype=np.float32)
@@ -75,7 +76,7 @@ def make_synthetic_index(
     art.chunk_emb = bank
     art.chunk_doc = chunk_doc
     art.doc_chunk_start = doc_start
-    art.doc_n_chunks = np.maximum(doc_n, 1)
+    art.doc_n_chunks = doc_n
     art.n_docs = n_docs
     art.n_chunks = n_chunks
     art.n_terms = n_terms
