@@ -73,6 +73,10 @@ class ShardedDeviceIndex:
     chunk_gid: jnp.ndarray  # [S, C_loc] global chunk ids (pad -> 0)
     doc_chunk_start: jnp.ndarray  # [S, D_loc+1] local chunk offsets
     doc_n_chunks: jnp.ndarray  # [S, D_loc+1]
+    slot_emb: jnp.ndarray  # [S, D_loc * stride, dim] fixed-stride slots
+    slot_valid: jnp.ndarray  # [S, D_loc, stride]
+    slot_gid: jnp.ndarray  # [S, D_loc, stride] global chunk ids (pad 0)
+    slot_stride: int
     mesh: Mesh
     n_shards: int
     n_docs: int
@@ -175,6 +179,22 @@ class ShardedDeviceIndex:
             blk_impactA[s_, :, : bt.shape[1]] = bi
             blk_localA[s_, :, : bt.shape[1]] = bl
 
+        dnc_all = np.asarray(art.doc_n_chunks)
+        stride = int(min(cfg.max_chunks_per_doc, max(int(dnc_all.max()) if n_docs else 1, 1)))
+        slot_emb = np.zeros((S, d_loc * stride, dim), np.float32)
+        slot_valid = np.zeros((S, d_loc, stride), bool)
+        slot_gid = np.zeros((S, d_loc, stride), np.int32)
+        starts_all = np.asarray(art.doc_chunk_start)
+        for s_ in range(S):
+            lo, hi = s_ * d_loc, min((s_ + 1) * d_loc, n_docs)
+            for d in range(lo, hi):
+                n = min(int(dnc_all[d]), stride)
+                s0 = int(starts_all[d])
+                row = (d - lo) * stride
+                slot_emb[s_, row : row + n] = art.chunk_emb[s0 : s0 + n]
+                slot_valid[s_, d - lo, :n] = True
+                slot_gid[s_, d - lo, :n] = np.arange(s0, s0 + n)
+
         if posting_cap is None:
             caps = []
             for s in range(S):
@@ -199,6 +219,10 @@ class ShardedDeviceIndex:
             chunk_gid=put(chunk_gid, sh),
             doc_chunk_start=put(doc_chunk_start, sh),
             doc_n_chunks=put(doc_n_chunks, sh),
+            slot_emb=put(slot_emb.astype(bank_dtype), sh),
+            slot_valid=put(slot_valid, sh),
+            slot_gid=put(slot_gid, sh),
+            slot_stride=stride,
             mesh=mesh,
             n_shards=S,
             n_docs=n_docs,
@@ -213,11 +237,12 @@ def _sharded_hybrid_fn(
     posting_cap: int,
     k_ret: int,
     smoothing: float,
+    stride: int,
     axis: str = "shard",
     use_pallas: bool = False,
     interpret: bool = False,
 ):
-    """Builds the per-shard function run under shard_map."""
+    """Per-shard hybrid ranking under shard_map (slot-layout dense stage)."""
 
     def fn(
         indptr,
@@ -226,10 +251,9 @@ def _sharded_hybrid_fn(
         blk_terms,
         blk_impact,
         blk_local,
-        chunk_emb,
-        chunk_doc,
-        chunk_gid,
-        doc_chunk_start,
+        slot_emb,
+        slot_valid,
+        slot_gid,
         doc_n_chunks,
         term_ids,
         qtf,
@@ -242,20 +266,14 @@ def _sharded_hybrid_fn(
             blk_impact[0],
             blk_local[0],
         )
-        chunk_emb, chunk_doc, chunk_gid = (
-            chunk_emb[0],
-            chunk_doc[0],
-            chunk_gid[0],
-        )
-        doc_chunk_start, doc_n_chunks = doc_chunk_start[0], doc_n_chunks[0]
+        slot_emb, slot_valid, slot_gid = slot_emb[0], slot_valid[0], slot_gid[0]
+        doc_n_chunks = doc_n_chunks[0]
 
         B = term_ids.shape[0]
         s_id = lax.axis_index(axis)
-        S = lax.psum(1, axis)
-        Dl1 = d_loc + 1
-        C = chunk_emb.shape[0]
         b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         k_loc = min(k_ret, d_loc)
+        S = stride
 
         # ---- stage 1: local BM25 + global candidate merge over ICI ---------
         if use_pallas:
@@ -281,7 +299,7 @@ def _sharded_hybrid_fn(
         lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
         gidx = lidx + s_id * d_loc
 
-        all_vals = lax.all_gather(lvals, axis)  # [S, B, k_loc]
+        all_vals = lax.all_gather(lvals, axis)  # [n_shards, B, k_loc]
         all_idx = lax.all_gather(gidx, axis)
         all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(B, -1)
         all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(B, -1)
@@ -308,82 +326,76 @@ def _sharded_hybrid_fn(
         in_shard = (local >= 0) & (local < d_loc) & valid_c
         scatter_idx = jnp.where(in_shard, local, d_loc).astype(jnp.int32)
         cand_mask = (
-            jnp.zeros((B, Dl1), jnp.bool_).at[b_rows, scatter_idx].set(True)
-        )
-        cand_mask = cand_mask.at[:, d_loc].set(False)
+            jnp.zeros((B, d_loc + 1), jnp.bool_)
+            .at[b_rows, scatter_idx]
+            .set(True)
+        )[:, :d_loc]
         old_dense = (
-            jnp.zeros((B, Dl1), jnp.float32)
+            jnp.zeros((B, d_loc + 1), jnp.float32)
             .at[b_rows, scatter_idx]
             .set(jnp.where(in_shard, old_norm, 0.0))
-        )
+        )[:, :d_loc]
 
-        # ---- stage 2: local dense + global pool extrema --------------------
+        # ---- stage 2: local slot-layout dense + global pool extrema --------
         sims = jnp.dot(
-            qvec.astype(chunk_emb.dtype),
-            chunk_emb.T,
+            qvec.astype(slot_emb.dtype),
+            slot_emb.T,
             preferred_element_type=jnp.float32,
-        )
-        chunk_mask = jnp.take(cand_mask, chunk_doc, axis=1)
+        ).reshape(B, d_loc, S)
+        mask3 = cand_mask[:, :, None] & slot_valid[None]
         lo_l = jnp.min(
-            jnp.where(chunk_mask, sims, jnp.inf), axis=1, keepdims=True
+            jnp.where(mask3, sims, jnp.inf), axis=(1, 2), keepdims=True
         )
         hi_l = jnp.max(
-            jnp.where(chunk_mask, sims, -jnp.inf), axis=1, keepdims=True
+            jnp.where(mask3, sims, -jnp.inf), axis=(1, 2), keepdims=True
         )
         lo_c = lax.pmin(lo_l, axis)
         hi_c = lax.pmax(hi_l, axis)
         den_c = hi_c - lo_c
         new_norm = jnp.where(
-            chunk_mask & (den_c > 0),
+            mask3 & (den_c > 0),
             (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
             0.0,
         )
 
-        old_chunk = jnp.take(old_dense, chunk_doc, axis=1)
         fused = jnp.where(
-            chunk_mask,
-            new_norm * (1.0 - smoothing) + old_chunk * smoothing,
+            mask3,
+            new_norm * (1.0 - smoothing) + old_dense[:, :, None] * smoothing,
             -jnp.inf,
         )
+        m1 = jnp.max(fused, axis=2)
+        w1s = jnp.argmax(fused, axis=2).astype(jnp.int32)
+        slot_ids = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+        fused2 = jnp.where(slot_ids == w1s[:, :, None], -jnp.inf, fused)
+        m2 = jnp.max(fused2, axis=2)
+        w2s = jnp.argmax(fused2, axis=2).astype(jnp.int32)
 
-        cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
-        m1 = _segment(jax.ops.segment_max, fused, chunk_doc, Dl1)
-        m1_chunk = jnp.take(m1, chunk_doc, axis=1)
-        is_w1 = (fused == m1_chunk) & chunk_mask
-        w1 = _segment(
-            jax.ops.segment_min, jnp.where(is_w1, cidx, _BIG), chunk_doc, Dl1
-        )
-        w1_chunk = jnp.take(w1, chunk_doc, axis=1)
-        fused2 = jnp.where(cidx == w1_chunk, -jnp.inf, fused)
-        m2 = _segment(jax.ops.segment_max, fused2, chunk_doc, Dl1)
-        is_w2 = (fused2 == jnp.take(m2, chunk_doc, axis=1)) & chunk_mask
-        w2 = _segment(
-            jax.ops.segment_min, jnp.where(is_w2, cidx, _BIG), chunk_doc, Dl1
-        )
-
-        nck = doc_n_chunks[None, :]
-        pos = w1 - doc_chunk_start[None, :]
-        ratio = pos.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
+        nck = doc_n_chunks[None, :d_loc]
+        ratio = w1s.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
             jnp.float32
         )
         adj = 0.10 - (0.10 + 0.05) * ratio
         m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
         doc_score = jnp.maximum(m1_adj, m2)
-        win = jnp.where(m1_adj >= m2, w1, w2)
+        win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
+        win_gid = jnp.take_along_axis(
+            jnp.broadcast_to(slot_gid[None], (B,) + slot_gid.shape),
+            win_slot[:, :, None],
+            axis=2,
+        )[..., 0]
 
         # ---- combine per-candidate results across shards -------------------
+        scatter_c = jnp.clip(scatter_idx, 0, d_loc - 1)
         cand_scores_l = jnp.where(
             in_shard,
-            jnp.take_along_axis(doc_score, scatter_idx, axis=1),
+            jnp.take_along_axis(doc_score, scatter_c, axis=1),
             -jnp.inf,
         )
-        win_cand_l = jnp.take_along_axis(win, scatter_idx, axis=1)
-        win_gid_l = chunk_gid[jnp.clip(win_cand_l, 0, C - 1)]
-        win_cand_l = jnp.where(
-            in_shard & (win_cand_l < C), win_gid_l, -1
+        cand_win_l = jnp.where(
+            in_shard, jnp.take_along_axis(win_gid, scatter_c, axis=1), -1
         )
         cand_scores = lax.pmax(cand_scores_l, axis)
-        cand_win = lax.pmax(win_cand_l, axis)
+        cand_win = lax.pmax(cand_win_l, axis)
 
         sort_key = jnp.where(valid_c, cand_scores, -1.0)
         final_vals, order = lax.top_k(sort_key, k_eff)
@@ -425,6 +437,7 @@ class ShardedEngineBackend:
             s.posting_cap,
             self.k_ret,
             cfg.smoothing,
+            s.slot_stride,
             use_pallas=self.use_pallas,
             interpret=self._interpret,
         )
@@ -434,7 +447,7 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=mesh,
-                in_specs=(sharded,) * 11 + (repl, repl, repl),
+                in_specs=(sharded,) * 10 + (repl, repl, repl),
                 out_specs=(repl, repl, repl, repl, repl),
                 check_vma=False,
             )
@@ -449,10 +462,9 @@ class ShardedEngineBackend:
             s.blk_terms,
             s.blk_impact,
             s.blk_local,
-            s.chunk_emb,
-            s.chunk_doc,
-            s.chunk_gid,
-            s.doc_chunk_start,
+            s.slot_emb,
+            s.slot_valid,
+            s.slot_gid,
             s.doc_n_chunks,
             jnp.asarray(term_ids),
             jnp.asarray(qtf),
