@@ -122,10 +122,10 @@ def main():
     t0 = time.time()
     didx, cfg, dfs = make_synthetic_index(
         n_docs=n_docs,
-        n_terms=50_000,
+        n_terms=max(50_000, n_docs // 2),
         avg_chunks=3.0,
         dim=dim,
-        nnz_target=8_000_000,
+        nnz_target=80 * n_docs,  # ~80 postings/doc (realistic analyzed page)
     )
     print(
         f"index built in {time.time() - t0:.1f}s: nnz={didx.nnz} "
@@ -134,6 +134,7 @@ def main():
     )
 
     rng = np.random.default_rng(1)
+    n_terms_eff = max(50_000, n_docs // 2)
     k_ret = min(k_ret, didx.n_docs_pad)
 
     def run(term_ids, qtf, qvec):
@@ -155,7 +156,7 @@ def main():
         )
 
     # warmup / compile
-    args = sample_queries(rng, 50_000, dfs, B, T, dim)
+    args = sample_queries(rng, n_terms_eff, dfs, B, T, dim)
     t0 = time.time()
     out = run(*args)
     jax.block_until_ready(out)
@@ -163,7 +164,7 @@ def main():
 
     # throughput
     n_iters = 20
-    batches = [sample_queries(rng, 50_000, dfs, B, T, dim) for _ in range(4)]
+    batches = [sample_queries(rng, n_terms_eff, dfs, B, T, dim) for _ in range(4)]
     t0 = time.time()
     for i in range(n_iters):
         out = run(*batches[i % 4])
@@ -174,12 +175,12 @@ def main():
           file=sys.stderr)
 
     # batch-1 latency p50
-    args1 = sample_queries(rng, 50_000, dfs, 1, T, dim)
+    args1 = sample_queries(rng, n_terms_eff, dfs, 1, T, dim)
     out = run(*args1)
     jax.block_until_ready(out)
     lats = []
     for _ in range(30):
-        a = sample_queries(rng, 50_000, dfs, 1, T, dim)
+        a = sample_queries(rng, n_terms_eff, dfs, 1, T, dim)
         t0 = time.time()
         out = run(*a)
         jax.block_until_ready(out)

@@ -28,6 +28,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """concat([arange(c) for c in counts]) without the python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total) - np.repeat(ends - counts, counts)
+
+
 DOC_BLOCK = 128  # docs per kernel block (MXU lane width)
 POSTING_CHUNK = 2048  # postings processed per kernel grid step
 
@@ -149,19 +158,27 @@ class DeviceIndex:
         slot_emb = slot_valid = None
         stride = 0
         if slot_layout and n_chunks:
-            dnc = np.asarray(art.doc_n_chunks)
-            stride = int(min(cfg.max_chunks_per_doc, max(int(dnc.max()), 1)))
+            dnc = np.minimum(
+                np.asarray(art.doc_n_chunks)[:n_docs], cfg.max_chunks_per_doc
+            )
+            stride = int(max(int(dnc.max()), 1))
             dim = art.chunk_emb.shape[1]
+            starts = np.asarray(art.doc_chunk_start)[:n_docs]
+            # vectorized scatter into slots: chunk k of doc d lands at
+            # row d*stride + (k - start_d)
+            src = (
+                np.repeat(starts, dnc)
+                + _ragged_arange(dnc)
+            )
+            dst = np.repeat(np.arange(n_docs) * stride, dnc) + _ragged_arange(
+                dnc
+            )
             semb = np.zeros((n_docs_pad * stride, dim), np.float32)
-            svalid = np.zeros((n_docs_pad, stride), bool)
-            starts = np.asarray(art.doc_chunk_start)
-            for d in range(n_docs):
-                n = min(int(dnc[d]), stride)
-                s0 = int(starts[d])
-                semb[d * stride : d * stride + n] = art.chunk_emb[s0 : s0 + n]
-                svalid[d, :n] = True
+            semb[dst] = art.chunk_emb[src]
+            svalid = np.zeros(n_docs_pad * stride, bool)
+            svalid[dst] = True
             slot_emb = jnp.asarray(semb, bank_dtype)
-            slot_valid = jnp.asarray(svalid)
+            slot_valid = jnp.asarray(svalid.reshape(n_docs_pad, stride))
 
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
