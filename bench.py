@@ -138,21 +138,20 @@ def main():
     k_ret = min(k_ret, didx.n_docs_pad)
 
     def run(term_ids, qtf, qvec):
-        return ops.hybrid_rank_slots(
+        return ops.hybrid_rank_buckets(
             didx.blk_terms,
             didx.blk_impact,
             didx.blk_local,
-            didx.slot_emb,
-            didx.slot_valid,
-            didx.doc_chunk_start,
-            didx.doc_n_chunks,
+            didx.bucket_emb,
+            didx.bucket_valid,
+            didx.bucket_start,
             jnp.asarray(term_ids),
             jnp.asarray(qtf),
             jnp.asarray(qvec),
             n_docs_pad=didx.n_docs_pad,
             k_ret=k_ret,
             smoothing=cfg.smoothing,
-            stride=didx.slot_stride,
+            buckets=didx.buckets,
         )
 
     # warmup / compile

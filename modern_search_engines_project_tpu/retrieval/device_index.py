@@ -99,13 +99,17 @@ class DeviceIndex:
     chunk_doc: jnp.ndarray  # int32 [n_chunks_pad] (pad -> n_docs_pad sentinel)
     doc_chunk_start: jnp.ndarray  # int32 [n_docs_pad + 1]
     doc_n_chunks: jnp.ndarray  # int32 [n_docs_pad + 1]
-    # dense (slot layout: fixed max_chunks_per_doc stride per doc).  The
-    # per-doc reductions become last-axis reduces/argmaxes — the
-    # segment/scatter formulation costs minutes of (remote) TPU compile
-    # time and serialized runtime; this costs only padded matmul FLOPs.
-    slot_emb: Optional[jnp.ndarray]  # bank_dtype [n_docs_pad * S, dim]
-    slot_valid: Optional[jnp.ndarray]  # bool [n_docs_pad, S]
-    slot_stride: int
+    # dense (bucketed exact-stride layout): documents are permuted so docs
+    # with the same chunk count are contiguous; each bucket stores its
+    # chunks at stride exactly n — ZERO padding waste in either the bank or
+    # the per-doc reduction temporaries.  Per-doc top-2 becomes a last-axis
+    # lax.top_k — the segment/scatter formulation costs minutes of (remote)
+    # TPU compile time and serialized runtime.
+    buckets: tuple  # ((n, cnt_pad), ...) static structure
+    bucket_emb: tuple  # per bucket: bank_dtype [cnt_pad * n, dim]
+    bucket_valid: tuple  # per bucket: bool [cnt_pad] (real doc?)
+    bucket_start: tuple  # per bucket: int32 [cnt_pad] packed chunk start
+    doc_perm: Optional[np.ndarray]  # host: new doc idx -> artifact doc idx
     # sizes (static)
     n_docs: int
     n_docs_pad: int
@@ -130,6 +134,63 @@ class DeviceIndex:
         n_chunks_pad = max(_round_up(n_chunks, 128), 128)
         nnz = int(art.post_docs.shape[0])
 
+        if posting_cap is None:
+            # budget: enough for every query term to be "tuebingen"-common.
+            # max term df bounds one term's postings; take the top
+            # max_query_terms dfs as the worst-case query, then round up.
+            lens = np.diff(art.indptr)
+            top_lens = np.sort(lens)[::-1][: cfg.max_query_terms]
+            posting_cap = max(1024, _round_up(int(top_lens.sum()) + 1, 1024))
+
+        # --- bucketed dense layout + doc permutation (may grow n_docs_pad) --
+        buckets = []
+        bucket_emb_l, bucket_valid_l, bucket_start_l = [], [], []
+        doc_perm = None
+        inv = None
+        if slot_layout and n_chunks:
+            dnc = np.minimum(
+                np.asarray(art.doc_n_chunks)[:n_docs], cfg.max_chunks_per_doc
+            ).astype(np.int64)
+            starts_all = np.asarray(art.doc_chunk_start)[:n_docs]
+            dim = art.chunk_emb.shape[1]
+            order = np.argsort(dnc, kind="stable")  # docs grouped by n
+            perm_parts = []
+            distinct = sorted(set(int(x) for x in dnc)) or [1]
+            for bi, n in enumerate(distinct):
+                idxs = order[dnc[order] == n]
+                cnt = len(idxs)
+                cnt_pad = _round_up(max(cnt, 8), 8)
+                if bi == len(distinct) - 1:
+                    # make the concatenated doc axis a DOC_BLOCK multiple
+                    total = sum(c for _, c in buckets) + cnt_pad
+                    cnt_pad += _round_up(total, DOC_BLOCK) - total
+                emb = np.zeros((cnt_pad * n, dim), np.float32)
+                valid = np.zeros(cnt_pad, bool)
+                bstart = np.zeros(cnt_pad, np.int32)
+                if cnt:
+                    src = (
+                        np.repeat(starts_all[idxs], n)
+                        + np.tile(np.arange(n), cnt)
+                    )
+                    emb[: cnt * n] = art.chunk_emb[src]
+                    valid[:cnt] = True
+                    bstart[:cnt] = starts_all[idxs]
+                buckets.append((int(n), int(cnt_pad)))
+                bucket_emb_l.append(jnp.asarray(emb, bank_dtype))
+                bucket_valid_l.append(jnp.asarray(valid))
+                bucket_start_l.append(jnp.asarray(bstart))
+                pp = np.full(cnt_pad, -1, np.int64)
+                pp[:cnt] = idxs
+                perm_parts.append(pp)
+            doc_perm = np.concatenate(perm_parts)
+            n_docs_pad = max(int(doc_perm.shape[0]), n_docs_pad)
+            assert n_docs_pad % DOC_BLOCK == 0
+            # remap postings into the new doc order
+            inv = np.zeros(n_docs, np.int32)
+            real = doc_perm >= 0
+            inv[doc_perm[real]] = np.nonzero(real)[0].astype(np.int32)
+
+        # --- packed arrays (ORIGINAL doc order; scatter/dense_rank paths) ---
         chunk_emb = np.zeros((n_chunks_pad, art.chunk_emb.shape[1]), np.float32)
         chunk_emb[:n_chunks] = art.chunk_emb
         chunk_doc = np.full(n_chunks_pad, n_docs_pad, np.int32)
@@ -140,45 +201,16 @@ class DeviceIndex:
         doc_n_chunks = np.ones(n_docs_pad + 1, np.int32)
         doc_n_chunks[:n_docs] = art.doc_n_chunks
 
-        if posting_cap is None:
-            # budget: enough for every query term to be "tuebingen"-common.
-            # max term df bounds one term's postings; take the top
-            # max_query_terms dfs as the worst-case query, then round up.
-            lens = np.diff(art.indptr)
-            top_lens = np.sort(lens)[::-1][: cfg.max_query_terms]
-            posting_cap = max(1024, _round_up(int(top_lens.sum()) + 1, 1024))
-
+        # --- doc-major blocked postings (NEW doc order when permuted) -------
+        post_docs_for_blocks = np.asarray(art.post_docs)
+        if inv is not None:
+            post_docs_for_blocks = inv[post_docs_for_blocks]
         blk_terms, blk_impact, blk_local = build_blocked_postings(
             np.asarray(art.indptr),
-            np.asarray(art.post_docs),
+            post_docs_for_blocks,
             np.asarray(art.post_impact),
             n_docs_pad,
         )
-
-        slot_emb = slot_valid = None
-        stride = 0
-        if slot_layout and n_chunks:
-            dnc = np.minimum(
-                np.asarray(art.doc_n_chunks)[:n_docs], cfg.max_chunks_per_doc
-            )
-            stride = int(max(int(dnc.max()), 1))
-            dim = art.chunk_emb.shape[1]
-            starts = np.asarray(art.doc_chunk_start)[:n_docs]
-            # vectorized scatter into slots: chunk k of doc d lands at
-            # row d*stride + (k - start_d)
-            src = (
-                np.repeat(starts, dnc)
-                + _ragged_arange(dnc)
-            )
-            dst = np.repeat(np.arange(n_docs) * stride, dnc) + _ragged_arange(
-                dnc
-            )
-            semb = np.zeros((n_docs_pad * stride, dim), np.float32)
-            semb[dst] = art.chunk_emb[src]
-            svalid = np.zeros(n_docs_pad * stride, bool)
-            svalid[dst] = True
-            slot_emb = jnp.asarray(semb, bank_dtype)
-            slot_valid = jnp.asarray(svalid.reshape(n_docs_pad, stride))
 
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
@@ -191,9 +223,11 @@ class DeviceIndex:
             chunk_doc=jnp.asarray(chunk_doc),
             doc_chunk_start=jnp.asarray(doc_chunk_start),
             doc_n_chunks=jnp.asarray(doc_n_chunks),
-            slot_emb=slot_emb,
-            slot_valid=slot_valid,
-            slot_stride=stride,
+            buckets=tuple(buckets),
+            bucket_emb=tuple(bucket_emb_l),
+            bucket_valid=tuple(bucket_valid_l),
+            bucket_start=tuple(bucket_start_l),
+            doc_perm=doc_perm,
             n_docs=n_docs,
             n_docs_pad=n_docs_pad,
             n_chunks_pad=n_chunks_pad,

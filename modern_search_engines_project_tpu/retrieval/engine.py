@@ -59,6 +59,10 @@ class SearchEngine:
         )
         self._pallas_interpret = backend != "tpu"
         self.times = StageTimes()
+        # pallas paths rank in the bucketed (permuted) doc order
+        self._result_perm = (
+            self.didx.doc_perm if self.use_pallas else None
+        )
 
     # --- host-side query prep ----------------------------------------------
 
@@ -100,22 +104,21 @@ class SearchEngine:
 
     def _device_rank(self, term_ids, qtf, qvec):
         d = self.didx
-        if self.use_pallas and d.slot_emb is not None:
-            return ops.hybrid_rank_slots(
+        if self.use_pallas and d.buckets:
+            return ops.hybrid_rank_buckets(
                 d.blk_terms,
                 d.blk_impact,
                 d.blk_local,
-                d.slot_emb,
-                d.slot_valid,
-                d.doc_chunk_start,
-                d.doc_n_chunks,
+                d.bucket_emb,
+                d.bucket_valid,
+                d.bucket_start,
                 term_ids,
                 qtf,
                 qvec,
                 n_docs_pad=d.n_docs_pad,
                 k_ret=self.k_ret,
                 smoothing=self.cfg.smoothing,
-                stride=d.slot_stride,
+                buckets=d.buckets,
                 interpret=self._pallas_interpret,
             )
         if self.use_pallas:
@@ -182,6 +185,9 @@ class SearchEngine:
                 np.asarray(x)
                 for x in self._device_rank(term_ids, qtf, qvec)
             )
+        perm = getattr(self, "_result_perm", None)
+        if perm is not None:
+            doc = np.where(valid, perm[np.clip(doc, 0, len(perm) - 1)], doc)
         out: List[List[RankedDoc]] = []
         fmt_timer = stage_timer("format_diversify", self.times)
         fmt_timer.__enter__()
@@ -254,6 +260,7 @@ class SearchEngine:
         self.k_ret = backend.k_ret
         self.use_pallas = False  # sharded backend has its own dispatch
         self.times = StageTimes()
+        self._result_perm = None
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
         return self
@@ -311,6 +318,13 @@ class SearchEngine:
                 min(top_k, self.didx.n_docs_pad),
                 interpret=self._pallas_interpret,
             )
+            perm = getattr(self, "_result_perm", None)
+            if perm is not None:
+                idx = np.where(
+                    np.asarray(vals) >= 0,
+                    perm[np.clip(np.asarray(idx), 0, len(perm) - 1)],
+                    np.asarray(idx),
+                )
         else:
             idx, vals = ops.bm25_topk(
                 self.didx, term_ids, qtf, min(top_k, self.didx.n_docs_pad)

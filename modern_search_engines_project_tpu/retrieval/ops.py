@@ -383,32 +383,31 @@ def dense_rank(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_docs_pad", "k_ret", "smoothing", "stride")
+    jax.jit, static_argnames=("n_docs_pad", "k_ret", "smoothing", "buckets")
 )
-def _hybrid_tail_slots(
+def _hybrid_tail_buckets(
     bm,
-    slot_emb,
-    slot_valid,
-    doc_chunk_start,
-    doc_n_chunks,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
     qvec,
     *,
     n_docs_pad: int,
     k_ret: int,
     smoothing: float,
-    stride: int,
+    buckets,
 ):
-    """Stages 2+3 over the fixed-stride slot layout.
+    """Stages 2+3 over the bucketed exact-stride layout.
 
-    Same math as ``_hybrid_tail`` but every per-document reduction is a
-    last-axis reduce over ``[B, n_docs, stride]`` instead of a sorted
-    segment scatter — the scatter formulation costs minutes of TPU compile
-    time (and serialized runtime); this trades ~(stride/avg_chunks)x padded
-    matmul FLOPs for ops that compile in seconds.
+    Documents are grouped by chunk count (device_index doc permutation);
+    bucket b holds ``cnt_pad`` docs with exactly ``n`` chunks each, stored
+    at stride n — zero padding waste.  Per-document top-2 is a last-axis
+    ``lax.top_k``; everything per-doc concatenates along the (permuted)
+    document axis.  Same math as the reference rerank (normalization,
+    fusion, positional, post-adjustment winner), exact parity.
     """
     B = qvec.shape[0]
     Dp = n_docs_pad
-    S = stride
 
     top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
     valid_c = top_vals >= 0.0
@@ -433,48 +432,68 @@ def _hybrid_tail_slots(
         .set(old_norm)
     )[:, :Dp]
 
-    sims = jnp.dot(
-        qvec.astype(slot_emb.dtype),
-        slot_emb.T,
-        preferred_element_type=jnp.float32,
-    ).reshape(B, Dp, S)
-    mask3 = cand_mask[:, :, None] & slot_valid[None]
-
-    lo_c = jnp.min(
-        jnp.where(mask3, sims, jnp.inf), axis=(1, 2), keepdims=True
-    )
-    hi_c = jnp.max(
-        jnp.where(mask3, sims, -jnp.inf), axis=(1, 2), keepdims=True
-    )
+    # ---- pass 1: per-bucket sims + masked extrema --------------------------
+    sims_l, mask_l = [], []
+    lo_parts, hi_parts = [], []
+    off = 0
+    for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
+        sims = jnp.dot(
+            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+        ).reshape(B, cnt, n)
+        mask3 = (
+            cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
+        )
+        lo_parts.append(
+            jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2))
+        )
+        hi_parts.append(
+            jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
+        )
+        sims_l.append(sims)
+        mask_l.append(mask3)
+        off += cnt
+    lo_c = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
+    hi_c = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
     den_c = hi_c - lo_c
-    new_norm = jnp.where(
-        mask3 & (den_c > 0),
-        (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
-        0.0,
-    )
 
-    fused = jnp.where(
-        mask3,
-        new_norm * (1.0 - smoothing) + old_dense[:, :, None] * smoothing,
-        -jnp.inf,
-    )
+    # ---- pass 2: normalize, fuse, per-doc top-2, positional ----------------
+    score_parts, win_parts = [], []
+    off = 0
+    for (n, cnt), sims, mask3, bstart in zip(
+        buckets, sims_l, mask_l, bucket_start
+    ):
+        new_norm = jnp.where(
+            mask3 & (den_c > 0),
+            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+            0.0,
+        )
+        fused = jnp.where(
+            mask3,
+            new_norm * (1.0 - smoothing)
+            + old_dense[:, off : off + cnt, None] * smoothing,
+            -jnp.inf,
+        )
+        if n == 1:
+            m1 = fused[..., 0]
+            doc_score = m1  # single-chunk docs: no positional adjustment
+            win_slot = jnp.zeros_like(m1, dtype=jnp.int32)
+        else:
+            top2_vals, top2_idx = lax.top_k(fused, 2)
+            m1 = top2_vals[..., 0]
+            w1s = top2_idx[..., 0].astype(jnp.int32)
+            m2 = top2_vals[..., 1]
+            w2s = top2_idx[..., 1].astype(jnp.int32)
+            ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
+            adj = 0.10 - (0.10 + 0.05) * ratio
+            m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
+            doc_score = jnp.maximum(m1_adj, m2)
+            win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
+        score_parts.append(doc_score)
+        win_parts.append(bstart[None, :] + win_slot)
+        off += cnt
 
-    m1 = jnp.max(fused, axis=2)
-    w1s = jnp.argmax(fused, axis=2).astype(jnp.int32)  # first max (idxmax)
-    slot_ids = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    fused2 = jnp.where(slot_ids == w1s[:, :, None], -jnp.inf, fused)
-    m2 = jnp.max(fused2, axis=2)
-    w2s = jnp.argmax(fused2, axis=2).astype(jnp.int32)
-
-    nck = doc_n_chunks[None, :Dp]
-    ratio = w1s.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
-        jnp.float32
-    )
-    adj = 0.10 - (0.10 + 0.05) * ratio
-    m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
-    doc_score = jnp.maximum(m1_adj, m2)
-    win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
-    win = doc_chunk_start[None, :Dp] + win_slot  # packed-layout chunk id
+    doc_score = jnp.concatenate(score_parts, axis=1)  # [B, Dp]
+    win = jnp.concatenate(win_parts, axis=1)
 
     cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
     cand_win = jnp.take_along_axis(win, top_idx, axis=1)
@@ -487,14 +506,13 @@ def _hybrid_tail_slots(
     return final_doc, final_vals, final_old, final_win, final_valid
 
 
-def hybrid_rank_slots(
+def hybrid_rank_buckets(
     blk_terms,
     blk_impact,
     blk_local,
-    slot_emb,
-    slot_valid,
-    doc_chunk_start,
-    doc_n_chunks,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
     term_ids,
     qtf,
     qvec,
@@ -502,11 +520,12 @@ def hybrid_rank_slots(
     n_docs_pad: int,
     k_ret: int,
     smoothing: float = 0.15,
-    stride: int = 10,
+    buckets=(),
     interpret: bool = False,
 ):
-    """Pallas blocked BM25 + slot-layout dense tail — the fast-compile,
-    fast-run TPU configuration."""
+    """Pallas blocked BM25 + bucketed dense tail — the fast-compile,
+    fast-run, memory-exact TPU configuration.  Returned doc indices are in
+    the PERMUTED order; callers map back via DeviceIndex.doc_perm."""
     from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
         bm25_score_blocked,
     )
@@ -520,15 +539,14 @@ def hybrid_rank_slots(
         n_docs_pad=n_docs_pad,
         interpret=interpret,
     )
-    return _hybrid_tail_slots(
+    return _hybrid_tail_buckets(
         bm,
-        slot_emb,
-        slot_valid,
-        doc_chunk_start,
-        doc_n_chunks,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
         qvec,
         n_docs_pad=n_docs_pad,
         k_ret=k_ret,
         smoothing=smoothing,
-        stride=stride,
+        buckets=buckets,
     )
