@@ -68,10 +68,6 @@ class ShardedDeviceIndex:
     blk_terms: jnp.ndarray  # [S, n_blocks_loc, p_blk] doc-major blocked
     blk_impact: jnp.ndarray
     blk_local: jnp.ndarray
-    chunk_emb: jnp.ndarray  # [S, C_loc, dim]
-    chunk_doc: jnp.ndarray  # [S, C_loc] local doc ids (pad -> D_loc)
-    chunk_gid: jnp.ndarray  # [S, C_loc] global chunk ids (pad -> 0)
-    doc_chunk_start: jnp.ndarray  # [S, D_loc+1] local chunk offsets
     doc_n_chunks: jnp.ndarray  # [S, D_loc+1]
     slot_emb: jnp.ndarray  # [S, D_loc * stride, dim] fixed-stride slots
     slot_valid: jnp.ndarray  # [S, D_loc, stride]
@@ -138,10 +134,6 @@ class ShardedDeviceIndex:
 
         post_docs = np.zeros((S, nnz_pad), np.int32)
         post_impact = np.zeros((S, nnz_pad), np.float32)
-        chunk_emb = np.zeros((S, c_loc, dim), np.float32)
-        chunk_doc = np.full((S, c_loc), d_loc, np.int32)
-        chunk_gid = np.zeros((S, c_loc), np.int32)
-        doc_chunk_start = np.zeros((S, d_loc + 1), np.int32)
         doc_n_chunks = np.ones((S, d_loc + 1), np.int32)
         indptr = np.stack(indptr_l)
 
@@ -149,18 +141,9 @@ class ShardedDeviceIndex:
             nl = len(docs_l[s])
             post_docs[s, :nl] = docs_l[s]
             post_impact[s, :nl] = imp_l[s]
-            c0, c1 = chunks_per_shard[s]
-            nc = c1 - c0
             lo = s * d_loc
             hi = min((s + 1) * d_loc, n_docs)
-            if nc > 0:
-                chunk_emb[s, :nc] = art.chunk_emb[c0:c1]
-                chunk_doc[s, :nc] = art.chunk_doc[c0:c1] - lo
-                chunk_gid[s, :nc] = np.arange(c0, c1, dtype=np.int32)
             if hi > lo:
-                doc_chunk_start[s, : hi - lo] = (
-                    art.doc_chunk_start[lo:hi] - c0
-                )
                 doc_n_chunks[s, : hi - lo] = art.doc_n_chunks[lo:hi]
 
         # per-shard doc-major blocked layout (Pallas fast path); pad the
@@ -214,10 +197,6 @@ class ShardedDeviceIndex:
             blk_terms=put(blk_terms, sh),
             blk_impact=put(blk_impactA, sh),
             blk_local=put(blk_localA, sh),
-            chunk_emb=put(chunk_emb.astype(bank_dtype), sh),
-            chunk_doc=put(chunk_doc, sh),
-            chunk_gid=put(chunk_gid, sh),
-            doc_chunk_start=put(doc_chunk_start, sh),
             doc_n_chunks=put(doc_n_chunks, sh),
             slot_emb=put(slot_emb.astype(bank_dtype), sh),
             slot_valid=put(slot_valid, sh),

@@ -172,3 +172,31 @@ class TestEndpoints:
             assert "response" in data
 
         with_client(service, body)
+
+
+class TestShardedServing:
+    def test_search_endpoint_on_sharded_engine(self, eight_devices, tmp_path):
+        from modern_search_engines_project_tpu.parallel import make_mesh
+
+        docs = make_corpus(n_docs=30, seed=21, min_len=30, max_len=80)
+        cfg = Config(
+            embedding_dim=32, window_size=32, step_size=25,
+            top_k_retrieval=16, top_k_reranking=5, max_query_terms=8,
+        )
+        enc = HashingEncoder(dim=32)
+        from modern_search_engines_project_tpu.index import IndexBuilder
+
+        art = IndexBuilder(enc, cfg).build(docs)
+        engine = SearchEngine.sharded(art, enc, make_mesh(8), cfg)
+        service = SearchService(engine, queries_path=str(tmp_path / "q.txt"))
+
+        async def body(client):
+            resp = await client.post(
+                "/api/search", json={"query": "forest library", "top_k": 5}
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            assert len(data["documents"]) > 0
+            assert data["documents"][0]["rank"] == 1
+
+        with_client(service, body)
