@@ -178,7 +178,7 @@ class TestShardedServing:
     def test_search_endpoint_on_sharded_engine(self, eight_devices, tmp_path):
         from modern_search_engines_project_tpu.parallel import make_mesh
 
-        docs = make_corpus(n_docs=30, seed=21, min_len=30, max_len=80)
+        docs = make_corpus(n_docs=40, seed=3, min_len=40, max_len=120)
         cfg = Config(
             embedding_dim=32, window_size=32, step_size=25,
             top_k_retrieval=16, top_k_reranking=5, max_query_terms=8,
@@ -192,7 +192,7 @@ class TestShardedServing:
 
         async def body(client):
             resp = await client.post(
-                "/api/search", json={"query": "forest library", "top_k": 5}
+                "/api/search", json={"query": "research law faculty", "top_k": 5}
             )
             assert resp.status == 200
             data = await resp.json()
