@@ -9,6 +9,7 @@ result formatting over the (at most) ``top_k_retrieval`` candidates.
 
 from __future__ import annotations
 
+import dataclasses
 from collections import Counter
 from typing import List, Optional, Sequence
 
@@ -37,6 +38,7 @@ class SearchEngine:
         bank_dtype=None,
         analyzer: Optional[Analyzer] = None,
         use_pallas: Optional[bool] = None,
+        cross_encoder=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -59,6 +61,9 @@ class SearchEngine:
         )
         self._pallas_interpret = backend != "tpu"
         self.times = StageTimes()
+        # optional stage-3: joint query x window scoring over the final list
+        # (models/cross_encoder.py; anything with rescore(query, texts))
+        self.cross_encoder = cross_encoder
         # pallas paths rank in the bucketed (permuted) doc order
         self._result_perm = (
             self.didx.doc_perm if self.use_pallas else None
@@ -220,6 +225,17 @@ class SearchEngine:
                 )
             else:
                 ranked = ranked[:top_k]
+            if self.cross_encoder is not None and ranked:
+                ce = self.cross_encoder.rescore(
+                    queries[b], [r.window_text for r in ranked]
+                )
+                ranked = sorted(
+                    (
+                        dataclasses.replace(r, similarity_score=float(sc))
+                        for r, sc in zip(ranked, ce)
+                    ),
+                    key=lambda r: -r.similarity_score,
+                )
             out.append(ranked)
         fmt_timer.__exit__(None, None, None)
         return out

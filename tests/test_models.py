@@ -178,3 +178,68 @@ class TestDataAndCheckpoint:
 
         assert os.path.exists(os.path.join(out, "params.msgpack"))
         assert os.path.exists(os.path.join(out, "config.json"))
+
+
+class TestCrossEncoder:
+    def test_forward_and_rescore(self):
+        from modern_search_engines_project_tpu.models.cross_encoder import (
+            CrossEncoderReranker,
+        )
+
+        ce = CrossEncoderReranker(TINY, batch_size=4, max_len=32)
+        scores = ce.rescore(
+            "castle tour", ["the castle on the hill", "pizza dough", "x"]
+        )
+        assert scores.shape == (3,)
+        assert np.all((scores >= 0) & (scores <= 1))
+        # deterministic
+        again = ce.rescore(
+            "castle tour", ["the castle on the hill", "pizza dough", "x"]
+        )
+        assert np.allclose(scores, again)
+
+    def test_training_reduces_loss(self):
+        from modern_search_engines_project_tpu.models.cross_encoder import (
+            train_cross_encoder,
+        )
+
+        triples = [
+            ("castle tour", "the castle overlooks the town", 1.0),
+            ("castle tour", "pizza dough recipe", 0.0),
+            ("river punting", "boats race on the neckar", 1.0),
+            ("river punting", "tax law seminar", 0.0),
+        ] * 8
+        ce, losses = train_cross_encoder(
+            triples, TINY, epochs=4, batch_size=8, learning_rate=3e-3,
+            max_len=24,
+        )
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+    def test_engine_stage3_integration(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from corpus_util import make_corpus
+        from modern_search_engines_project_tpu.config import Config
+        from modern_search_engines_project_tpu.index import IndexBuilder
+        from modern_search_engines_project_tpu.models import HashingEncoder
+        from modern_search_engines_project_tpu.models.cross_encoder import (
+            CrossEncoderReranker,
+        )
+        from modern_search_engines_project_tpu.retrieval import SearchEngine
+
+        cfg = Config(
+            embedding_dim=32, window_size=32, step_size=25,
+            top_k_retrieval=16, top_k_reranking=5, max_query_terms=8,
+        )
+        enc = HashingEncoder(dim=32)
+        art = IndexBuilder(enc, cfg).build(
+            make_corpus(30, seed=3, min_len=40, max_len=100)
+        )
+        ce = CrossEncoderReranker(TINY, batch_size=4, max_len=32)
+        eng = SearchEngine(art, enc, cfg, cross_encoder=ce)
+        res = eng.search("research law faculty", top_k=5)
+        assert res
+        scores = [r.similarity_score for r in res]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 <= s <= 1.0 for s in scores)
