@@ -277,6 +277,7 @@ class SearchEngine:
         self.use_pallas = False  # sharded backend has its own dispatch
         self.times = StageTimes()
         self._result_perm = None
+        self.cross_encoder = None
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
         return self
