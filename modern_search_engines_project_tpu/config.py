@@ -39,6 +39,10 @@ class Config:
     max_doc_chars: int = 1_000_000  # bm25_indexer.py:33 spaCy-limit analog
     # --- retrieval ---
     top_k_retrieval: int = 1000  # stage-1 BM25 candidates
+    # opt-in: TPU-native approximate candidate selection (lax.approx_max_k,
+    # ~98% recall, ~3x faster select).  Off by default for exact reference
+    # parity.
+    approx_candidates: bool = False
     top_k_reranking: int = 100  # stage-2 results
     max_query_terms: int = 16  # static pad for jitted query scoring
     # --- fusion / rerank ---

@@ -199,33 +199,44 @@ class IndexBuilder:
         # idf parity: LOG((N - df + 0.5) / (df + 0.5)), bm25_indexer.py:140
         idf = np.log((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32) if V else np.zeros(0, np.float32)
 
-        # second pass: CSR postings with precomputed impact
-        indptr = np.zeros(V + 1, dtype=np.int64)
-        np.add.at(indptr[1:], [vocab.term_to_id[t] for c in term_counts for t in c], 1)
-        indptr = np.cumsum(indptr).astype(np.int64)
-        nnz = int(indptr[-1])
-        post_docs = np.zeros(nnz, dtype=np.int32)
-        post_impact = np.zeros(nnz, dtype=np.float32)
-        cursor = indptr[:-1].copy()
+        # second pass: vectorized CSR build.  Flatten (doc, term, tf) rows
+        # once, then sort by (term, -|impact|) in a single lexsort — the
+        # per-doc python fill loop was the host build bottleneck.
+        t2i = vocab.term_to_id
+        tids = np.fromiter(
+            (t2i[t] for c in term_counts for t in c),
+            dtype=np.int64,
+            count=sum(len(c) for c in term_counts),
+        )
+        docs_flat = np.repeat(
+            np.arange(n_docs, dtype=np.int32),
+            [len(c) for c in term_counts],
+        )
+        tfs = np.fromiter(
+            (tf for c in term_counts for tf in c.values()),
+            dtype=np.float32,
+            count=tids.shape[0],
+        )
+        nnz = int(tids.shape[0])
         k1, b = cfg.k1, cfg.b
-        for d, counts in enumerate(term_counts):
-            dl = float(doc_len[d])
-            len_norm = k1 * (1.0 - b + b * dl / avgdl) if avgdl > 0 else k1
-            for term, tf in counts.items():
-                tid = vocab.term_to_id[term]
-                pos = cursor[tid]
-                post_docs[pos] = d
-                post_impact[pos] = idf[tid] * (tf * (k1 + 1.0)) / (tf + len_norm)
-                cursor[tid] += 1
+        if avgdl > 0:
+            len_norm = k1 * (
+                1.0 - b + b * doc_len.astype(np.float64) / avgdl
+            )
+        else:
+            len_norm = np.full(n_docs, k1)
+        impacts = (
+            idf[tids] * (tfs * (k1 + 1.0)) / (tfs + len_norm[docs_flat])
+        ).astype(np.float32)
 
-        # impact-order postings within each term (descending |impact| keeps
-        # graceful degradation if a query's gather budget overflows)
-        for t in range(V):
-            s, e = int(indptr[t]), int(indptr[t + 1])
-            if e - s > 1:
-                order = np.argsort(-np.abs(post_impact[s:e]), kind="stable")
-                post_docs[s:e] = post_docs[s:e][order]
-                post_impact[s:e] = post_impact[s:e][order]
+        # term-major, impact-ordered within each term (descending |impact|
+        # keeps graceful degradation if a query's gather budget overflows)
+        order = np.lexsort((-np.abs(impacts), tids))
+        post_docs = docs_flat[order]
+        post_impact = impacts[order]
+        indptr = np.zeros(V + 1, dtype=np.int64)
+        np.add.at(indptr[1:], tids, 1)
+        indptr = np.cumsum(indptr)
 
         return (
             indptr.astype(np.int32) if nnz < 2**31 else indptr,

@@ -125,6 +125,7 @@ class SearchEngine:
                 smoothing=self.cfg.smoothing,
                 buckets=d.buckets,
                 interpret=self._pallas_interpret,
+                approx=self.cfg.approx_candidates,
             )
         if self.use_pallas:
             return ops.hybrid_rank_blocked(

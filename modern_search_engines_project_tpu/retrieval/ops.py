@@ -383,7 +383,8 @@ def dense_rank(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_docs_pad", "k_ret", "smoothing", "buckets")
+    jax.jit,
+    static_argnames=("n_docs_pad", "k_ret", "smoothing", "buckets", "approx"),
 )
 def _hybrid_tail_buckets(
     bm,
@@ -396,6 +397,7 @@ def _hybrid_tail_buckets(
     k_ret: int,
     smoothing: float,
     buckets,
+    approx: bool = False,
 ):
     """Stages 2+3 over the bucketed exact-stride layout.
 
@@ -409,7 +411,13 @@ def _hybrid_tail_buckets(
     B = qvec.shape[0]
     Dp = n_docs_pad
 
-    top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
+    if approx:
+        # TPU-native approximate top-k (recall ~0.95-0.99); opt-in, not the
+        # reference-parity default
+        top_vals, top_idx = lax.approx_max_k(bm[:, :Dp], k_ret)
+        top_idx = top_idx.astype(jnp.int32)
+    else:
+        top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
     valid_c = top_vals >= 0.0
 
     lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
@@ -522,6 +530,7 @@ def hybrid_rank_buckets(
     smoothing: float = 0.15,
     buckets=(),
     interpret: bool = False,
+    approx: bool = False,
 ):
     """Pallas blocked BM25 + bucketed dense tail — the fast-compile,
     fast-run, memory-exact TPU configuration.  Returned doc indices are in
@@ -549,4 +558,5 @@ def hybrid_rank_buckets(
         k_ret=k_ret,
         smoothing=smoothing,
         buckets=buckets,
+        approx=approx,
     )

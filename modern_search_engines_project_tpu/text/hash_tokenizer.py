@@ -41,15 +41,24 @@ def fnv1a_64(data: bytes) -> int:
 class HashTokenizer:
     """Word-level hashing tokenizer with character offsets."""
 
-    def __init__(self, vocab_size: int = 50257):
+    def __init__(self, vocab_size: int = 50257, cache_size: int = 1 << 18):
         if vocab_size <= N_SPECIAL:
             raise ValueError("vocab_size must exceed reserved special ids")
         self.vocab_size = vocab_size
+        self._cache: dict = {}
+        self._cache_size = cache_size
 
     def token_id(self, word: str) -> int:
-        return N_SPECIAL + fnv1a_64(word.lower().encode("utf-8")) % (
-            self.vocab_size - N_SPECIAL
-        )
+        # natural-language word distributions are Zipfian: a small cache
+        # absorbs almost all hashing work during corpus builds
+        tid = self._cache.get(word)
+        if tid is None:
+            tid = N_SPECIAL + fnv1a_64(word.lower().encode("utf-8")) % (
+                self.vocab_size - N_SPECIAL
+            )
+            if len(self._cache) < self._cache_size:
+                self._cache[word] = tid
+        return tid
 
     def encode_with_offsets(
         self, text: str

@@ -97,3 +97,17 @@ class TestPallasParity:
             assert {g["doc_id"] for g in got} == {
                 art.doc_ids[i] for i in ref_idx
             }
+
+
+class TestApproxCandidates:
+    def test_approx_matches_exact_on_small_corpus(self, built):
+        art, enc, cfg = built
+        exact = SearchEngine(art, enc, cfg, use_pallas=True)
+        approx = SearchEngine(
+            art, enc, cfg.replace(approx_candidates=True), use_pallas=True
+        )
+        for q in QUERIES[:2]:
+            r1 = exact.search(q, top_k=10)
+            r2 = approx.search(q, top_k=10)
+            # with candidates << corpus, approx selection is exact
+            assert [r.doc_id for r in r1] == [r.doc_id for r in r2]
