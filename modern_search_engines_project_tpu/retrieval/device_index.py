@@ -212,10 +212,17 @@ class DeviceIndex:
             n_docs_pad,
         )
 
+        # empty-corpus guard: gathers need at least one posting row
+        pd = np.asarray(art.post_docs, np.int32)
+        pi = np.asarray(art.post_impact, np.float32)
+        if pd.shape[0] == 0:
+            pd = np.zeros(1, np.int32)
+            pi = np.zeros(1, np.float32)
+
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
-            post_docs=jnp.asarray(art.post_docs, jnp.int32),
-            post_impact=jnp.asarray(art.post_impact, jnp.float32),
+            post_docs=jnp.asarray(pd),
+            post_impact=jnp.asarray(pi),
             blk_terms=jnp.asarray(blk_terms),
             blk_impact=jnp.asarray(blk_impact),
             blk_local=jnp.asarray(blk_local),

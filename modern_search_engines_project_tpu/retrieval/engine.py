@@ -203,8 +203,12 @@ class SearchEngine:
                 if not valid[b, j]:
                     break  # invalid candidates sort to the tail
                 d = int(doc[b, j])
+                if not (0 <= d < len(self.art.doc_ids)):
+                    continue
                 w = int(win[b, j])
-                w = w if 0 <= w < len(self.art.window_texts) else 0
+                w_ok = 0 <= w < len(self.art.window_texts)
+                w = w if w_ok else 0
+                wtext = self.art.window_texts[w] if w_ok else ""
                 ranked.append(
                     RankedDoc(
                         doc_id=self.art.doc_ids[d],
@@ -213,7 +217,7 @@ class SearchEngine:
                         similarity_score=float(vals[b, j]),
                         original_similarity=float(old[b, j]),
                         window_index=w,
-                        window_text=self.art.window_texts[w],
+                        window_text=wtext,
                         domain=self.art.domains[d],
                     )
                 )

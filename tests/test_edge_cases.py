@@ -126,3 +126,17 @@ class TestShardedSmall:
         eng = SearchEngine.sharded(art, enc, make_mesh(8), CFG)
         res = eng.bm25_search("castle", top_k=5)
         assert len(res) == 3
+
+
+class TestEmptyIndex:
+    def test_empty_index_all_paths(self):
+        eng = _engine([])
+        assert eng.search("castle", top_k=5) == []
+        assert eng.bm25_search("castle") == []
+        assert eng.dense_search("castle", top_k=5) == []
+
+    def test_empty_index_pallas(self):
+        enc = HashingEncoder(dim=CFG.embedding_dim)
+        art = IndexBuilder(enc, CFG).build([])
+        eng = SearchEngine(art, enc, CFG, use_pallas=True)
+        assert eng.search("castle", top_k=5) == []
