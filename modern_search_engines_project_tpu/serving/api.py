@@ -259,7 +259,21 @@ class SearchService:
     # --- app ----------------------------------------------------------------
 
     def build_app(self) -> web.Application:
-        app = web.Application(client_max_size=16 * 1024 * 1024)
+        @web.middleware
+        async def cors(request, handler):
+            # the reference enables CORS on the Flask app (search_api.py:19)
+            if request.method == "OPTIONS":
+                resp = web.Response()
+            else:
+                resp = await handler(request)
+            resp.headers["Access-Control-Allow-Origin"] = "*"
+            resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+            resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+            return resp
+
+        app = web.Application(
+            client_max_size=16 * 1024 * 1024, middlewares=[cors]
+        )
         app.router.add_post("/api/search", self.search)
         app.router.add_post("/api/batch_search", self.batch_search)
         app.router.add_post("/api/batch_search_file", self.batch_search_file)
