@@ -85,10 +85,10 @@ class CrossEncoderReranker:
         )
 
     def _encode_pairs(self, query: str, texts: Sequence[str]):
-        q_ids = self.tokenizer.encode(query)
+        q_ids = list(self.tokenizer.encode(query))
         joint = []
         for t in texts:
-            t_ids = self.tokenizer.encode(t)
+            t_ids = list(self.tokenizer.encode(t))
             # [CLS] q [SEP] t [SEP], truncating the window first
             body_budget = self.max_len - 3 - len(q_ids)
             joint.append(q_ids + [SEP_ID] + t_ids[: max(body_budget, 0)])

@@ -317,4 +317,98 @@ char* msetpu_analyze(const char* text, size_t len) {
 
 void msetpu_free(char* p) { std::free(p); }
 
+// ---- encoder hash-tokenization (text/hash_tokenizer.py fast path) --------
+//
+// Tokenizes with the encoder's word pattern (runs of letters/digits incl.
+// the accent set, or a single non-space symbol), hashes each word with
+// FNV-1a 64 over its lowercased UTF-8 bytes, and reports CODEPOINT offsets
+// (parity with Python str slicing for lossless window texts).
+//
+// Output layout (malloc'd int64 array, caller frees with msetpu_free):
+//   [n, id_0, start_0, end_0, id_1, start_1, end_1, ...]
+
+static bool is_word_cp(uint32_t cp) {
+  if (cp >= '0' && cp <= '9') return true;
+  return is_token_cp(cp);  // letters incl. accents (already lowercased set
+                           // covers both cases via lower_cp at call site)
+}
+
+long long* msetpu_hash_tokenize(const char* text, size_t len,
+                                long long vocab_size) {
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(text);
+  const uint64_t FNV_OFFSET = 0xCBF29CE484222325ULL;
+  const uint64_t FNV_PRIME = 0x100000001B3ULL;
+  const long long N_SPECIAL_IDS = 4;
+  const long long mod = vocab_size - N_SPECIAL_IDS;
+
+  std::vector<long long> out;
+  out.reserve(len / 4 * 3 + 1);
+
+  size_t i = 0;
+  size_t cp_index = 0;
+  uint64_t h = FNV_OFFSET;
+  size_t tok_start_cp = 0;
+  bool in_word = false;
+  std::string lowered;
+
+  auto flush_word = [&](size_t end_cp) {
+    if (!in_word) return;
+    uint64_t hh = FNV_OFFSET;
+    for (unsigned char b : lowered) {
+      hh ^= b;
+      hh *= FNV_PRIME;
+    }
+    out.push_back(N_SPECIAL_IDS + (long long)(hh % (uint64_t)mod));
+    out.push_back((long long)tok_start_cp);
+    out.push_back((long long)end_cp);
+    in_word = false;
+    lowered.clear();
+  };
+
+  while (i < len) {
+    size_t before = i;
+    uint32_t cp = decode_utf8(s, len, i);
+    if (i > len) { i = before + 1; cp = 0xFFFD; }
+    uint32_t lcp = lower_cp(cp);
+    // membership uses the RAW codepoint: the Python spec's word class is
+    // [a-zA-Z0-9 + the explicit accent list]; uppercase accents outside it
+    // (e.g. É) split words there, so they must split here too
+    bool word_char = (cp >= '0' && cp <= '9') || is_token_cp(cp);
+    if (word_char) {
+      if (!in_word) {
+        in_word = true;
+        tok_start_cp = cp_index;
+      }
+      std::string tmp;
+      append_utf8(tmp, lcp);
+      lowered += tmp;
+    } else {
+      flush_word(cp_index);
+      // single non-space symbol is its own token (hashed on its lowercase
+      // UTF-8 bytes, like the Python tokenizer)
+      bool is_space = (cp == ' ' || cp == '\t' || cp == '\n' ||
+                       cp == '\r' || cp == '\f' || cp == 0x0B ||
+                       cp == 0xA0);
+      if (!is_space && cp != 0xFFFD) {
+        std::string sym;
+        append_utf8(sym, lcp);
+        uint64_t hh = FNV_OFFSET;
+        for (unsigned char b : sym) { hh ^= b; hh *= FNV_PRIME; }
+        out.push_back(N_SPECIAL_IDS + (long long)(hh % (uint64_t)mod));
+        out.push_back((long long)cp_index);
+        out.push_back((long long)(cp_index + 1));
+      }
+    }
+    ++cp_index;
+  }
+  flush_word(cp_index);
+
+  size_t n = out.size() / 3;
+  long long* ret = static_cast<long long*>(
+      std::malloc(sizeof(long long) * (out.size() + 1)));
+  ret[0] = (long long)n;
+  std::memcpy(ret + 1, out.data(), sizeof(long long) * out.size());
+  return ret;
+}
+
 }  // extern "C"

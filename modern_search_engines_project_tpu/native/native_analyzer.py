@@ -37,6 +37,12 @@ class NativeAnalyzer:
         lib.msetpu_analyze.restype = ctypes.c_void_p
         lib.msetpu_free.argtypes = [ctypes.c_void_p]
         lib.msetpu_free.restype = None
+        lib.msetpu_hash_tokenize.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_longlong,
+        ]
+        lib.msetpu_hash_tokenize.restype = ctypes.POINTER(ctypes.c_longlong)
 
     def analyze(self, text: str) -> List[str]:
         data = text.encode("utf-8")
@@ -49,6 +55,23 @@ class NativeAnalyzer:
             self._lib.msetpu_free(ptr)
         out = raw.decode("utf-8")
         return out.split("\n")[:-1] if out else []
+
+    def hash_tokenize(self, text: str, vocab_size: int):
+        """(ids, offsets[(start_cp, end_cp)]) — encoder tokenization fast
+        path (text/hash_tokenizer.py is the behavioral spec).  Returns numpy
+        arrays (ids [n] int64, offsets [n, 2] int64) — zero-copy view of the
+        C buffer, copied out before free."""
+        import numpy as np
+
+        data = text.encode("utf-8")
+        ptr = self._lib.msetpu_hash_tokenize(data, len(data), vocab_size)
+        try:
+            n = int(ptr[0])
+            flat = np.ctypeslib.as_array(ptr, shape=(1 + 3 * n,))
+            rows = flat[1:].reshape(n, 3).copy()
+        finally:
+            self._lib.msetpu_free(ptr)
+        return rows[:, 0], rows[:, 1:]
 
 
 def load() -> NativeAnalyzer:

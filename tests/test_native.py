@@ -71,3 +71,40 @@ class TestNativeParity:
             NATIVE.analyze(text)
         t_nat = time.time() - t0
         assert t_nat < t_py, (t_nat, t_py)
+
+
+class TestNativeHashTokenize:
+    def test_parity_with_python(self):
+        from modern_search_engines_project_tpu.text.hash_tokenizer import (
+            HashTokenizer,
+        )
+
+        py = HashTokenizer(1000, use_native=False)
+        cc = HashTokenizer(1000, use_native=True)
+        assert cc._native is not None
+        import random
+
+        rng = random.Random(5)
+        chars = "abcdefghij ÄÖÜäöüß ÉÀ .,!?()[]#@0123456789éàçñ\n\tx "
+        cases = SAMPLES + [
+            "".join(rng.choice(chars) for _ in range(200)) for _ in range(15)
+        ]
+        for text in cases:
+            a_ids, a_off = py.encode_with_offsets(text)
+            b_ids, b_off = cc.encode_with_offsets(text)
+            assert list(a_ids) == [int(x) for x in b_ids], text[:40]
+            assert [tuple(o) for o in a_off] == [
+                tuple(map(int, o)) for o in b_off
+            ], text[:40]
+
+    def test_windows_from_native_offsets(self):
+        from modern_search_engines_project_tpu.text.chunker import window_texts
+        from modern_search_engines_project_tpu.text.hash_tokenizer import (
+            HashTokenizer,
+        )
+
+        cc = HashTokenizer(1000, use_native=True)
+        text = " ".join(f"tok{i}" for i in range(100))
+        ids, offs = cc.encode_with_offsets(text)
+        wt = window_texts(text, offs, window_size=20, step_size=15)
+        assert wt[0].startswith("tok0") and wt[1].startswith("tok15")

@@ -99,7 +99,9 @@ class TestHashTokenizer:
         self.tok = HashTokenizer(vocab_size=1000)
 
     def test_deterministic(self):
-        assert self.tok.encode("hello world") == self.tok.encode("hello world")
+        assert list(self.tok.encode("hello world")) == list(
+            self.tok.encode("hello world")
+        )
 
     def test_case_insensitive(self):
         assert self.tok.encode("Hello") == self.tok.encode("hello")
