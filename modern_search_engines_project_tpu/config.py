@@ -57,6 +57,9 @@ class Config:
     db_fetch_batch_size: int = 256
     bm25_fetch_batch_size: int = 5000
     query_batch_size: int = 64  # device query batch (reference P3 analog)
+    # --- build gates ---
+    use_bm25: bool = True  # reference USE_BM25 (config.py:24): skip the
+    # sparse-stats build for dense-only indexes
     # --- LLM assistant ---
     llm_max_windows: int = 10
     llm_window_chars: int = 4000

@@ -306,9 +306,12 @@ class IndexBuilder:
 
     def build(self, documents: Iterable[Document]) -> IndexArtifacts:
         docs = list(documents)
-        term_counts = self.analyzer.analyze_batch(
-            (f"{d.title} {d.text}" if d.title else d.text) for d in docs
-        )
+        if self.config.use_bm25:
+            term_counts = self.analyzer.analyze_batch(
+                (f"{d.title} {d.text}" if d.title else d.text) for d in docs
+            )
+        else:  # USE_BM25=False: dense-only index (reference config.py:24)
+            term_counts = [{} for _ in docs]
         (indptr, post_docs, post_impact, idf, df, doc_len, avgdl), vocab = (
             self._build_bm25(term_counts)
         )

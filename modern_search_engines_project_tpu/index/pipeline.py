@@ -114,7 +114,9 @@ class BuildPipeline:
         doc_n_chunks = []
         for d_local, doc in enumerate(docs):
             full = f"{doc.title} {doc.text}" if doc.title else doc.text
-            term_counts.append(self.analyzer.count(full))
+            term_counts.append(
+                self.analyzer.count(full) if cfg.use_bm25 else {}
+            )
             _ids, offsets = self.tokenizer.encode_with_offsets(full)
             bounds = sliding_window_bounds(
                 len(offsets), cfg.window_size, cfg.step_size

@@ -140,3 +140,19 @@ class TestEmptyIndex:
         art = IndexBuilder(enc, CFG).build([])
         eng = SearchEngine(art, enc, CFG, use_pallas=True)
         assert eng.search("castle", top_k=5) == []
+
+
+class TestUseBm25Flag:
+    def test_dense_only_index(self):
+        # reference USE_BM25=False gates the sparse build (config.py:24)
+        cfg = CFG.replace(use_bm25=False)
+        docs = [
+            Document(1, "https://a.de/x", "t", "castle river neckar hills"),
+            Document(2, "https://a.de/y", "t", "pizza dough flour salt"),
+        ]
+        eng = _engine(docs, cfg)
+        assert eng.art.n_terms == 0
+        assert eng.bm25_search("castle") == []
+        assert eng.search("castle", top_k=5) == []  # hybrid needs stage 1
+        dense = eng.dense_search("castle river", top_k=2)
+        assert dense and dense[0].doc_id == 1
