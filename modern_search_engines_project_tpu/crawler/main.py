@@ -116,9 +116,12 @@ class Crawler:
             self.robots.update(domain, res.robots_text)
             self._robots_texts = getattr(self, "_robots_texts", {})
             self._robots_texts[domain] = res.robots_text
-            if not self.robots.allowed(domain, url):
-                self.frontier.disallow_url(url)
-                return
+        # Enforce robots unconditionally — URLs enqueued before the domain's
+        # robots.txt was known (seeds, early link discovery) must still be
+        # dropped once the rules arrive, not parsed and stored.
+        if not self.robots.allowed(domain, url):
+            self.frontier.disallow_url(url)
+            return
 
         decision = self.policy.record(
             url, res.status, res.retry_after, res.location

@@ -47,6 +47,7 @@ def save_artifacts(art: IndexArtifacts, path: str) -> None:
         meta = {f: getattr(art, f) for f in _META_FIELDS}
         meta["avgdl"] = art.avgdl
         meta["config"] = art.config.__dict__
+        meta["encoder"] = art.encoder_meta
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
         for name in ("arrays.npz", "vocab.json", "meta.json"):
@@ -68,4 +69,5 @@ def load_artifacts(path: str) -> IndexArtifacts:
         vocab=TermDictionary.load(os.path.join(path, "vocab.json")),
         **{f: meta[f] for f in _META_FIELDS},
         config=cfg,
+        encoder_meta=meta.get("encoder", {}),
     )

@@ -92,6 +92,9 @@ class IndexArtifacts:
     snippets: List[str]
     window_texts: List[str]  # text of each chunk (aligned with chunk_emb)
     config: Config = DEFAULT_CONFIG
+    # provenance of the encoder that produced chunk_emb (encoder.describe());
+    # serving refuses to pair the index with a mismatched query encoder
+    encoder_meta: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n_docs(self) -> int:
@@ -153,6 +156,90 @@ class IndexArtifacts:
         return rows[:top_n]
 
 
+def build_bm25_csr(
+    term_counts: List[dict], cfg: Config
+) -> Tuple[
+    Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, float],
+    TermDictionary,
+]:
+    """Vectorized term-major CSR postings build from per-doc term counts.
+
+    Shared by the one-shot ``IndexBuilder`` and the sharded
+    ``BuildPipeline.merge`` (the global-stats reduction): the only Python
+    loop is dictionary assignment; the (doc, term, tf) triples flatten once
+    and a single lexsort produces impact-ordered postings.  Formula parity:
+    idf = LOG((N - df + 0.5) / (df + 0.5)) (bm25_indexer.py:140), impact =
+    idf * tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) (bm25_indexer.py:459-481).
+    """
+    n_docs = len(term_counts)
+    vocab = TermDictionary()
+    doc_len = np.array([sum(c.values()) for c in term_counts], dtype=np.int32)
+    avgdl = float(doc_len.mean()) if n_docs else 0.0
+
+    # first pass: dictionary + df
+    df_list: List[int] = []
+    for counts in term_counts:
+        for term in counts:
+            tid = vocab.add(term)
+            if tid == len(df_list):
+                df_list.append(0)
+            df_list[tid] += 1
+    V = len(vocab)
+    df = np.array(df_list, dtype=np.int32) if V else np.zeros(0, np.int32)
+    idf = (
+        np.log((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
+        if V
+        else np.zeros(0, np.float32)
+    )
+
+    # second pass: vectorized CSR build.  Flatten (doc, term, tf) rows once,
+    # then sort by (term, -|impact|) in a single lexsort — a per-doc python
+    # fill loop would dominate host build time at 1M docs.
+    t2i = vocab.term_to_id
+    tids = np.fromiter(
+        (t2i[t] for c in term_counts for t in c),
+        dtype=np.int64,
+        count=sum(len(c) for c in term_counts),
+    )
+    docs_flat = np.repeat(
+        np.arange(n_docs, dtype=np.int32),
+        [len(c) for c in term_counts],
+    )
+    tfs = np.fromiter(
+        (tf for c in term_counts for tf in c.values()),
+        dtype=np.float32,
+        count=tids.shape[0],
+    )
+    nnz = int(tids.shape[0])
+    k1, b = cfg.k1, cfg.b
+    if avgdl > 0:
+        len_norm = k1 * (1.0 - b + b * doc_len.astype(np.float64) / avgdl)
+    else:
+        len_norm = np.full(n_docs, k1)
+    impacts = (
+        idf[tids] * (tfs * (k1 + 1.0)) / (tfs + len_norm[docs_flat])
+    ).astype(np.float32)
+
+    # term-major, impact-ordered within each term (descending |impact| keeps
+    # graceful degradation if a query's gather budget overflows)
+    order = np.lexsort((-np.abs(impacts), tids))
+    post_docs = docs_flat[order]
+    post_impact = impacts[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr[1:], tids, 1)
+    indptr = np.cumsum(indptr)
+
+    return (
+        indptr.astype(np.int32) if nnz < 2**31 else indptr,
+        post_docs,
+        post_impact,
+        idf,
+        df,
+        doc_len,
+        avgdl,
+    ), vocab
+
+
 class IndexBuilder:
     """Builds IndexArtifacts from an iterable of Documents.
 
@@ -178,75 +265,7 @@ class IndexBuilder:
     def _build_bm25(
         self, term_counts: List[dict]
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
-        cfg = self.config
-        n_docs = len(term_counts)
-        vocab = TermDictionary()
-        doc_len = np.array(
-            [sum(c.values()) for c in term_counts], dtype=np.int32
-        )
-        avgdl = float(doc_len.mean()) if n_docs else 0.0
-
-        # first pass: dictionary + df
-        df_list: List[int] = []
-        for counts in term_counts:
-            for term in counts:
-                tid = vocab.add(term)
-                if tid == len(df_list):
-                    df_list.append(0)
-                df_list[tid] += 1
-        V = len(vocab)
-        df = np.array(df_list, dtype=np.int32) if V else np.zeros(0, np.int32)
-        # idf parity: LOG((N - df + 0.5) / (df + 0.5)), bm25_indexer.py:140
-        idf = np.log((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32) if V else np.zeros(0, np.float32)
-
-        # second pass: vectorized CSR build.  Flatten (doc, term, tf) rows
-        # once, then sort by (term, -|impact|) in a single lexsort — the
-        # per-doc python fill loop was the host build bottleneck.
-        t2i = vocab.term_to_id
-        tids = np.fromiter(
-            (t2i[t] for c in term_counts for t in c),
-            dtype=np.int64,
-            count=sum(len(c) for c in term_counts),
-        )
-        docs_flat = np.repeat(
-            np.arange(n_docs, dtype=np.int32),
-            [len(c) for c in term_counts],
-        )
-        tfs = np.fromiter(
-            (tf for c in term_counts for tf in c.values()),
-            dtype=np.float32,
-            count=tids.shape[0],
-        )
-        nnz = int(tids.shape[0])
-        k1, b = cfg.k1, cfg.b
-        if avgdl > 0:
-            len_norm = k1 * (
-                1.0 - b + b * doc_len.astype(np.float64) / avgdl
-            )
-        else:
-            len_norm = np.full(n_docs, k1)
-        impacts = (
-            idf[tids] * (tfs * (k1 + 1.0)) / (tfs + len_norm[docs_flat])
-        ).astype(np.float32)
-
-        # term-major, impact-ordered within each term (descending |impact|
-        # keeps graceful degradation if a query's gather budget overflows)
-        order = np.lexsort((-np.abs(impacts), tids))
-        post_docs = docs_flat[order]
-        post_impact = impacts[order]
-        indptr = np.zeros(V + 1, dtype=np.int64)
-        np.add.at(indptr[1:], tids, 1)
-        indptr = np.cumsum(indptr)
-
-        return (
-            indptr.astype(np.int32) if nnz < 2**31 else indptr,
-            post_docs,
-            post_impact,
-            idf,
-            df,
-            doc_len,
-            avgdl,
-        ), vocab
+        return build_bm25_csr(term_counts, self.config)
 
     # -- dense side ----------------------------------------------------------
 
@@ -338,4 +357,5 @@ class IndexBuilder:
             snippets=[make_snippet(d.title, d.text) for d in docs],
             window_texts=window_texts,
             config=self.config,
+            encoder_meta=getattr(self.encoder, "describe", dict)(),
         )

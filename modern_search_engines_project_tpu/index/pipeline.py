@@ -33,10 +33,10 @@ from modern_search_engines_project_tpu.config import Config, DEFAULT_CONFIG
 from modern_search_engines_project_tpu.index.builder import (
     Document,
     IndexArtifacts,
+    build_bm25_csr,
     extract_domain,
     make_snippet,
 )
-from modern_search_engines_project_tpu.index.vocab import TermDictionary
 from modern_search_engines_project_tpu.text.analyzer import Analyzer
 from modern_search_engines_project_tpu.text.chunker import (
     sliding_window_bounds,
@@ -174,64 +174,24 @@ class BuildPipeline:
     # --- merge stage --------------------------------------------------------
 
     def merge(self, n_shards: int) -> IndexArtifacts:
-        """Global stats reduction + impact computation over all shards."""
+        """Global stats reduction + impact computation over all shards.
+
+        Delegates the CSR build to the same vectorized lexsort path as the
+        one-shot builder (``builder.build_bm25_csr``) — global df/idf/avgdl
+        can only be known here, so shards store raw (term, tf) counts and
+        the merge computes impacts in one flattened pass.
+        """
         cfg = self.cfg
         shards = []
         for i in range(n_shards):
             with open(self._shard_path(i), "rb") as f:
                 shards.append(pickle.load(f))
 
-        vocab = TermDictionary()
-        df_list: List[int] = []
-        doc_lens: List[int] = []
-        for sh in shards:
-            for counts in sh["term_counts"]:
-                doc_lens.append(sum(counts.values()))
-                for term in counts:
-                    tid = vocab.add(term)
-                    if tid == len(df_list):
-                        df_list.append(0)
-                    df_list[tid] += 1
-        n_docs = len(doc_lens)
-        V = len(vocab)
-        df = np.asarray(df_list, np.int32)
-        idf = (
-            np.log((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
-            if V
-            else np.zeros(0, np.float32)
+        all_counts = [c for sh in shards for c in sh["term_counts"]]
+        (indptr, post_docs, post_impact, idf, df, doc_len, avgdl), vocab = (
+            build_bm25_csr(all_counts, cfg)
         )
-        doc_len = np.asarray(doc_lens, np.int32)
-        avgdl = float(doc_len.mean()) if n_docs else 0.0
-
-        indptr = np.zeros(V + 1, np.int64)
-        for sh in shards:
-            for counts in sh["term_counts"]:
-                for term in counts:
-                    indptr[vocab.term_to_id[term] + 1] += 1
-        indptr = np.cumsum(indptr)
-        nnz = int(indptr[-1])
-        post_docs = np.zeros(nnz, np.int32)
-        post_impact = np.zeros(nnz, np.float32)
-        cursor = indptr[:-1].copy()
-        k1, b = cfg.k1, cfg.b
-        d_global = 0
-        for sh in shards:
-            for counts in sh["term_counts"]:
-                dl = float(doc_len[d_global])
-                ln = k1 * (1.0 - b + b * dl / avgdl) if avgdl > 0 else k1
-                for term, tf in counts.items():
-                    tid = vocab.term_to_id[term]
-                    pos = cursor[tid]
-                    post_docs[pos] = d_global
-                    post_impact[pos] = idf[tid] * (tf * (k1 + 1.0)) / (tf + ln)
-                    cursor[tid] += 1
-                d_global += 1
-        for t in range(V):
-            s, e = int(indptr[t]), int(indptr[t + 1])
-            if e - s > 1:
-                order = np.argsort(-np.abs(post_impact[s:e]), kind="stable")
-                post_docs[s:e] = post_docs[s:e][order]
-                post_impact[s:e] = post_impact[s:e][order]
+        n_docs = len(all_counts)
 
         chunk_emb = np.concatenate([sh["chunk_emb"] for sh in shards])
         chunk_doc_parts = []
@@ -252,7 +212,7 @@ class BuildPipeline:
 
         urls = flat("urls")
         return IndexArtifacts(
-            indptr=indptr.astype(np.int32) if nnz < 2**31 else indptr,
+            indptr=indptr,
             post_docs=post_docs,
             post_impact=post_impact,
             idf=idf,
@@ -271,6 +231,9 @@ class BuildPipeline:
             snippets=flat("snippets"),
             window_texts=flat("window_texts"),
             config=cfg,
+            encoder_meta=getattr(
+                self.encoder.encoder, "describe", dict
+            )(),
         )
 
     # --- driver -------------------------------------------------------------

@@ -172,6 +172,39 @@ class JaxEncoder:
     def dim(self) -> int:
         return self.cfg.dim
 
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "JaxEncoder":
+        """Load params + config saved by models/checkpoint.save_encoder."""
+        from modern_search_engines_project_tpu.models.checkpoint import (
+            load_encoder,
+        )
+
+        params, enc_cfg = load_encoder(path)
+        enc = cls(enc_cfg, params=params, **kw)
+        enc.ckpt_path = path
+        return enc
+
+    def params_digest(self) -> str:
+        """Stable short digest of the parameter tree (provenance)."""
+        import hashlib
+
+        from flax import serialization
+
+        return hashlib.sha1(
+            serialization.to_bytes(self.params)
+        ).hexdigest()[:16]
+
+    def describe(self) -> dict:
+        """Provenance record stored in index artifacts so serving can refuse
+        to pair an index with a mismatched query encoder (ADVICE r1)."""
+        return {
+            "kind": "jax_biencoder",
+            "dim": self.cfg.dim,
+            "config": dataclasses.asdict(self.cfg),
+            "params_digest": self.params_digest(),
+            "ckpt": getattr(self, "ckpt_path", None),
+        }
+
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.cfg.dim), np.float32)
         bs = self.batch_size

@@ -31,6 +31,16 @@ class HashingEncoder:
         self.seed = seed
         self.tokenizer = HashTokenizer(vocab_size)
 
+    def describe(self) -> dict:
+        """Provenance record stored in index artifacts so serving can refuse
+        to pair an index with a mismatched query encoder (ADVICE r1)."""
+        return {
+            "kind": "hashing",
+            "dim": self.dim,
+            "vocab_size": self.vocab_size,
+            "seed": self.seed,
+        }
+
     def _token_vec(self, token_ids: np.ndarray) -> np.ndarray:
         """Pseudo-random unit vectors per token id, counter-based (stateless)."""
         # Philox-style determinism via per-id seeded Generator streams would be

@@ -43,6 +43,22 @@ bool is_token_cp(uint32_t cp) {
   }
 }
 
+// Unicode whitespace, matching Python's str \s class (re module): the
+// tokenizer spec (_WORD_RE in text/hash_tokenizer.py) treats every \s
+// codepoint as a separator that emits NO symbol token.
+bool is_unicode_space(uint32_t cp) {
+  switch (cp) {
+    case 0x09: case 0x0A: case 0x0B: case 0x0C: case 0x0D:
+    case 0x1C: case 0x1D: case 0x1E: case 0x1F:
+    case 0x20: case 0x85: case 0xA0:
+    case 0x1680:
+    case 0x2028: case 0x2029: case 0x202F: case 0x205F: case 0x3000:
+      return true;
+    default:
+      return cp >= 0x2000 && cp <= 0x200A;
+  }
+}
+
 uint32_t lower_cp(uint32_t cp) {
   if (cp >= 'A' && cp <= 'Z') return cp + 32;
   if (cp >= 0x00C0 && cp <= 0x00DE && cp != 0x00D7) return cp + 32;
@@ -273,7 +289,6 @@ extern "C" {
 
 // Returns a newline-joined token list (malloc'd); caller frees.
 char* msetpu_analyze(const char* text, size_t len) {
-  if (len > MAX_DOC_CHARS) len = MAX_DOC_CHARS;
   const unsigned char* s = reinterpret_cast<const unsigned char*>(text);
   std::string out;
   out.reserve(len / 4);
@@ -294,10 +309,14 @@ char* msetpu_analyze(const char* text, size_t len) {
     tok.clear();
   };
 
-  while (i < len) {
+  // Truncate at MAX_DOC_CHARS CODEPOINTS (Python spec: text[:1M] counts
+  // characters, not UTF-8 bytes — analyzer.py MAX_DOC_CHARS).
+  size_t cp_count = 0;
+  while (i < len && cp_count < MAX_DOC_CHARS) {
     size_t before = i;
     uint32_t cp = decode_utf8(s, len, i);
     if (i > len) { i = before + 1; cp = 0xFFFD; }
+    ++cp_count;
     // lowercase BEFORE membership: the Python pipeline lowercases the whole
     // text before tokenizing, so uppercase accents (É) are in-class
     cp = lower_cp(cp);
@@ -385,11 +404,8 @@ long long* msetpu_hash_tokenize(const char* text, size_t len,
     } else {
       flush_word(cp_index);
       // single non-space symbol is its own token (hashed on its lowercase
-      // UTF-8 bytes, like the Python tokenizer)
-      bool is_space = (cp == ' ' || cp == '\t' || cp == '\n' ||
-                       cp == '\r' || cp == '\f' || cp == 0x0B ||
-                       cp == 0xA0);
-      if (!is_space && cp != 0xFFFD) {
+      // UTF-8 bytes, like the Python tokenizer); full Unicode \s parity
+      if (!is_unicode_space(cp) && cp != 0xFFFD) {
         std::string sym;
         append_utf8(sym, lcp);
         uint64_t hh = FNV_OFFSET;

@@ -74,6 +74,68 @@ def _demo_artifacts(cfg):
     return IndexBuilder(enc, cfg).build(docs), enc
 
 
+def resolve_encoder(art, ckpt=None, force=False):
+    """Build the query encoder matching the index's embedding provenance.
+
+    An index embedded with a trained ``JaxEncoder`` must never silently get
+    queries encoded by a fresh ``HashingEncoder`` — the spaces differ and the
+    dense stage degrades to noise (ADVICE r1).  The artifact records
+    ``encoder_meta`` (encoder.describe()); this refuses to serve on a
+    mismatch unless ``force``.
+    """
+    from modern_search_engines_project_tpu.models import (
+        HashingEncoder,
+        JaxEncoder,
+    )
+
+    meta = getattr(art, "encoder_meta", {}) or {}
+    kind = meta.get("kind")
+    if ckpt:
+        enc = JaxEncoder.from_checkpoint(ckpt)
+        if not force:
+            if kind == "hashing":
+                raise SystemExit(
+                    "index was embedded with a HashingEncoder but "
+                    "--encoder-ckpt was given; pass --force-encoder to "
+                    "override"
+                )
+            want = meta.get("params_digest")
+            if want and enc.params_digest() != want:
+                raise SystemExit(
+                    f"encoder checkpoint digest {enc.params_digest()} does "
+                    f"not match the index's recorded digest {want}; the "
+                    "query/chunk embedding spaces would differ.  Pass "
+                    "--force-encoder to override."
+                )
+        return enc
+    if kind == "jax_biencoder":
+        recorded = meta.get("ckpt")
+        import os
+
+        if recorded and os.path.isdir(recorded):
+            enc = JaxEncoder.from_checkpoint(recorded)
+            want = meta.get("params_digest")
+            if want and enc.params_digest() != want and not force:
+                raise SystemExit(
+                    f"checkpoint at recorded path {recorded} no longer "
+                    "matches the index's params digest; pass --encoder-ckpt "
+                    "or --force-encoder"
+                )
+            return enc
+        if not force:
+            raise SystemExit(
+                "index was embedded with a trained JaxEncoder but no "
+                "checkpoint is reachable; pass --encoder-ckpt (or "
+                "--force-encoder to serve with a hashing encoder anyway)"
+            )
+    # hashing provenance (or legacy index with none recorded)
+    return HashingEncoder(
+        dim=meta.get("dim", art.config.embedding_dim),
+        vocab_size=meta.get("vocab_size", art.config.vocab_size),
+        seed=meta.get("seed", 0),
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--index", default=None, help="artifacts directory")
@@ -82,6 +144,12 @@ def main():
     parser.add_argument("--sharded", action="store_true",
                         help="shard the index over all visible devices")
     parser.add_argument("--queries", default="queries.txt")
+    parser.add_argument("--encoder-ckpt", default=None,
+                        help="trained encoder checkpoint dir (models/"
+                             "checkpoint.save_encoder format)")
+    parser.add_argument("--force-encoder", action="store_true",
+                        help="serve even if the encoder does not match the "
+                             "index's embedding provenance")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -91,10 +159,9 @@ def main():
 
     if args.index:
         from modern_search_engines_project_tpu.index import load_artifacts
-        from modern_search_engines_project_tpu.models import HashingEncoder
 
         art = load_artifacts(args.index)
-        enc = HashingEncoder(dim=art.config.embedding_dim)
+        enc = resolve_encoder(art, args.encoder_ckpt, args.force_encoder)
         cfg = art.config
     else:
         cfg = DEFAULT_CONFIG

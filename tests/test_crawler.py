@@ -351,6 +351,27 @@ class TestCrawlE2E:
         urls = {d.url for d in store.iter_documents()}
         assert "https://uni.de/b" not in urls
 
+    def test_robots_enforced_on_pre_enqueued_urls(self, fake_site, tmp_path):
+        # ADVICE r1: a URL enqueued BEFORE its domain's robots.txt is known
+        # (e.g. a second seed on the same domain) must still be dropped when
+        # the fetch comes back — not parsed and stored.  The robots check in
+        # _handle_response must be unconditional, not only on the response
+        # that carried robots_text.
+        transport = FakeTransport(
+            fake_site, robots={"uni.de": "User-agent: *\nDisallow: /b\n"}
+        )
+        store = CrawlStore(str(tmp_path / "c.sqlite"))
+        crawler = Crawler(store, Fetcher(transport), max_pages=10)
+        crawler.robots.delay = lambda d: 0.0
+        # seed the disallowed URL directly: it enters the frontier before any
+        # robots.txt for uni.de has been seen
+        asyncio.run(
+            crawler.run(seeds=["https://uni.de/b", "https://uni.de/a"])
+        )
+        urls = {d.url for d in store.iter_documents()}
+        assert "https://uni.de/b" not in urls
+        assert "https://uni.de/a" in urls
+
     def test_resume_after_stop(self, fake_site, tmp_path):
         path = str(tmp_path / "c.sqlite")
         transport = FakeTransport(fake_site)

@@ -60,6 +60,30 @@ class TestNativeParity:
         text = "The students were running through Tübingen yesterday."
         assert an.tokens(text) == PY.tokens(text)
 
+    def test_unicode_whitespace_parity(self):
+        # Full \s parity (ADVICE r1): EM SPACE, THIN SPACE, LINE/PARA
+        # separators, NEL, file/group/record/unit separators, IDEOGRAPHIC
+        # SPACE must split words without emitting phantom symbol tokens.
+        cases = [
+            "a b",
+            "Tübingen City",
+            "x y",
+            "p q",
+            "nelline",
+            "sep\x1ca\x1db\x1ec\x1fd",
+            "wide　space",
+            "ogham mark",
+            "nnbsp x mmsp y",
+        ]
+        for text in cases:
+            assert NATIVE.analyze(text) == PY.tokens(text), text
+
+    def test_truncation_counts_codepoints(self):
+        # Python spec truncates at 1M CHARACTERS; multibyte docs must not be
+        # cut earlier by a byte-length clamp (ADVICE r1).
+        big = ("münchen tübingen " * 70000)  # ~1.19M chars, ~1.3M bytes
+        assert NATIVE.analyze(big) == PY.tokens(big)
+
     def test_native_faster(self):
         text = "the castle overlooks the river and students walk daily " * 2000
         t0 = time.time()
@@ -85,7 +109,11 @@ class TestNativeHashTokenize:
         import random
 
         rng = random.Random(5)
-        chars = "abcdefghij ÄÖÜäöüß ÉÀ .,!?()[]#@0123456789éàçñ\n\tx "
+        chars = (
+            "abcdefghij ÄÖÜäöüß ÉÀ .,!?()[]#@0123456789éàçñ\n\tx "
+            "     　   "
+            "\x1c\x1d\x1e\x1f"
+        )
         cases = SAMPLES + [
             "".join(rng.choice(chars) for _ in range(200)) for _ in range(15)
         ]
