@@ -119,6 +119,8 @@ def main():
     print(
         f"devices={jax.devices()} n_docs={n_docs}", file=sys.stderr
     )
+    # Pallas kernels need interpret mode off-TPU (CPU smoke runs)
+    interpret = jax.default_backend() == "cpu"
     t0 = time.time()
     didx, cfg, dfs = make_synthetic_index(
         n_docs=n_docs,
@@ -152,6 +154,7 @@ def main():
             k_ret=k_ret,
             smoothing=cfg.smoothing,
             buckets=didx.buckets,
+            interpret=interpret,
         )
 
     # warmup / compile
@@ -178,6 +181,75 @@ def main():
     qps = n_iters * B / dt
     print(f"throughput: {qps:.1f} q/s ({dt / n_iters * 1e3:.2f} ms/batch of {B})",
           file=sys.stderr)
+
+    # ---- device-only timing (VERDICT r1 #2) --------------------------------
+    # The tunnel adds ~40 ms RTT per dispatch and per-batch host->device
+    # input transfer, so the numbers above are tunnel-inclusive lower
+    # bounds.  To measure what the CHIP does: generate queries ON-DEVICE
+    # (jax.random inside jit) and run n_scan batches under ONE lax.scan in
+    # ONE dispatch — a single RTT amortized over the whole scan.  The
+    # carry-summed top-1 index makes every iteration's result live.
+    dfs_logits = jnp.log(jnp.asarray(dfs, jnp.float32))
+
+    def _scan_bench(batch, n_scan):
+        def one(carry, seed):
+            key = jax.random.fold_in(jax.random.key(7), seed)
+            k1, k2 = jax.random.split(key)
+            term_ids = jax.random.categorical(
+                k1, dfs_logits, shape=(batch, T)
+            ).astype(jnp.int32)
+            qtf = jnp.ones((batch, T), jnp.float32)
+            qvec = jax.random.normal(k2, (batch, dim), jnp.float32)
+            qvec = qvec / jnp.linalg.norm(qvec, axis=1, keepdims=True)
+            out = ops.hybrid_rank_buckets(
+                didx.blk_terms,
+                didx.blk_impact,
+                didx.blk_local,
+                didx.bucket_emb,
+                didx.bucket_valid,
+                didx.bucket_start,
+                term_ids,
+                qtf,
+                qvec,
+                n_docs_pad=didx.n_docs_pad,
+                k_ret=k_ret,
+                smoothing=cfg.smoothing,
+                buckets=didx.buckets,
+                interpret=interpret,
+            )
+            return carry + jnp.sum(out[0][:, 0]), None
+
+        @jax.jit
+        def loop(seed0):
+            acc, _ = jax.lax.scan(
+                one, jnp.zeros((), jnp.int32), seed0 + jnp.arange(n_scan)
+            )
+            return acc
+
+        # compile + warmup (result must materialize: async dispatch +
+        # tunnel timing lies otherwise)
+        t0 = time.time()
+        _ = int(np.asarray(loop(jnp.int32(0))))
+        compile_s = time.time() - t0
+        # timed run with fresh seeds (distinct inputs defeat result caching)
+        t0 = time.time()
+        _ = int(np.asarray(loop(jnp.int32(n_scan))))
+        dt = time.time() - t0
+        return dt / n_scan * 1e3, compile_s
+
+    dev_ms_b64, comp64 = _scan_bench(B, 64)
+    dev_qps = B / (dev_ms_b64 / 1e3)
+    print(
+        f"device-only: {dev_ms_b64:.3f} ms/batch of {B} "
+        f"({dev_qps:.0f} q/s on-device; scan compile {comp64:.0f}s)",
+        file=sys.stderr,
+    )
+    dev_ms_b1, comp1 = _scan_bench(1, 128)
+    print(
+        f"device-only batch-1: {dev_ms_b1:.3f} ms/query "
+        f"(scan compile {comp1:.0f}s)",
+        file=sys.stderr,
+    )
 
     # batch-1 latency p50 (per-request round trip incl. host transfer)
     args1 = sample_queries(rng, n_terms_eff, dfs, 1, T, dim)
@@ -221,6 +293,12 @@ def main():
                 "vs_baseline": round(qps / baseline_qps, 1),
                 "extras": {
                     "p50_ms_batch1": round(p50, 2),
+                    # device-only numbers: queries generated on-device, 64
+                    # (resp. 128) batches per single dispatch via lax.scan —
+                    # excludes tunnel RTT and per-batch input transfer
+                    "device_ms_per_batch64": round(dev_ms_b64, 3),
+                    "device_qps": round(dev_qps, 1),
+                    "device_ms_batch1": round(dev_ms_b1, 3),
                     "n_docs": n_docs,
                     "batch": B,
                     "k_ret": k_ret,

@@ -185,14 +185,25 @@ class JaxEncoder:
         return enc
 
     def params_digest(self) -> str:
-        """Stable short digest of the parameter tree (provenance)."""
+        """Stable short digest of the parameter tree (provenance).
+
+        Hashes a canonical (sorted path, dtype, shape, raw bytes) form —
+        ``flax.serialization.to_bytes`` is NOT stable across jax.Array vs
+        numpy leaf types, so hashing it directly would make a freshly
+        trained tree and its checkpoint reload disagree."""
         import hashlib
 
-        from flax import serialization
-
-        return hashlib.sha1(
-            serialization.to_bytes(self.params)
-        ).hexdigest()[:16]
+        h = hashlib.sha1()
+        leaves = jax.tree_util.tree_leaves_with_path(self.params)
+        for path, leaf in sorted(
+            leaves, key=lambda kv: jax.tree_util.keystr(kv[0])
+        ):
+            arr = np.asarray(leaf)
+            h.update(jax.tree_util.keystr(path).encode())
+            h.update(str(arr.dtype).encode())
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes())
+        return h.hexdigest()[:16]
 
     def describe(self) -> dict:
         """Provenance record stored in index artifacts so serving can refuse

@@ -19,6 +19,15 @@ Query flow inside ONE ``shard_map`` program (BASELINE.json P8):
      shard), and a replicated final top-k.
 
 Only O(B x k) tensors ever cross ICI; the banks never move.
+
+Dense layout: the same bucketed exact-stride scheme as the single-chip
+``DeviceIndex`` (retrieval/device_index.py) — within each shard, documents
+are permuted so docs with the same chunk count are contiguous, and each
+bucket stores its chunks at stride exactly n.  The bucket STRUCTURE
+(distinct chunk counts and per-bucket capacity) is global so every shard
+runs the identical SPMD program; capacities pad to the max shard's count
+(waste <= 8 docs/bucket/shard + one 128-doc rounding), unlike the round-1
+single-stride slot layout whose padding scaled with max-chunks/doc.
 """
 
 from __future__ import annotations
@@ -38,14 +47,10 @@ from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
     bm25_score_blocked,
 )
 from modern_search_engines_project_tpu.retrieval.device_index import (
+    DOC_BLOCK,
     build_blocked_postings,
 )
-from modern_search_engines_project_tpu.retrieval.ops import (
-    bm25_score_batch,
-    _segment,
-)
-
-_BIG = jnp.int32(2**31 - 1)
+from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
@@ -60,24 +65,29 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class ShardedDeviceIndex:
-    """Stacked per-shard arrays, leading axis sharded over the mesh."""
+    """Stacked per-shard arrays, leading axis sharded over the mesh.
 
-    indptr: jnp.ndarray  # [S, V+1]
-    post_docs: jnp.ndarray  # [S, nnz_pad] local doc ids
+    Documents are bucket-permuted per shard (see module docstring); the
+    global candidate index space is ``shard * d_loc + local_new``, mapped
+    back to artifact doc indices via ``doc_perm`` on the host.
+    """
+
+    indptr: jnp.ndarray  # [S, V+1] per-shard CSR (permuted local doc ids)
+    post_docs: jnp.ndarray  # [S, nnz_pad]
     post_impact: jnp.ndarray  # [S, nnz_pad]
     blk_terms: jnp.ndarray  # [S, n_blocks_loc, p_blk] doc-major blocked
     blk_impact: jnp.ndarray
     blk_local: jnp.ndarray
-    doc_n_chunks: jnp.ndarray  # [S, D_loc+1]
-    slot_emb: jnp.ndarray  # [S, D_loc * stride, dim] fixed-stride slots
-    slot_valid: jnp.ndarray  # [S, D_loc, stride]
-    slot_gid: jnp.ndarray  # [S, D_loc, stride] global chunk ids (pad 0)
-    slot_stride: int
+    # bucketed exact-stride dense layout (global bucket schema)
+    buckets: tuple  # ((n, cnt_pad), ...) identical across shards
+    bucket_emb: tuple  # per bucket: [S, cnt_pad * n, dim]
+    bucket_valid: tuple  # per bucket: bool [S, cnt_pad]
+    bucket_start: tuple  # per bucket: int32 [S, cnt_pad] global chunk start
+    doc_perm: np.ndarray  # host [S * d_loc] -> artifact doc idx (-1 = pad)
     mesh: Mesh
     n_shards: int
     n_docs: int
-    d_loc: int  # docs per shard (padded)
-    c_loc: int  # chunks per shard (padded)
+    d_loc: int  # docs per shard (bucket-padded, DOC_BLOCK multiple)
     posting_cap: int
 
     @property
@@ -96,92 +106,106 @@ class ShardedDeviceIndex:
         cfg = config or art.config
         S = mesh.devices.size
         n_docs = art.n_docs
-        # 128-multiple: each local doc range tiles exactly into the Pallas
-        # kernel's doc blocks
-        d_loc = max(_round_up(-(-max(n_docs, 1) // S), 128), 128)
         V = art.n_terms
         dim = art.chunk_emb.shape[1]
+        d_base = -(-max(n_docs, 1) // S)  # docs per shard, original order
 
+        dnc = np.minimum(
+            np.asarray(art.doc_n_chunks)[:n_docs], cfg.max_chunks_per_doc
+        ).astype(np.int64)
+        starts_all = np.asarray(art.doc_chunk_start)[:n_docs]
+        shard_of = (
+            np.arange(n_docs) // d_base if n_docs else np.zeros(0, np.int64)
+        )
+
+        # ---- global bucket schema: capacities = max shard count, 8-padded --
+        distinct = sorted(set(int(x) for x in dnc)) or [1]
+        cnt_pads = []
+        for n in distinct:
+            per_shard = np.bincount(shard_of[dnc == n], minlength=S)
+            cnt_pads.append(_round_up(max(int(per_shard.max()), 8), 8))
+        total = sum(cnt_pads)
+        # absorb the DOC_BLOCK rounding in the SMALLEST-stride bucket so the
+        # pad slots cost `delta * min(n)` bank rows, not `delta * max(n)`
+        cnt_pads[0] += max(_round_up(total, DOC_BLOCK), DOC_BLOCK) - total
+        d_loc = sum(cnt_pads)
+
+        # ---- per-shard bucket fill (vectorized per (shard, bucket)) --------
+        bucket_emb_l, bucket_valid_l, bucket_start_l = [], [], []
+        gperm = np.full((S, d_loc), -1, np.int64)
+        off = 0
+        for n, cnt_pad in zip(distinct, cnt_pads):
+            emb = np.zeros((S, cnt_pad * n, dim), np.float32)
+            valid = np.zeros((S, cnt_pad), bool)
+            bstart = np.zeros((S, cnt_pad), np.int32)
+            for s in range(S):
+                idxs = np.nonzero((dnc == n) & (shard_of == s))[0]
+                cnt = len(idxs)
+                if cnt:
+                    src = np.repeat(starts_all[idxs], n) + np.tile(
+                        np.arange(n), cnt
+                    )
+                    emb[s, : cnt * n] = art.chunk_emb[src]
+                    valid[s, :cnt] = True
+                    bstart[s, :cnt] = starts_all[idxs]
+                    gperm[s, off : off + cnt] = idxs
+            bucket_emb_l.append(emb)
+            bucket_valid_l.append(valid)
+            bucket_start_l.append(bstart)
+            off += cnt_pad
+        doc_perm = gperm.reshape(-1)
+
+        # original doc idx -> permuted local idx within its shard
+        inv_local = np.zeros(max(n_docs, 1), np.int32)
+        for s in range(S):
+            real = gperm[s] >= 0
+            inv_local[gperm[s][real]] = np.nonzero(real)[0].astype(np.int32)
+
+        # ---- per-shard postings in the permuted local order ----------------
         term_of_post = np.repeat(
             np.arange(V, dtype=np.int64), np.diff(art.indptr)
         )
-
+        post_shard = (
+            np.asarray(art.post_docs) // d_base
+            if n_docs
+            else np.zeros(0, np.int64)
+        )
         indptr_l, docs_l, imp_l = [], [], []
-        chunks_per_shard = []
         for s in range(S):
-            lo, hi = s * d_loc, min((s + 1) * d_loc, n_docs)
-            mask = (art.post_docs >= lo) & (art.post_docs < hi)
-            docs_l.append(art.post_docs[mask].astype(np.int32) - lo)
-            imp_l.append(art.post_impact[mask])
+            mask = post_shard == s
+            docs_l.append(inv_local[np.asarray(art.post_docs)[mask]])
+            imp_l.append(np.asarray(art.post_impact)[mask])
             counts = np.bincount(term_of_post[mask], minlength=V)
             ip = np.zeros(V + 1, np.int32)
             np.cumsum(counts, out=ip[1:])
             indptr_l.append(ip)
-            # chunk range of this shard's docs (chunks are doc-major)
-            if hi > lo:
-                c0 = int(art.doc_chunk_start[lo])
-                c1 = (
-                    int(art.doc_chunk_start[hi - 1] + art.doc_n_chunks[hi - 1])
-                )
-            else:
-                c0 = c1 = 0
-            chunks_per_shard.append((c0, c1))
 
         nnz_pad = max(_round_up(max(len(d) for d in docs_l), 128), 128)
-        c_loc = max(
-            _round_up(max(c1 - c0 for c0, c1 in chunks_per_shard), 128), 128
-        )
-
         post_docs = np.zeros((S, nnz_pad), np.int32)
         post_impact = np.zeros((S, nnz_pad), np.float32)
-        doc_n_chunks = np.ones((S, d_loc + 1), np.int32)
-        indptr = np.stack(indptr_l)
-
         for s in range(S):
             nl = len(docs_l[s])
             post_docs[s, :nl] = docs_l[s]
             post_impact[s, :nl] = imp_l[s]
-            lo = s * d_loc
-            hi = min((s + 1) * d_loc, n_docs)
-            if hi > lo:
-                doc_n_chunks[s, : hi - lo] = art.doc_n_chunks[lo:hi]
 
-        # per-shard doc-major blocked layout (Pallas fast path); pad the
-        # posting capacity to a common p_blk across shards so they stack
         blocked = [
-            build_blocked_postings(indptr_l[s_], docs_l[s_], imp_l[s_], d_loc)
-            for s_ in range(S)
+            build_blocked_postings(indptr_l[s], docs_l[s], imp_l[s], d_loc)
+            for s in range(S)
         ]
         p_blk_max = max(b[0].shape[1] for b in blocked)
-        n_blocks_loc = d_loc // 128
+        n_blocks_loc = d_loc // DOC_BLOCK
         blk_terms = np.full((S, n_blocks_loc, p_blk_max), -1, np.int32)
         blk_impactA = np.zeros((S, n_blocks_loc, p_blk_max), np.float32)
         blk_localA = np.zeros((S, n_blocks_loc, p_blk_max), np.int32)
-        for s_, (bt, bi, bl) in enumerate(blocked):
-            blk_terms[s_, :, : bt.shape[1]] = bt
-            blk_impactA[s_, :, : bt.shape[1]] = bi
-            blk_localA[s_, :, : bt.shape[1]] = bl
-
-        dnc_all = np.asarray(art.doc_n_chunks)
-        stride = int(min(cfg.max_chunks_per_doc, max(int(dnc_all.max()) if n_docs else 1, 1)))
-        slot_emb = np.zeros((S, d_loc * stride, dim), np.float32)
-        slot_valid = np.zeros((S, d_loc, stride), bool)
-        slot_gid = np.zeros((S, d_loc, stride), np.int32)
-        starts_all = np.asarray(art.doc_chunk_start)
-        for s_ in range(S):
-            lo, hi = s_ * d_loc, min((s_ + 1) * d_loc, n_docs)
-            for d in range(lo, hi):
-                n = min(int(dnc_all[d]), stride)
-                s0 = int(starts_all[d])
-                row = (d - lo) * stride
-                slot_emb[s_, row : row + n] = art.chunk_emb[s0 : s0 + n]
-                slot_valid[s_, d - lo, :n] = True
-                slot_gid[s_, d - lo, :n] = np.arange(s0, s0 + n)
+        for s, (bt, bi, bl) in enumerate(blocked):
+            blk_terms[s, :, : bt.shape[1]] = bt
+            blk_impactA[s, :, : bt.shape[1]] = bi
+            blk_localA[s, :, : bt.shape[1]] = bl
 
         if posting_cap is None:
             caps = []
             for s in range(S):
-                lens = np.diff(indptr[s])
+                lens = np.diff(indptr_l[s])
                 top = np.sort(lens)[::-1][: cfg.max_query_terms]
                 caps.append(int(top.sum()) + 1)
             posting_cap = max(1024, _round_up(max(caps), 1024))
@@ -191,22 +215,25 @@ class ShardedDeviceIndex:
 
         sh = P("shard")
         return cls(
-            indptr=put(indptr, sh),
+            indptr=put(np.stack(indptr_l), sh),
             post_docs=put(post_docs, sh),
             post_impact=put(post_impact, sh),
             blk_terms=put(blk_terms, sh),
             blk_impact=put(blk_impactA, sh),
             blk_local=put(blk_localA, sh),
-            doc_n_chunks=put(doc_n_chunks, sh),
-            slot_emb=put(slot_emb.astype(bank_dtype), sh),
-            slot_valid=put(slot_valid, sh),
-            slot_gid=put(slot_gid, sh),
-            slot_stride=stride,
+            buckets=tuple(
+                (int(n), int(c)) for n, c in zip(distinct, cnt_pads)
+            ),
+            bucket_emb=tuple(
+                put(e.astype(bank_dtype), sh) for e in bucket_emb_l
+            ),
+            bucket_valid=tuple(put(v, sh) for v in bucket_valid_l),
+            bucket_start=tuple(put(b, sh) for b in bucket_start_l),
+            doc_perm=doc_perm,
             mesh=mesh,
             n_shards=S,
             n_docs=n_docs,
             d_loc=d_loc,
-            c_loc=c_loc,
             posting_cap=int(posting_cap),
         )
 
@@ -216,12 +243,17 @@ def _sharded_hybrid_fn(
     posting_cap: int,
     k_ret: int,
     smoothing: float,
-    stride: int,
+    buckets: tuple,
     axis: str = "shard",
     use_pallas: bool = False,
     interpret: bool = False,
 ):
-    """Per-shard hybrid ranking under shard_map (slot-layout dense stage)."""
+    """Per-shard hybrid ranking under shard_map (bucketed dense stage).
+
+    Mirrors the single-chip ``ops._hybrid_tail_buckets`` with three
+    cross-shard touch points: candidate allgather+merge, pool-extrema
+    pmin/pmax, and the final per-candidate pmax combine.
+    """
 
     def fn(
         indptr,
@@ -230,10 +262,9 @@ def _sharded_hybrid_fn(
         blk_terms,
         blk_impact,
         blk_local,
-        slot_emb,
-        slot_valid,
-        slot_gid,
-        doc_n_chunks,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
         term_ids,
         qtf,
         qvec,
@@ -245,14 +276,14 @@ def _sharded_hybrid_fn(
             blk_impact[0],
             blk_local[0],
         )
-        slot_emb, slot_valid, slot_gid = slot_emb[0], slot_valid[0], slot_gid[0]
-        doc_n_chunks = doc_n_chunks[0]
+        bucket_emb = tuple(e[0] for e in bucket_emb)
+        bucket_valid = tuple(v[0] for v in bucket_valid)
+        bucket_start = tuple(b[0] for b in bucket_start)
 
         B = term_ids.shape[0]
         s_id = lax.axis_index(axis)
         b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         k_loc = min(k_ret, d_loc)
-        S = stride
 
         # ---- stage 1: local BM25 + global candidate merge over ICI ---------
         if use_pallas:
@@ -315,53 +346,67 @@ def _sharded_hybrid_fn(
             .set(jnp.where(in_shard, old_norm, 0.0))
         )[:, :d_loc]
 
-        # ---- stage 2: local slot-layout dense + global pool extrema --------
-        sims = jnp.dot(
-            qvec.astype(slot_emb.dtype),
-            slot_emb.T,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, d_loc, S)
-        mask3 = cand_mask[:, :, None] & slot_valid[None]
-        lo_l = jnp.min(
-            jnp.where(mask3, sims, jnp.inf), axis=(1, 2), keepdims=True
-        )
-        hi_l = jnp.max(
-            jnp.where(mask3, sims, -jnp.inf), axis=(1, 2), keepdims=True
-        )
-        lo_c = lax.pmin(lo_l, axis)
-        hi_c = lax.pmax(hi_l, axis)
+        # ---- stage 2: bucketed dense, pool extrema over ICI -----------------
+        sims_l, mask_l = [], []
+        lo_parts, hi_parts = [], []
+        off = 0
+        for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
+            sims = jnp.dot(
+                qvec.astype(emb.dtype),
+                emb.T,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, cnt, n)
+            mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
+            lo_parts.append(jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2)))
+            hi_parts.append(
+                jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
+            )
+            sims_l.append(sims)
+            mask_l.append(mask3)
+            off += cnt
+        lo_l = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
+        hi_l = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
+        lo_c = lax.pmin(lo_l, axis)  # reference normalizes over the GLOBAL
+        hi_c = lax.pmax(hi_l, axis)  # candidate pool (reranker_api.py:289)
         den_c = hi_c - lo_c
-        new_norm = jnp.where(
-            mask3 & (den_c > 0),
-            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
-            0.0,
-        )
 
-        fused = jnp.where(
-            mask3,
-            new_norm * (1.0 - smoothing) + old_dense[:, :, None] * smoothing,
-            -jnp.inf,
-        )
-        m1 = jnp.max(fused, axis=2)
-        w1s = jnp.argmax(fused, axis=2).astype(jnp.int32)
-        slot_ids = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-        fused2 = jnp.where(slot_ids == w1s[:, :, None], -jnp.inf, fused)
-        m2 = jnp.max(fused2, axis=2)
-        w2s = jnp.argmax(fused2, axis=2).astype(jnp.int32)
+        # ---- fusion + per-doc top-2 + positional, per bucket ----------------
+        score_parts, win_parts = [], []
+        off = 0
+        for (n, cnt), sims, mask3, bstart in zip(
+            buckets, sims_l, mask_l, bucket_start
+        ):
+            new_norm = jnp.where(
+                mask3 & (den_c > 0),
+                (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+                0.0,
+            )
+            fused = jnp.where(
+                mask3,
+                new_norm * (1.0 - smoothing)
+                + old_dense[:, off : off + cnt, None] * smoothing,
+                -jnp.inf,
+            )
+            if n == 1:
+                doc_score = fused[..., 0]
+                win_slot = jnp.zeros_like(doc_score, dtype=jnp.int32)
+            else:
+                top2_vals, top2_idx = lax.top_k(fused, 2)
+                m1 = top2_vals[..., 0]
+                w1s = top2_idx[..., 0].astype(jnp.int32)
+                m2 = top2_vals[..., 1]
+                w2s = top2_idx[..., 1].astype(jnp.int32)
+                ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
+                adj = 0.10 - (0.10 + 0.05) * ratio
+                m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
+                doc_score = jnp.maximum(m1_adj, m2)
+                win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
+            score_parts.append(doc_score)
+            win_parts.append(bstart[None, :] + win_slot)
+            off += cnt
 
-        nck = doc_n_chunks[None, :d_loc]
-        ratio = w1s.astype(jnp.float32) / jnp.maximum(nck - 1, 1).astype(
-            jnp.float32
-        )
-        adj = 0.10 - (0.10 + 0.05) * ratio
-        m1_adj = jnp.where(nck > 1, jnp.clip(m1 + adj, 0.0, 1.0), m1)
-        doc_score = jnp.maximum(m1_adj, m2)
-        win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
-        win_gid = jnp.take_along_axis(
-            jnp.broadcast_to(slot_gid[None], (B,) + slot_gid.shape),
-            win_slot[:, :, None],
-            axis=2,
-        )[..., 0]
+        doc_score = jnp.concatenate(score_parts, axis=1)  # [B, d_loc]
+        win_gid = jnp.concatenate(win_parts, axis=1)
 
         # ---- combine per-candidate results across shards -------------------
         scatter_c = jnp.clip(scatter_idx, 0, d_loc - 1)
@@ -410,23 +455,27 @@ class ShardedEngineBackend:
             art, mesh, cfg, bank_dtype=bank_dtype
         )
         s = self.sidx
+        self.doc_perm = s.doc_perm
         self.k_ret = min(cfg.top_k_retrieval, s.n_docs_pad)
         fn = _sharded_hybrid_fn(
             s.d_loc,
             s.posting_cap,
             self.k_ret,
             cfg.smoothing,
-            s.slot_stride,
+            s.buckets,
             use_pallas=self.use_pallas,
             interpret=self._interpret,
         )
+        nb = len(s.buckets)
         sharded = P("shard")
         repl = P()
         self._ranker = jax.jit(
             shard_map(
                 fn,
                 mesh=mesh,
-                in_specs=(sharded,) * 10 + (repl, repl, repl),
+                in_specs=(sharded,) * 6
+                + ((sharded,) * nb,) * 3
+                + (repl, repl, repl),
                 out_specs=(repl, repl, repl, repl, repl),
                 check_vma=False,
             )
@@ -441,17 +490,19 @@ class ShardedEngineBackend:
             s.blk_terms,
             s.blk_impact,
             s.blk_local,
-            s.slot_emb,
-            s.slot_valid,
-            s.slot_gid,
-            s.doc_n_chunks,
+            s.bucket_emb,
+            s.bucket_valid,
+            s.bucket_start,
             jnp.asarray(term_ids),
             jnp.asarray(qtf),
             jnp.asarray(qvec),
         )
 
     def bm25_topk(self, term_ids, qtf, k: int):
-        """Sharded BM25-only retrieval: local top-k + allgather merge."""
+        """Sharded BM25-only retrieval: local top-k + allgather merge.
+
+        Returned indices are in the PERMUTED global space (shard * d_loc +
+        local); callers map back via ``doc_perm``."""
         from jax import shard_map
 
         s = self.sidx

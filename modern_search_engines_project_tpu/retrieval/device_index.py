@@ -156,14 +156,15 @@ class DeviceIndex:
             order = np.argsort(dnc, kind="stable")  # docs grouped by n
             perm_parts = []
             distinct = sorted(set(int(x) for x in dnc)) or [1]
-            for bi, n in enumerate(distinct):
-                idxs = order[dnc[order] == n]
+            idxs_per = [order[dnc[order] == n] for n in distinct]
+            pads = [_round_up(max(len(ix), 8), 8) for ix in idxs_per]
+            # make the concatenated doc axis a DOC_BLOCK multiple; absorb
+            # the rounding in the SMALLEST-stride bucket so pad slots cost
+            # `delta * min(n)` bank rows, not `delta * max(n)`
+            total = sum(pads)
+            pads[0] += max(_round_up(total, DOC_BLOCK), DOC_BLOCK) - total
+            for n, idxs, cnt_pad in zip(distinct, idxs_per, pads):
                 cnt = len(idxs)
-                cnt_pad = _round_up(max(cnt, 8), 8)
-                if bi == len(distinct) - 1:
-                    # make the concatenated doc axis a DOC_BLOCK multiple
-                    total = sum(c for _, c in buckets) + cnt_pad
-                    cnt_pad += _round_up(total, DOC_BLOCK) - total
                 emb = np.zeros((cnt_pad * n, dim), np.float32)
                 valid = np.zeros(cnt_pad, bool)
                 bstart = np.zeros(cnt_pad, np.int32)

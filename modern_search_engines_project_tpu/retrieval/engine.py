@@ -281,7 +281,8 @@ class SearchEngine:
         self.k_ret = backend.k_ret
         self.use_pallas = False  # sharded backend has its own dispatch
         self.times = StageTimes()
-        self._result_perm = None
+        # sharded docs are bucket-permuted per shard; map back on host
+        self._result_perm = backend.doc_perm
         self.cross_encoder = None
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
@@ -332,6 +333,13 @@ class SearchEngine:
             idx, vals = backend.bm25_topk(
                 term_ids, qtf, min(top_k, self.didx.n_docs_pad)
             )
+            perm = getattr(self, "_result_perm", None)
+            if perm is not None:
+                idx = np.where(
+                    np.asarray(vals) >= 0,
+                    perm[np.clip(np.asarray(idx), 0, len(perm) - 1)],
+                    np.asarray(idx),
+                )
         elif self.use_pallas:
             idx, vals = ops.bm25_topk_blocked(
                 self.didx,

@@ -90,6 +90,73 @@ class TestShardedParity:
                 assert m1[doc] == m2[doc]
 
 
+class TestShardedBucketLayout:
+    """VERDICT r1 #5: the sharded dense layout must match the single-chip
+    bucketed layout's memory behavior — exact strides per chunk-count
+    bucket, not one max-stride slot for the whole shard."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, eight_devices):
+        # skewed chunks/doc: most docs 1 window, a few giants with 10 —
+        # the single-stride layout would pad EVERY doc to stride 10
+        docs = make_corpus(n_docs=96, seed=23, min_len=10, max_len=25)
+        giants = make_corpus(n_docs=4, seed=24, min_len=2000, max_len=2500)
+        for i, g in enumerate(giants):
+            docs.append(
+                type(g)(1000 + i, f"https://giant{i}.de/x", g.title, g.text)
+            )
+        cfg = Config(
+            embedding_dim=32,
+            window_size=32,
+            step_size=25,
+            top_k_retrieval=40,
+            top_k_reranking=10,
+            max_query_terms=8,
+        )
+        enc = HashingEncoder(dim=32)
+        art = IndexBuilder(enc, cfg).build(docs)
+        return art, enc, cfg
+
+    def test_memory_tracks_chunks_not_max_stride(self, skewed):
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedDeviceIndex,
+        )
+
+        art, enc, cfg = skewed
+        mesh = make_mesh(8)
+        sidx = ShardedDeviceIndex.from_artifacts(art, mesh, cfg)
+        n_chunk_counts = sorted({int(n) for n in art.doc_n_chunks})
+        assert len(sidx.buckets) == len(n_chunk_counts)
+        total_rows = sum(e.shape[0] * e.shape[1] for e in sidx.bucket_emb)
+        max_stride = max(n_chunk_counts)
+        old_layout_rows = sidx.n_shards * sidx.d_loc * max_stride
+        # the old single-stride layout pays max_stride for every doc slot;
+        # the bucketed one only pays per-bucket 8-padding + 128 rounding
+        assert total_rows < 0.35 * old_layout_rows, (
+            total_rows,
+            old_layout_rows,
+        )
+        # absolute bound: real chunks + pad docs' chunks
+        pad_docs = sidx.n_shards * sidx.d_loc - art.n_docs
+        assert total_rows <= art.n_chunks + pad_docs * max_stride
+
+    def test_skewed_parity_with_single_chip(self, skewed):
+        art, enc, cfg = skewed
+        single = SearchEngine(art, enc, cfg)
+        sharded = SearchEngine.sharded(art, enc, make_mesh(8), cfg)
+        for q in QUERIES:
+            r1 = single.search(q, top_k=10)
+            r2 = sharded.search(q, top_k=10)
+            assert len(r1) == len(r2), q
+            s1 = np.array([r.similarity_score for r in r1])
+            s2 = np.array([r.similarity_score for r in r2])
+            assert np.allclose(s1, s2, atol=2e-4), (q, s1, s2)
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
+
+
 class TestShardedPallas:
     def test_sharded_pallas_matches_scatter(self, engines, eight_devices):
         import numpy as np
