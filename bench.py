@@ -182,17 +182,21 @@ def main():
     print(f"throughput: {qps:.1f} q/s ({dt / n_iters * 1e3:.2f} ms/batch of {B})",
           file=sys.stderr)
 
-    # ---- device-only timing (VERDICT r1 #2) --------------------------------
-    # The tunnel adds ~40 ms RTT per dispatch and per-batch host->device
-    # input transfer, so the numbers above are tunnel-inclusive lower
-    # bounds.  To measure what the CHIP does: generate queries ON-DEVICE
-    # (jax.random inside jit) and run n_scan batches under ONE lax.scan in
-    # ONE dispatch — a single RTT amortized over the whole scan.  The
-    # carry-summed top-1 index makes every iteration's result live.
+    # ---- device-input timing (VERDICT r1 #2) -------------------------------
+    # The tunnel adds ~40 ms RTT per *synchronous* round trip and a
+    # per-batch host->device input transfer, so the numbers above are
+    # tunnel-inclusive lower bounds.  Here: pre-generate DEVICE-RESIDENT
+    # query batches with a tiny jitted generator (no big new compile — a
+    # lax.scan around the kernel broke the remote-compile tunnel), then
+    # pipeline n dispatches of the ALREADY-compiled kernel with no host
+    # input transfer, syncing once at the end.  Device execution on one
+    # chip is in-order, so materializing the final output bounds the whole
+    # pipeline's completion.
     dfs_logits = jnp.log(jnp.asarray(dfs, jnp.float32))
 
-    def _scan_bench(batch, n_scan):
-        def one(carry, seed):
+    def _device_input_bench(batch, n_iters_d, runner):
+        @jax.jit
+        def gen(seed):
             key = jax.random.fold_in(jax.random.key(7), seed)
             k1, k2 = jax.random.split(key)
             term_ids = jax.random.categorical(
@@ -201,53 +205,32 @@ def main():
             qtf = jnp.ones((batch, T), jnp.float32)
             qvec = jax.random.normal(k2, (batch, dim), jnp.float32)
             qvec = qvec / jnp.linalg.norm(qvec, axis=1, keepdims=True)
-            out = ops.hybrid_rank_buckets(
-                didx.blk_terms,
-                didx.blk_impact,
-                didx.blk_local,
-                didx.bucket_emb,
-                didx.bucket_valid,
-                didx.bucket_start,
-                term_ids,
-                qtf,
-                qvec,
-                n_docs_pad=didx.n_docs_pad,
-                k_ret=k_ret,
-                smoothing=cfg.smoothing,
-                buckets=didx.buckets,
-                interpret=interpret,
-            )
-            return carry + jnp.sum(out[0][:, 0]), None
+            return term_ids, qtf, qvec
 
-        @jax.jit
-        def loop(seed0):
-            acc, _ = jax.lax.scan(
-                one, jnp.zeros((), jnp.int32), seed0 + jnp.arange(n_scan)
-            )
-            return acc
-
-        # compile + warmup (result must materialize: async dispatch +
-        # tunnel timing lies otherwise)
+        dev_batches = [gen(jnp.int32(i)) for i in range(n_iters_d)]
+        # force input materialization BEFORE timing (host sync via a tiny
+        # readback; block_until_ready is unreliable over the tunnel)
+        _ = np.asarray(dev_batches[-1][0][0, :1])
+        # warmup the kernel at this batch size
+        out = runner(*dev_batches[0])
+        _ = np.asarray(out[0][:, :1])
         t0 = time.time()
-        _ = int(np.asarray(loop(jnp.int32(0))))
-        compile_s = time.time() - t0
-        # timed run with fresh seeds (distinct inputs defeat result caching)
-        t0 = time.time()
-        _ = int(np.asarray(loop(jnp.int32(n_scan))))
+        for b in dev_batches:
+            out = runner(*b)
+        _ = np.asarray(out[0][:, :1])
         dt = time.time() - t0
-        return dt / n_scan * 1e3, compile_s
+        return dt / n_iters_d * 1e3
 
-    dev_ms_b64, comp64 = _scan_bench(B, 64)
+    dev_ms_b64 = _device_input_bench(B, 64, run)
     dev_qps = B / (dev_ms_b64 / 1e3)
     print(
-        f"device-only: {dev_ms_b64:.3f} ms/batch of {B} "
-        f"({dev_qps:.0f} q/s on-device; scan compile {comp64:.0f}s)",
+        f"device-input pipelined: {dev_ms_b64:.3f} ms/batch of {B} "
+        f"({dev_qps:.0f} q/s, no per-batch host transfer)",
         file=sys.stderr,
     )
-    dev_ms_b1, comp1 = _scan_bench(1, 128)
+    dev_ms_b1 = _device_input_bench(1, 128, run)
     print(
-        f"device-only batch-1: {dev_ms_b1:.3f} ms/query "
-        f"(scan compile {comp1:.0f}s)",
+        f"device-input pipelined batch-1: {dev_ms_b1:.3f} ms/query",
         file=sys.stderr,
     )
 
@@ -293,9 +276,9 @@ def main():
                 "vs_baseline": round(qps / baseline_qps, 1),
                 "extras": {
                     "p50_ms_batch1": round(p50, 2),
-                    # device-only numbers: queries generated on-device, 64
-                    # (resp. 128) batches per single dispatch via lax.scan —
-                    # excludes tunnel RTT and per-batch input transfer
+                    # device-input numbers: device-resident query batches,
+                    # pipelined dispatch, single end sync — excludes
+                    # per-batch host->device transfer and per-batch RTT
                     "device_ms_per_batch64": round(dev_ms_b64, 3),
                     "device_qps": round(dev_qps, 1),
                     "device_ms_batch1": round(dev_ms_b1, 3),

@@ -90,6 +90,56 @@ def is_english(text: str, threshold: float = 0.5) -> bool:
     return english_score(text) >= threshold
 
 
+# --- second, independent language signal: character trigrams ---------------
+# The reference's preprocessor gates on langdetect OR polyglot >= 0.15
+# (preprocessor.ipynb cells 11-14) — two independent detectors OR'd so a
+# page passing either survives.  The stopword detector above is signal 1;
+# this frozen high-frequency-trigram model (character level, so it also
+# works on stopword-poor text like listings or headlines) is signal 2.
+# Shared EN/DE trigrams are deliberately excluded from both sets.
+_EN_TRIGRAMS = frozenset(
+    "the and ing ion tio ent ati for hat tha ere his ith ted ers thi wit "
+    "are was ect rea eve int est ear ain one our iti all out has hav whi "
+    "hic ill ould oul ht. ave you tis ons of. to. in. ly. ng .th e t".split()
+)
+_DE_TRIGRAMS = frozenset(
+    "der die und den ein ich sch che gen ung nde cht das ber nen ine eit "
+    "ies ite ach end ige ken auf ebe ner mit zu. ld. em. aus als wir "
+    "uer ooe fuer ueb run ran wer wie ben eine nicht".split()
+)
+
+
+def trigram_english_score(text: str, sample_chars: int = 4000) -> float:
+    """Character-trigram EN-vs-DE score in [0, 1] (independent of the
+    stopword detector's evidence)."""
+    low = " ".join(text[:sample_chars].lower().split())
+    if len(low) < 12:
+        return 0.0
+    en = de = 0
+    for i in range(len(low) - 2):
+        tri = low[i : i + 3]
+        if "ä" in tri or "ö" in tri or "ü" in tri or "ß" in tri:
+            de += 1  # umlauts/eszett are a hard German signal
+        elif tri in _EN_TRIGRAMS:
+            en += 1
+        elif tri in _DE_TRIGRAMS:
+            de += 1
+    if en + de == 0:
+        return 0.3  # inconclusive
+    ratio = en / (en + de)
+    coverage = min(1.0, (en + de) / (0.02 * len(low)))
+    return ratio * coverage
+
+
+def is_probably_english(text: str, threshold: float = 0.5) -> bool:
+    """Dual-detector gate: pass if EITHER detector accepts (the reference's
+    langdetect-OR-polyglot rule, preprocessor.ipynb cells 11-14)."""
+    return (
+        english_score(text) >= threshold
+        or trigram_english_score(text) >= threshold
+    )
+
+
 def text_score(text: str) -> float:
     """Weighted term-list hit score (metric.py:61-108 role)."""
     if not text:

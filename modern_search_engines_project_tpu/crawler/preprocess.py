@@ -15,7 +15,10 @@ import dataclasses
 from typing import Dict, List, Optional, Set
 
 from modern_search_engines_project_tpu.crawler.helpers import normalize_url
-from modern_search_engines_project_tpu.crawler.metric import english_score
+from modern_search_engines_project_tpu.crawler.metric import (
+    english_score,
+    trigram_english_score,
+)
 from modern_search_engines_project_tpu.crawler.storage import CrawlStore
 
 
@@ -32,14 +35,16 @@ def merge_crawls(
     historical: CrawlStore,
     incoming: CrawlStore,
     english_threshold: float = 0.15,
+    trigram_threshold: float = 0.5,
     min_text_chars: int = 50,
 ) -> MergeReport:
     """Merge ``incoming`` documents into ``historical``.
 
-    Dedup is by normalized URL; language gate keeps documents whose English
-    score passes the (permissive) threshold — the reference accepts a page
-    if langdetect says 'en' OR polyglot confidence >= 0.15 (cells 11-14),
-    i.e. a deliberately low bar; callers can raise it.
+    Dedup is by normalized URL; language gate keeps documents passing
+    EITHER of two independent detectors (stopword-ratio OR character
+    trigrams) — the reference accepts a page if langdetect says 'en' OR
+    polyglot confidence >= 0.15 (cells 11-14), i.e. a deliberately
+    permissive dual-signal bar; callers can raise the threshold.
     """
     report = MergeReport()
     seen: Set[str] = set()
@@ -60,6 +65,7 @@ def merge_crawls(
         if (
             len(doc.text) >= min_text_chars
             and english_score(doc.text) < english_threshold
+            and trigram_english_score(doc.text) < trigram_threshold
         ):
             report.dropped_language += 1
             continue

@@ -42,6 +42,7 @@ from modern_search_engines_project_tpu.serving.assistant import (
     ExtractiveSummarizer,
     Summarizer,
 )
+from modern_search_engines_project_tpu.serving.batcher import QueryBatcher
 from modern_search_engines_project_tpu.serving.rate_limiter import RateLimiter
 
 log = logging.getLogger("serving")
@@ -85,6 +86,12 @@ class SearchService:
         self.rate_limiter = rate_limiter or RateLimiter(enabled=False)
         # one worker: device calls serialize, host work stays async
         self._pool = ThreadPoolExecutor(max_workers=1)
+        # concurrent online queries coalesce into one device batch
+        self.batcher = QueryBatcher(
+            engine,
+            self._pool,
+            max_batch=getattr(engine.cfg, "query_batch_size", 64),
+        )
 
     # --- handlers -----------------------------------------------------------
 
@@ -105,9 +112,7 @@ class SearchService:
         query_id = data.get("query_id", uuid.uuid4().hex)
 
         loop = asyncio.get_running_loop()
-        ranked = await loop.run_in_executor(
-            self._pool, lambda: self.engine.search(query, top_k=top_k)
-        )
+        ranked = await self.batcher.search(query, top_k=top_k)
 
         documents = []
         for i, doc in enumerate(ranked, start=1):
@@ -248,7 +253,9 @@ class SearchService:
     async def timings(self, request: web.Request) -> web.Response:
         """Per-stage wall times (SURVEY.md §5.1 observability)."""
         times = getattr(self.engine, "times", None)
-        return web.json_response(times.report() if times else {})
+        payload = times.report() if times else {}
+        payload["online_batching"] = self.batcher.stats()
+        return web.json_response(payload)
 
     async def index(self, request: web.Request) -> web.Response:
         page = UI_DIR / "templates" / "index.html"

@@ -148,6 +148,41 @@ class TestMetric:
         assert english_score(en) > 0.5
         assert english_score(de) < 0.3
 
+    def test_trigram_detector(self):
+        from modern_search_engines_project_tpu.crawler.metric import (
+            trigram_english_score,
+        )
+
+        en = "The university is one of the oldest in the country and the students are happy with it."
+        de = "Die Universität ist eine der ältesten im Land und die Studenten sind zufrieden damit."
+        assert trigram_english_score(en) > 0.5
+        assert trigram_english_score(de) < 0.3, trigram_english_score(de)
+
+    def test_dual_detector_or_gate(self):
+        from modern_search_engines_project_tpu.crawler.metric import (
+            english_score,
+            is_probably_english,
+            trigram_english_score,
+        )
+
+        # stopword-poor English (headline/listing style): the stopword
+        # detector is inconclusive, the trigram detector rescues it —
+        # mirroring the reference's langdetect-OR-polyglot rule
+        listing = (
+            "Opening hours: Monday closed. Tickets available online. "
+            "Castle tours daily. Great view. Student discounts available. "
+            "Wheelchair accessible entrance. Guided visits hourly."
+        )
+        assert english_score(listing) < 0.5  # signal 1 misses
+        assert trigram_english_score(listing) >= 0.5  # signal 2 catches
+        assert is_probably_english(listing)
+        # German rejected by both
+        de = (
+            "Die Öffnungszeiten der Universität werden nächste Woche "
+            "geändert und die Studenten wurden bereits informiert."
+        )
+        assert not is_probably_english(de)
+
     def test_text_relevance(self):
         relevant = (
             "The University of Tuebingen is a research institute in "
