@@ -266,7 +266,70 @@ def main():
     build_rate = len(docs) / (time.time() - t0)
     print(f"index build: {build_rate:.1f} docs/s", file=sys.stderr)
 
+    # ---- strongest device-time claim: n batches under ONE lax.scan in ONE
+    # dispatch.  All index arrays are passed as jit ARGUMENTS — closure
+    # capture would bake them into the HLO as constants and the resulting
+    # giant upload kills the remote-compile tunnel (HTTP 413 / broken
+    # pipe).  Guarded: if the compile service still rejects it, the bench
+    # reports the pipelined numbers only.  LAST device work before the JSON
+    # so a wedged tunnel cannot lose earlier results.
+    scan_ms = None
+    try:
+        import functools
+
+        n_scan = 16
+
+        @functools.partial(jax.jit, static_argnames=("buckets",))
+        def scan_loop(bt, bi, bl, bemb, bval, bstart, logits, seed0, *, buckets):
+            def one(carry, seed):
+                key = jax.random.fold_in(jax.random.key(7), seed)
+                k1, k2 = jax.random.split(key)
+                tid = jax.random.categorical(
+                    k1, logits, shape=(B, T)
+                ).astype(jnp.int32)
+                qw = jnp.ones((B, T), jnp.float32)
+                qv = jax.random.normal(k2, (B, dim), jnp.float32)
+                qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
+                o = ops.hybrid_rank_buckets(
+                    bt, bi, bl, bemb, bval, bstart, tid, qw, qv,
+                    n_docs_pad=didx.n_docs_pad, k_ret=k_ret,
+                    smoothing=cfg.smoothing, buckets=buckets,
+                    interpret=interpret,
+                )
+                return carry + jnp.sum(o[0][:, 0]), None
+
+            acc, _ = jax.lax.scan(
+                one, jnp.zeros((), jnp.int32), seed0 + jnp.arange(n_scan)
+            )
+            return acc
+
+        logits = jnp.log(jnp.asarray(dfs, jnp.float32))
+        sargs = (
+            didx.blk_terms, didx.blk_impact, didx.blk_local,
+            didx.bucket_emb, didx.bucket_valid, didx.bucket_start, logits,
+        )
+        t0 = time.time()
+        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(0), buckets=didx.buckets)))
+        print(f"scan compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=didx.buckets)))
+        scan_ms = (time.time() - t0) / n_scan * 1e3
+        print(
+            f"device-only (lax.scan, one dispatch per {n_scan} batches): "
+            f"{scan_ms:.3f} ms/batch of {B} "
+            f"({B / scan_ms * 1e3:.0f} q/s on-device)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # tunnel/compile-service variance
+        print(f"scan device bench unavailable: {exc}", file=sys.stderr)
+
     baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
+    extras_scan = (
+        {"device_scan_ms_per_batch64": round(scan_ms, 3),
+         "device_scan_qps": round(B / scan_ms * 1e3, 1)}
+        if scan_ms is not None
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -275,6 +338,7 @@ def main():
                 "unit": "queries/sec",
                 "vs_baseline": round(qps / baseline_qps, 1),
                 "extras": {
+                    **extras_scan,
                     "p50_ms_batch1": round(p50, 2),
                     # device-input numbers: device-resident query batches,
                     # pipelined dispatch, single end sync — excludes

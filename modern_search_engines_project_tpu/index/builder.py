@@ -134,26 +134,27 @@ class IndexArtifacts:
 
     def get_document_terms(self, doc_id: int, top_n: int = 20) -> List[dict]:
         """Highest-impact terms of a document (BM25.get_document_terms
-        parity, bm25_indexer.py:533-544).  Impact-ordered postings make
-        this a scan over the CSR with early rank available."""
+        parity, bm25_indexer.py:533-544).
+
+        One vectorized pass: find this doc's posting rows with a single
+        nnz-length mask, map them to term ids by searchsorted into the CSR
+        indptr.  (The old per-term python scan was O(V * nnz) — it would
+        wedge on a 1M-doc index if the UI called it per result.)"""
         try:
             internal = self.doc_ids.index(doc_id)
         except ValueError:
             return []
-        rows = []
+        pos = np.nonzero(np.asarray(self.post_docs) == internal)[0]
+        if pos.size == 0:
+            return []
+        tids = np.searchsorted(np.asarray(self.indptr), pos, side="right") - 1
+        impacts = np.asarray(self.post_impact)[pos]
         id_to_term = {v: k for k, v in self.vocab.term_to_id.items()}
-        for tid in range(self.n_terms):
-            s, e = int(self.indptr[tid]), int(self.indptr[tid + 1])
-            hit = np.nonzero(self.post_docs[s:e] == internal)[0]
-            if hit.size:
-                rows.append(
-                    {
-                        "term": id_to_term[tid],
-                        "impact": float(self.post_impact[s + hit[0]]),
-                    }
-                )
-        rows.sort(key=lambda r: -abs(r["impact"]))
-        return rows[:top_n]
+        order = np.argsort(-np.abs(impacts), kind="stable")[:top_n]
+        return [
+            {"term": id_to_term[int(tids[i])], "impact": float(impacts[i])}
+            for i in order
+        ]
 
 
 def build_bm25_csr(

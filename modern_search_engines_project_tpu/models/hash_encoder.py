@@ -59,18 +59,47 @@ class HashingEncoder:
         return vals.astype(np.float32)
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, text in enumerate(texts):
-            ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)
-            if ids.size == 0:
-                out[i, 0] = 1.0
-                continue
-            vecs = self._token_vec(ids)
-            emb = vecs.sum(axis=0)
-            norm = float(np.linalg.norm(emb))
-            out[i] = emb / norm if norm > 0 else 0.0
-            if norm == 0:
-                out[i, 0] = 1.0
+        """One vectorized pass over the whole batch.
+
+        Zipf dedup is the trick: duplicate (text, token) pairs collapse to
+        counts, and token vectors are generated once per DISTINCT token id
+        in the batch — for corpus builds this cuts _token_vec work ~10x
+        (the python per-text loop was the host build bottleneck after the
+        native tokenizer landed).
+        """
+        n = len(texts)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        ids_list = [
+            np.asarray(self.tokenizer.encode(t), dtype=np.int64) for t in texts
+        ]
+        lens = np.array([x.size for x in ids_list], dtype=np.int64)
+        if lens.sum() == 0:
+            out[:, 0] = 1.0
+            return out
+        flat = np.concatenate([x for x in ids_list if x.size])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # collapse duplicate (row, id) pairs to counts
+        key = row * self.vocab_size + flat
+        ukey, counts = np.unique(key, return_counts=True)
+        urow = ukey // self.vocab_size
+        uid = ukey % self.vocab_size
+        # one vector per distinct token id in the batch
+        uids, vinv = np.unique(uid, return_inverse=True)
+        vecs = self._token_vec(uids)
+        if n * uids.size <= 64_000_000:
+            # bag-of-words as a GEMM: counts [n, n_unique] @ vecs — one BLAS
+            # call instead of a segment reduction (reduceat measured 10x
+            # slower at corpus-build shapes)
+            cmat = np.zeros((n, uids.size), np.float32)
+            cmat[urow, vinv] = counts  # (row, id) pairs are unique
+            out[:] = cmat @ vecs
+        else:  # huge batch x vocab: stay memory-bounded
+            contrib = vecs[vinv] * counts[:, None].astype(np.float32)
+            bounds = np.nonzero(np.diff(urow, prepend=-1))[0]
+            out[urow[bounds]] = np.add.reduceat(contrib, bounds, axis=0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        out[(norms[:, 0] == 0), 0] = 1.0  # empty/zero texts: unit e0
         return out
 
     def encode(self, text: str) -> np.ndarray:

@@ -48,6 +48,7 @@ from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
 )
 from modern_search_engines_project_tpu.retrieval.device_index import (
     DOC_BLOCK,
+    balance_by_load,
     build_blocked_postings,
 )
 from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
@@ -114,6 +115,9 @@ class ShardedDeviceIndex:
             np.asarray(art.doc_n_chunks)[:n_docs], cfg.max_chunks_per_doc
         ).astype(np.int64)
         starts_all = np.asarray(art.doc_chunk_start)[:n_docs]
+        post_load = np.bincount(
+            np.asarray(art.post_docs), minlength=max(n_docs, 1)
+        ).astype(np.int64)
         shard_of = (
             np.arange(n_docs) // d_base if n_docs else np.zeros(0, np.int64)
         )
@@ -139,7 +143,11 @@ class ShardedDeviceIndex:
             valid = np.zeros((S, cnt_pad), bool)
             bstart = np.zeros((S, cnt_pad), np.int32)
             for s in range(S):
-                idxs = np.nonzero((dnc == n) & (shard_of == s))[0]
+                idxs = balance_by_load(
+                    np.nonzero((dnc == n) & (shard_of == s))[0],
+                    post_load,
+                    DOC_BLOCK,
+                )
                 cnt = len(idxs)
                 if cnt:
                     src = np.repeat(starts_all[idxs], n) + np.tile(

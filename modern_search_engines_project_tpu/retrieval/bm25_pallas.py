@@ -70,15 +70,19 @@ def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
         onehot = (
             local_s
             == jax.lax.broadcasted_iota(jnp.int32, (pcL, DOC_BLOCK), 1)
-        ).astype(jnp.float32)
+        ).astype(jnp.bfloat16)  # 0/1: EXACT in bf16
         stacked = jnp.concatenate([v, cnt], axis=0)  # (2B, pcL)
-        # HIGHEST: bf16x3 passes — default MXU bf16 rounding costs ~4e-3
-        # relative score error, enough to reorder near-ties vs the reference
-        acc = acc + jnp.dot(
-            stacked,
-            onehot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # Error-compensated bf16x2 dot (2 MXU passes) instead of
+        # Precision.HIGHEST (6): the one-hot side is exactly representable
+        # in bf16, so only the value side needs splitting.  Residual error
+        # is ~|v| * 2^-16 per posting (vs 2^-8 for plain bf16, which round 1
+        # measured at 4e-3 relative — enough to reorder near-ties).
+        hi = stacked.astype(jnp.bfloat16)
+        lo = (stacked - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = (
+            acc
+            + jnp.dot(hi, onehot, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, onehot, preferred_element_type=jnp.float32)
         )
 
     @pl.when(j == 0)

@@ -28,6 +28,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def balance_by_load(idxs: np.ndarray, load: np.ndarray, block: int = 128) -> np.ndarray:
+    """Reorder ``idxs`` so consecutive ``block``-sized windows carry roughly
+    equal total ``load`` (posting count).
+
+    The blocked BM25 kernel pads every 128-doc block to the HEAVIEST
+    block's posting count, so clustering heavy docs (which the chunk-count
+    bucketing naturally does — long docs have both more chunks and more
+    postings) multiplies padding.  Sort by load descending and deal
+    round-robin into ceil(n/block) piles: each pile sums to ~total/piles.
+    """
+    n = len(idxs)
+    if n <= block:
+        return idxs
+    order = np.argsort(-load[idxs], kind="stable")
+    n_piles = -(-n // block)
+    pile = np.arange(n) % n_piles
+    slot = np.arange(n) // n_piles
+    # concatenate piles in order: position = pile * (pile size) + slot,
+    # with ragged pile sizes handled by lexsort
+    final = np.lexsort((slot, pile))
+    return idxs[order][final]
+
+
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """concat([arange(c) for c in counts]) without the python loop."""
     total = int(counts.sum())
@@ -156,7 +179,13 @@ class DeviceIndex:
             order = np.argsort(dnc, kind="stable")  # docs grouped by n
             perm_parts = []
             distinct = sorted(set(int(x) for x in dnc)) or [1]
-            idxs_per = [order[dnc[order] == n] for n in distinct]
+            post_load = np.bincount(
+                np.asarray(art.post_docs), minlength=n_docs
+            ).astype(np.int64)
+            idxs_per = [
+                balance_by_load(order[dnc[order] == n], post_load, DOC_BLOCK)
+                for n in distinct
+            ]
             pads = [_round_up(max(len(ix), 8), 8) for ix in idxs_per]
             # make the concatenated doc axis a DOC_BLOCK multiple; absorb
             # the rounding in the SMALLEST-stride bucket so pad slots cost
