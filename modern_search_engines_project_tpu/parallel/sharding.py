@@ -506,6 +506,70 @@ class ShardedEngineBackend:
             jnp.asarray(qvec),
         )
 
+    def dense_topk(self, qvec, k: int):
+        """Sharded exact brute-force dense retrieval (ops.dense_rank role):
+        per-shard per-doc max cosine over the bucketed bank, local top-k,
+        allgather merge.  Returns (idx, vals, win) with idx in the PERMUTED
+        global space (map back via ``doc_perm``)."""
+        from jax import shard_map
+
+        s = self.sidx
+        d_loc = s.d_loc
+        k_loc = min(k, d_loc)
+        buckets = s.buckets
+
+        def fn(bemb, bval, bstart, qv):
+            bemb = tuple(e[0] for e in bemb)
+            bval = tuple(v[0] for v in bval)
+            bstart = tuple(b[0] for b in bstart)
+            Bq = qv.shape[0]
+            score_parts, win_parts = [], []
+            for (n, cnt), emb, dv, bs in zip(buckets, bemb, bval, bstart):
+                sims = jnp.dot(
+                    qv.astype(emb.dtype),
+                    emb.T,
+                    preferred_element_type=jnp.float32,
+                ).reshape(Bq, cnt, n)
+                sims = jnp.where(dv[None, :, None], sims, -jnp.inf)
+                best = jnp.max(sims, axis=2)
+                slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
+                score_parts.append(best)
+                win_parts.append(bs[None, :] + slot)
+            doc_best = jnp.concatenate(score_parts, axis=1)  # [B, d_loc]
+            win = jnp.concatenate(win_parts, axis=1)
+            lvals, lidx = lax.top_k(doc_best, k_loc)
+            lwin = jnp.take_along_axis(win, lidx, axis=1)
+            gidx = lidx + lax.axis_index("shard") * d_loc
+            av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
+                Bq, -1
+            )
+            ai = jnp.moveaxis(lax.all_gather(gidx, "shard"), 0, 1).reshape(
+                Bq, -1
+            )
+            aw = jnp.moveaxis(lax.all_gather(lwin, "shard"), 0, 1).reshape(
+                Bq, -1
+            )
+            vals, sel = lax.top_k(av, min(k, av.shape[1]))
+            return (
+                jnp.take_along_axis(ai, sel, axis=1),
+                vals,
+                jnp.take_along_axis(aw, sel, axis=1),
+            )
+
+        nb = len(buckets)
+        ranker = jax.jit(
+            shard_map(
+                fn,
+                mesh=s.mesh,
+                in_specs=((P("shard"),) * nb,) * 3 + (P(),),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        return ranker(
+            s.bucket_emb, s.bucket_valid, s.bucket_start, jnp.asarray(qvec)
+        )
+
     def bm25_topk(self, term_ids, qtf, k: int):
         """Sharded BM25-only retrieval: local top-k + allgather merge.
 

@@ -50,6 +50,11 @@ def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
     B, T = tids_ref.shape
     pcL = terms_ref.shape[3]
 
+    # remap query pad ids -1 -> -2 ONCE so they can never collide with the
+    # posting pad id (-1); the hot loop then needs no (tid >= 0) mask —
+    # one fewer VPU op per (term, sublane) pass
+    tids_all = jnp.where(tids_ref[:] < 0, -2, tids_ref[:])  # (B, T)
+
     acc = jnp.zeros((2 * B, DOC_BLOCK), jnp.float32)
     for s in range(SUB):
         terms_s = terms_ref[0, 0, s : s + 1, :]  # (1, pcL) int32, pad -1
@@ -58,10 +63,9 @@ def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
 
         m = jnp.zeros((B, pcL), jnp.float32)
         for t in range(T):
-            tid = tids_ref[:, t : t + 1]  # (B, 1)
+            tid = tids_all[:, t : t + 1]  # (B, 1)
             q = qtf_ref[:, t : t + 1]
-            eq = (terms_s == tid) & (tid >= 0)
-            m = m + jnp.where(eq, q, 0.0)
+            m = m + jnp.where(terms_s == tid, q, 0.0)
         # qtf >= 1 for every real query term, so m > 0 <=> posting matched —
         # the match channel needs no per-term accumulation
         cnt = (m > 0.0).astype(jnp.float32)

@@ -294,13 +294,27 @@ class SearchEngine:
         pq = preprocess_query(query) if augment else query
         qvec = self.encode_queries([pq])
         d = self.didx
-        idx, vals, win = ops.dense_rank(
-            d.chunk_emb,
-            d.chunk_doc,
-            qvec,
-            n_docs_pad=d.n_docs_pad,
-            k=min(top_k, d.n_docs_pad),
-        )
+        backend = getattr(self, "_backend", None)
+        if backend is not None:
+            idx, vals, win = backend.dense_topk(
+                qvec, min(top_k, d.n_docs_pad)
+            )
+            idx = np.asarray(idx)
+            perm = getattr(self, "_result_perm", None)
+            if perm is not None:
+                idx = np.where(
+                    np.isfinite(np.asarray(vals)),
+                    perm[np.clip(idx, 0, len(perm) - 1)],
+                    idx,
+                )
+        else:
+            idx, vals, win = ops.dense_rank(
+                d.chunk_emb,
+                d.chunk_doc,
+                qvec,
+                n_docs_pad=d.n_docs_pad,
+                k=min(top_k, d.n_docs_pad),
+            )
         idx, vals, win = np.asarray(idx)[0], np.asarray(vals)[0], np.asarray(win)[0]
         out = []
         for di, v, w in zip(idx, vals, win):

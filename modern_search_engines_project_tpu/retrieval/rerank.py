@@ -138,3 +138,86 @@ def positional_adjustment(position: int, total_chunks: int) -> float:
         return 0.0
     ratio = position / (total_chunks - 1)
     return 0.10 - (0.10 + 0.05) * ratio
+
+
+def rerank_candidates(
+    art,
+    encoder,
+    query: str,
+    doc_ids: List[int],
+    similarities: List[float],
+    top_k: int = 100,
+    smoothing: float = 0.15,
+    diversification: bool = True,
+    relevance_threshold: float = 0.8,
+) -> List[RankedDoc]:
+    """Standalone rerank of externally supplied candidates — the reference's
+    POST /rerank contract (reranker_api.py:336-412): callers pass stage-1
+    doc ids + scores; this runs cosine over their chunks, per-pool min-max,
+    0.85/0.15 fusion, positional weighting, per-doc max, diversification.
+
+    Host-side numpy (candidate pools are <= ~1000 docs); the in-engine
+    device path fuses the same math — consistency is tested in
+    tests/test_rerank_endpoint.py.
+    """
+    import numpy as np
+
+    ext_to_int = {d: i for i, d in enumerate(art.doc_ids)}
+    rows = []  # (internal_doc, ord_in_doc, global_chunk, old_sim)
+    for d_ext, old in zip(doc_ids, similarities):
+        i = ext_to_int.get(int(d_ext))
+        if i is None:
+            continue
+        start = int(art.doc_chunk_start[i])
+        n = int(art.doc_n_chunks[i])
+        for o in range(n):
+            rows.append((i, o, start + o, float(old)))
+    if not rows:
+        return []
+    q = np.asarray(encoder.encode_batch([query]), np.float32)[0]
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    gids = np.array([r[2] for r in rows])
+    emb = np.asarray(art.chunk_emb)[gids]
+    norms = np.linalg.norm(emb, axis=1)
+    new = emb @ q / np.maximum(norms, 1e-12)
+    old = np.array([r[3] for r in rows], np.float32)
+
+    def minmax(v):
+        lo, hi = float(v.min()), float(v.max())
+        return np.zeros_like(v) if hi == lo else (v - lo) / (hi - lo)
+
+    fused = minmax(new) * (1.0 - smoothing) + minmax(old) * smoothing
+    old_n = minmax(old)
+
+    by_doc: dict = {}
+    for idx, (i, o, g, _) in enumerate(rows):
+        by_doc.setdefault(i, []).append(idx)
+    ranked: List[RankedDoc] = []
+    for i, idxs in by_doc.items():
+        total = len(idxs)
+        vals = {j: float(fused[j]) for j in idxs}
+        best = max(idxs, key=lambda j: (vals[j], -j))
+        if total > 1:
+            adj = positional_adjustment(rows[best][1], total)
+            vals[best] = min(1.0, max(0.0, vals[best] + adj))
+            best = max(idxs, key=lambda j: (vals[j], -j))
+        g = rows[best][2]
+        ranked.append(
+            RankedDoc(
+                doc_id=art.doc_ids[i],
+                url=art.urls[i],
+                title=art.titles[i],
+                similarity_score=vals[best],
+                original_similarity=float(old_n[best]),
+                window_index=g,
+                window_text=art.window_texts[g],
+                domain=art.domains[i],
+            )
+        )
+    ranked.sort(key=lambda r: -r.similarity_score)
+    ranked = dedup_by_base_url(ranked)
+    if diversification:
+        return hybrid_diversification(
+            ranked, relevance_threshold=relevance_threshold, top_k=top_k
+        )
+    return ranked[:top_k]

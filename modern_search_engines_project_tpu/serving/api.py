@@ -214,6 +214,78 @@ class SearchService:
             }
         )
 
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Standalone rerank endpoint — reference reranker sidecar parity
+        (POST /rerank, reranker_api.py:336-417): the caller supplies
+        stage-1 candidates {doc_ids, similarities, query}; response carries
+        document_scores + top_windows in the DocumentScore schema."""
+        from modern_search_engines_project_tpu.retrieval.rerank import (
+            rerank_candidates,
+        )
+
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid json"}, status=400)
+        doc_ids = data.get("doc_ids") or []
+        sims = data.get("similarities") or []
+        query = (data.get("query") or "").strip()
+        if not doc_ids or len(doc_ids) != len(sims) or not query:
+            return web.json_response(
+                {"error": "doc_ids, similarities and query are required"},
+                status=400,
+            )
+        eng = self.engine
+        top_k = int(data.get("top_k") or eng.cfg.top_k_reranking)
+        loop = asyncio.get_running_loop()
+        ranked = await loop.run_in_executor(
+            self._pool,
+            lambda: rerank_candidates(
+                eng.art,
+                eng.encoder,
+                query,
+                [int(d) for d in doc_ids],
+                [float(s) for s in sims],
+                top_k=top_k,
+                smoothing=eng.cfg.smoothing,
+                diversification=eng.cfg.diversification,
+                relevance_threshold=eng.cfg.diversification_threshold,
+            ),
+        )
+        if not ranked:
+            return web.json_response(
+                {"error": "No documents found for the provided doc_ids"},
+                status=401,  # reference status (reranker_api.py:349)
+            )
+
+        def window(doc):
+            return {
+                "text": doc.window_text,
+                "similarity_score": doc.similarity_score,
+                "doc_id": str(doc.doc_id),
+                "title": doc.title,
+                "window_index": doc.window_index,
+            }
+
+        return web.json_response(
+            {
+                "document_scores": [
+                    {
+                        "doc_id": str(d.doc_id),
+                        "title": d.title,
+                        "url": d.url,
+                        "similarity_score": d.similarity_score,
+                        "original_similarity": d.original_similarity,
+                        "most_relevant_window": window(d),
+                    }
+                    for d in ranked
+                ],
+                "top_windows": [window(d) for d in ranked[:top_k]],
+                "total_documents": len(ranked),
+                "total_windows": top_k,
+            }
+        )
+
     async def generate_summary(self, request: web.Request) -> web.Response:
         """Reference assistant endpoint parity
         (search_assistant/main.py:35-76)."""
@@ -285,6 +357,8 @@ class SearchService:
         app.router.add_post("/api/batch_search", self.batch_search)
         app.router.add_post("/api/batch_search_file", self.batch_search_file)
         app.router.add_post("/api/generate_summary", self.generate_summary)
+        app.router.add_post("/rerank", self.rerank)  # reference sidecar path
+        app.router.add_post("/api/rerank", self.rerank)
         app.router.add_get("/api/health", self.health)
         app.router.add_get("/api/stats", self.stats)
         app.router.add_get("/api/config", self.config_view)

@@ -79,6 +79,20 @@ class TestShardedParity:
             scores = [d.similarity_score for d in r]
             assert scores == sorted(scores, reverse=True)
 
+    def test_dense_search_matches(self, engines):
+        single, sharded = engines
+        for q in QUERIES:
+            r1 = single.dense_search(q, top_k=10)
+            r2 = sharded.dense_search(q, top_k=10)
+            assert len(r1) == len(r2) > 0, q
+            s1 = np.array([r.similarity_score for r in r1])
+            s2 = np.array([r.similarity_score for r in r2])
+            assert np.allclose(s1, s2, atol=2e-4), (q, s1, s2)
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
+
     def test_window_ids_global(self, engines):
         single, sharded = engines
         for q in QUERIES[:1]:
