@@ -273,11 +273,11 @@ def main():
     # pipe).  Guarded: if the compile service still rejects it, the bench
     # reports the pipelined numbers only.  LAST device work before the JSON
     # so a wedged tunnel cannot lose earlier results.
-    scan_ms = None
-    try:
-        import functools
+    import functools
 
-        n_scan = 16
+    def scan_measure(idx_, cfg_, dfs_, batch, n_scan, label):
+        """True device time: n_scan batches under ONE lax.scan dispatch."""
+        k_eff = min(1000, idx_.n_docs_pad)
 
         @functools.partial(jax.jit, static_argnames=("buckets",))
         def scan_loop(bt, bi, bl, bemb, bval, bstart, logits, seed0, *, buckets):
@@ -285,15 +285,15 @@ def main():
                 key = jax.random.fold_in(jax.random.key(7), seed)
                 k1, k2 = jax.random.split(key)
                 tid = jax.random.categorical(
-                    k1, logits, shape=(B, T)
+                    k1, logits, shape=(batch, T)
                 ).astype(jnp.int32)
-                qw = jnp.ones((B, T), jnp.float32)
-                qv = jax.random.normal(k2, (B, dim), jnp.float32)
+                qw = jnp.ones((batch, T), jnp.float32)
+                qv = jax.random.normal(k2, (batch, dim), jnp.float32)
                 qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
                 o = ops.hybrid_rank_buckets(
                     bt, bi, bl, bemb, bval, bstart, tid, qw, qv,
-                    n_docs_pad=didx.n_docs_pad, k_ret=k_ret,
-                    smoothing=cfg.smoothing, buckets=buckets,
+                    n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
+                    smoothing=cfg_.smoothing, buckets=buckets,
                     interpret=interpret,
                 )
                 return carry + jnp.sum(o[0][:, 0]), None
@@ -303,33 +303,62 @@ def main():
             )
             return acc
 
-        logits = jnp.log(jnp.asarray(dfs, jnp.float32))
+        logits = jnp.log(jnp.asarray(dfs_, jnp.float32))
         sargs = (
-            didx.blk_terms, didx.blk_impact, didx.blk_local,
-            didx.bucket_emb, didx.bucket_valid, didx.bucket_start, logits,
+            idx_.blk_terms, idx_.blk_impact, idx_.blk_local,
+            idx_.bucket_emb, idx_.bucket_valid, idx_.bucket_start, logits,
         )
         t0 = time.time()
-        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(0), buckets=didx.buckets)))
-        print(f"scan compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(0), buckets=idx_.buckets)))
+        comp = time.time() - t0
         t0 = time.time()
-        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=didx.buckets)))
-        scan_ms = (time.time() - t0) / n_scan * 1e3
+        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=idx_.buckets)))
+        ms = (time.time() - t0) / n_scan * 1e3
         print(
-            f"device-only (lax.scan, one dispatch per {n_scan} batches): "
-            f"{scan_ms:.3f} ms/batch of {B} "
-            f"({B / scan_ms * 1e3:.0f} q/s on-device)",
+            f"{label}: {ms:.3f} ms/batch of {batch} "
+            f"({batch / ms * 1e3:.0f} q/s on-device; compile {comp:.0f}s)",
             file=sys.stderr,
+        )
+        return ms
+
+    scan_ms = None
+    shard_b1_ms = None
+    shard_b64_ms = None
+    try:
+        scan_ms = scan_measure(
+            didx, cfg, dfs, B, 16, "device-only (lax.scan)"
+        )
+        # v5e-8 extrapolation: a doc-sharded mesh gives each chip 1/8 of the
+        # corpus; measure THAT workload's device time on the one real chip
+        # (the allgather merge adds O(B x k) over ICI, microseconds).
+        didx8, cfg8, dfs8 = make_synthetic_index(
+            n_docs=max(n_docs // 8, 1024),
+            n_terms=max(50_000, n_docs // 2),
+            avg_chunks=3.0,
+            dim=dim,
+            nnz_target=80 * n_docs // 8,
+        )
+        shard_b64_ms = scan_measure(
+            didx8, cfg8, dfs8, B, 16, "per-shard (1/8 corpus) batch-64"
+        )
+        shard_b1_ms = scan_measure(
+            didx8, cfg8, dfs8, 1, 64, "per-shard (1/8 corpus) batch-1"
         )
     except Exception as exc:  # tunnel/compile-service variance
         print(f"scan device bench unavailable: {exc}", file=sys.stderr)
 
     baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
-    extras_scan = (
-        {"device_scan_ms_per_batch64": round(scan_ms, 3),
-         "device_scan_qps": round(B / scan_ms * 1e3, 1)}
-        if scan_ms is not None
-        else {}
-    )
+    extras_scan = {}
+    if scan_ms is not None:
+        extras_scan["device_scan_ms_per_batch64"] = round(scan_ms, 3)
+        extras_scan["device_scan_qps"] = round(B / scan_ms * 1e3, 1)
+    if shard_b64_ms is not None:
+        # v5e-8 projection: whole-corpus batch latency ~= per-shard time +
+        # ICI merge; throughput ~= B / per-shard time
+        extras_scan["v5e8_per_shard_ms_b64"] = round(shard_b64_ms, 3)
+        extras_scan["v5e8_projected_qps"] = round(B / shard_b64_ms * 1e3, 1)
+    if shard_b1_ms is not None:
+        extras_scan["v5e8_per_shard_ms_b1"] = round(shard_b1_ms, 3)
     print(
         json.dumps(
             {
