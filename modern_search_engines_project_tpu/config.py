@@ -43,6 +43,10 @@ class Config:
     # ~98% recall, ~3x faster select).  Off by default for exact reference
     # parity.
     approx_candidates: bool = False
+    # U-dedup BM25 kernel: match postings against the batch's DISTINCT
+    # query terms (exact scores; auto-enabled when the distinct count is
+    # small enough to win — see engine._device_rank)
+    bm25_udedup: bool = True
     top_k_reranking: int = 100  # stage-2 results
     max_query_terms: int = 16  # static pad for jitted query scoring
     # --- fusion / rerank ---

@@ -355,22 +355,24 @@ def _sharded_hybrid_fn(
         )[:, :d_loc]
 
         # ---- stage 2: bucketed dense, pool extrema over ICI -----------------
-        sims_l, mask_l = [], []
-        lo_parts, hi_parts = [], []
-        off = 0
-        for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-            sims = jnp.dot(
+        # sims recomputed in the second pass rather than kept (see
+        # ops._hybrid_tail_buckets: persistent [B, C] buffers OOM at scale)
+        def bucket_sims(emb, cnt, n):
+            return jnp.dot(
                 qvec.astype(emb.dtype),
                 emb.T,
                 preferred_element_type=jnp.float32,
             ).reshape(B, cnt, n)
+
+        lo_parts, hi_parts = [], []
+        off = 0
+        for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
+            sims = bucket_sims(emb, cnt, n)
             mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
             lo_parts.append(jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2)))
             hi_parts.append(
                 jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
             )
-            sims_l.append(sims)
-            mask_l.append(mask3)
             off += cnt
         lo_l = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
         hi_l = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
@@ -381,9 +383,11 @@ def _sharded_hybrid_fn(
         # ---- fusion + per-doc top-2 + positional, per bucket ----------------
         score_parts, win_parts = [], []
         off = 0
-        for (n, cnt), sims, mask3, bstart in zip(
-            buckets, sims_l, mask_l, bucket_start
+        for (n, cnt), emb, dvalid, bstart in zip(
+            buckets, bucket_emb, bucket_valid, bucket_start
         ):
+            sims = bucket_sims(emb, cnt, n)
+            mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
             new_norm = jnp.where(
                 mask3 & (den_c > 0),
                 (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),

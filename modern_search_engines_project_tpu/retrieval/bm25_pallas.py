@@ -96,6 +96,179 @@ def _kernel(tids_ref, qtf_ref, terms_ref, impact_ref, localt_ref, out_ref):
     out_ref[:] += acc
 
 
+def _kernel_udedup(w_ref, uids_ref, terms_ref, impact_ref, localt_ref, out_ref):
+    """U-dedup variant of one grid step: postings are matched against the
+    batch's DISTINCT query terms once (U compares instead of B*T), then
+    per-query weights are recovered with an MXU matmul.
+
+    refs: w [2B, U] f32 (rows [0,B) qtf weights, rows [B,2B) presence 0/1);
+    uids [8, U/8] int32 laid out sublane-major (pad -2); terms/impact
+    [1, 1, 8, pcL]; localT [1, 1, pcL, 8]; out [2B, 128] f32.
+
+    Exactness: mu is 0/1 (exact in bf16); qtf weights are small integers
+    (exact in bf16); the f32-accumulated matmuls are therefore exact, and
+    the doc reduction uses the same bf16x2 compensated dot as the base
+    kernel.  The match count channel uses the presence matrix directly, so
+    admissibility semantics (matched docs with score 0) are preserved.
+    """
+    j = pl.program_id(1)
+    B2, U = w_ref.shape
+    pcL = terms_ref.shape[3]
+    u_sub = uids_ref.shape[1]
+
+    acc = jnp.zeros((B2, DOC_BLOCK), jnp.float32)
+    for s in range(SUB):
+        terms_s = terms_ref[0, 0, s : s + 1, :]  # (1, pcL)
+        impact_s = impact_ref[0, 0, s : s + 1, :]  # (1, pcL)
+        local_s = localt_ref[0, 0, :, s : s + 1]  # (pcL, 1)
+
+        # distinct-term match matrix: U compares on the VPU
+        mu_parts = []
+        for us in range(SUB):
+            uid_row = uids_ref[us : us + 1, :]  # (1, u_sub)
+            mu_parts.append(
+                (terms_s.T == uid_row).astype(jnp.bfloat16)  # (pcL, u_sub)
+            )
+        mu = jnp.concatenate(mu_parts, axis=1)  # (pcL, U) 0/1 exact
+
+        # per-query (weight, presence) via one MXU matmul: (2B,U)@(U,pcL)
+        mw = jnp.dot(
+            w_ref[:].astype(jnp.bfloat16),
+            mu.T,
+            preferred_element_type=jnp.float32,
+        )  # rows [0,B): m = sum qtf over matched; rows [B,2B): match count
+        m = mw[: B2 // 2]
+        cnt = (mw[B2 // 2 :] > 0.0).astype(jnp.float32)
+
+        v = m * impact_s
+        onehot = (
+            local_s
+            == jax.lax.broadcasted_iota(jnp.int32, (pcL, DOC_BLOCK), 1)
+        ).astype(jnp.bfloat16)
+        stacked = jnp.concatenate([v, cnt], axis=0)
+        hi = stacked.astype(jnp.bfloat16)
+        lo = (stacked - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = (
+            acc
+            + jnp.dot(hi, onehot, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, onehot, preferred_element_type=jnp.float32)
+        )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+def dedup_query_terms(term_ids, qtf, u_buckets=(128, 256, 512, 1024)):
+    """Host-side prep for the U-dedup kernel: distinct batch term ids and a
+    per-query weight/presence matrix.
+
+    Returns (uids [U_pad] int32 pad -2, w [2B, U_pad] f32) with U_pad the
+    smallest bucket holding the distinct count (bounded compiled shapes).
+    """
+    import numpy as np
+
+    tids = np.asarray(term_ids)
+    qw = np.asarray(qtf, np.float32)
+    B, T = tids.shape
+    uniq = np.unique(tids[tids >= 0])
+    U_pad = next((u for u in u_buckets if uniq.size <= u), None)
+    if U_pad is None:  # degenerate: more distinct terms than largest bucket
+        U_pad = int(-(-uniq.size // 128) * 128)
+    uids = np.full(U_pad, -2, np.int32)
+    uids[: uniq.size] = uniq
+    w = np.zeros((2 * B, U_pad), np.float32)
+    if uniq.size:
+        pos = {int(t): i for i, t in enumerate(uniq)}
+        for b in range(B):
+            for t in range(T):
+                tid = int(tids[b, t])
+                if tid >= 0:
+                    u = pos[tid]
+                    w[b, u] += qw[b, t]
+                    w[B + b, u] = 1.0
+    return uids, w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs_pad", "posting_chunk", "interpret")
+)
+def bm25_score_blocked_udedup(
+    blk_terms: jnp.ndarray,
+    blk_impact: jnp.ndarray,
+    blk_local: jnp.ndarray,
+    uids: jnp.ndarray,  # [U_pad] int32 (pad -2)
+    w: jnp.ndarray,  # [2B, U_pad] f32 (weights; presence)
+    *,
+    n_docs_pad: int,
+    posting_chunk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """U-dedup BM25 scoring: same contract as bm25_score_blocked.
+
+    Wins when batch queries share terms (VPU match work is O(U) per posting
+    row instead of O(B*T)); exact — every matmul input is bf16-exact."""
+    B2, U = w.shape
+    B = B2 // 2
+    n_blocks, p_blk = blk_terms.shape
+    if posting_chunk <= 0:
+        budget = 4 * 1024 * 1024 // (3 * 4)
+        posting_chunk = SUB * 128
+        for cand in range(SUB * 128, min(p_blk, budget) + 1, SUB * 128):
+            if p_blk % cand == 0:
+                posting_chunk = cand
+    pc = min(posting_chunk, p_blk)
+    assert p_blk % pc == 0 and pc % (SUB * 128) == 0
+    assert U % SUB == 0
+    n_chunks = p_blk // pc
+    assert n_blocks * DOC_BLOCK == n_docs_pad
+    pcL = pc // SUB
+
+    def tile(x):
+        return x.reshape(n_blocks, n_chunks, SUB, pcL)
+
+    stream_spec = pl.BlockSpec(
+        (1, 1, SUB, pcL), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    localt_spec = pl.BlockSpec(
+        (1, 1, pcL, SUB), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel_udedup,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (B2, U), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB, U // SUB), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            stream_spec,
+            stream_spec,
+            localt_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (B2, DOC_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B2, n_docs_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        w,
+        uids.reshape(SUB, U // SUB),
+        tile(blk_terms),
+        tile(blk_impact),
+        tile(blk_local).swapaxes(2, 3),
+    )
+
+    scores, matched = out[:B], out[B:] > 0.0
+    keyed = jnp.where(matched & (scores >= 0.0), scores, -1.0)
+    return jnp.concatenate(
+        [keyed, jnp.full((B, 1), -1.0, jnp.float32)], axis=1
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_docs_pad", "posting_chunk", "interpret")
 )

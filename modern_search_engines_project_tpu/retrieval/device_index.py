@@ -149,7 +149,13 @@ class DeviceIndex:
         bank_dtype=jnp.float32,
         posting_cap: Optional[int] = None,
         slot_layout: bool = True,
+        packed_device: bool = True,
     ) -> "DeviceIndex":
+        """``packed_device=False`` keeps the packed chunk bank and the CSR
+        posting copies as HOST numpy arrays: when the bucketed Pallas path
+        serves queries they are dead weight, and at 1M docs the duplicate
+        bf16 bank alone is ~4.6 GB of HBM (measured OOM at 1M with both
+        layouts resident)."""
         cfg = config or art.config
         n_docs = art.n_docs
         n_docs_pad = max(_round_up(n_docs, 128), 128)
@@ -249,15 +255,22 @@ class DeviceIndex:
             pd = np.zeros(1, np.int32)
             pi = np.zeros(1, np.float32)
 
+        # scatter-path arrays: device only when that path will serve
+        dev = jnp.asarray if packed_device else (lambda x, *a: np.asarray(x, *a))
+
         return cls(
             indptr=jnp.asarray(art.indptr, jnp.int32),
-            post_docs=jnp.asarray(pd),
-            post_impact=jnp.asarray(pi),
+            post_docs=dev(pd),
+            post_impact=dev(pi),
             blk_terms=jnp.asarray(blk_terms),
             blk_impact=jnp.asarray(blk_impact),
             blk_local=jnp.asarray(blk_local),
-            chunk_emb=jnp.asarray(chunk_emb, bank_dtype),
-            chunk_doc=jnp.asarray(chunk_doc),
+            chunk_emb=(
+                jnp.asarray(chunk_emb, bank_dtype)
+                if packed_device
+                else chunk_emb.astype(np.float32)
+            ),
+            chunk_doc=dev(chunk_doc),
             doc_chunk_start=jnp.asarray(doc_chunk_start),
             doc_n_chunks=jnp.asarray(doc_n_chunks),
             buckets=tuple(buckets),

@@ -48,10 +48,6 @@ class SearchEngine:
         self.encoder = encoder
         self.analyzer = analyzer or Analyzer()
         dtype = bank_dtype if bank_dtype is not None else jnp.float32
-        self.didx = DeviceIndex.from_artifacts(
-            artifacts, self.cfg, bank_dtype=dtype
-        )
-        self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
         # Pallas blocked BM25 kernel: the TPU fast path (bm25_pallas.py).
         # On CPU it runs in interpreter mode — correct but slow, so only
         # when explicitly requested (tests do, for parity coverage).
@@ -59,6 +55,16 @@ class SearchEngine:
         self.use_pallas = (
             use_pallas if use_pallas is not None else backend == "tpu"
         )
+        self.didx = DeviceIndex.from_artifacts(
+            artifacts,
+            self.cfg,
+            bank_dtype=dtype,
+            # when the bucketed Pallas path serves, the packed bank + CSR
+            # copies are the scatter fallback only — keep them on host
+            # (duplicate HBM residency OOMs at 1M docs)
+            packed_device=not self.use_pallas,
+        )
+        self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
         self._pallas_interpret = backend != "tpu"
         self.times = StageTimes()
         # optional stage-3: joint query x window scoring over the final list
@@ -109,6 +115,32 @@ class SearchEngine:
 
     def _device_rank(self, term_ids, qtf, qvec):
         d = self.didx
+        if self.use_pallas and d.buckets and self.cfg.bm25_udedup:
+            from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+                dedup_query_terms,
+            )
+
+            uids, w = dedup_query_terms(term_ids, qtf)
+            B, T = np.asarray(term_ids).shape
+            # VPU-ops heuristic: dedup match work ~ 2*U vs base ~ 3*T*B
+            if 2 * len(uids) <= 3 * B * T:
+                return ops.hybrid_rank_buckets_udedup(
+                    d.blk_terms,
+                    d.blk_impact,
+                    d.blk_local,
+                    d.bucket_emb,
+                    d.bucket_valid,
+                    d.bucket_start,
+                    uids,
+                    w,
+                    qvec,
+                    n_docs_pad=d.n_docs_pad,
+                    k_ret=self.k_ret,
+                    smoothing=self.cfg.smoothing,
+                    buckets=d.buckets,
+                    interpret=self._pallas_interpret,
+                    approx=self.cfg.approx_candidates,
+                )
         if self.use_pallas and d.buckets:
             return ops.hybrid_rank_buckets(
                 d.blk_terms,
@@ -299,14 +331,17 @@ class SearchEngine:
             idx, vals, win = backend.dense_topk(
                 qvec, min(top_k, d.n_docs_pad)
             )
-            idx = np.asarray(idx)
-            perm = getattr(self, "_result_perm", None)
-            if perm is not None:
-                idx = np.where(
-                    np.isfinite(np.asarray(vals)),
-                    perm[np.clip(idx, 0, len(perm) - 1)],
-                    idx,
-                )
+        elif self.use_pallas and d.buckets:
+            # bucketed layout (the packed bank stays host-side on this path)
+            idx, vals, win = ops.dense_rank_buckets(
+                d.bucket_emb,
+                d.bucket_valid,
+                d.bucket_start,
+                qvec,
+                n_docs_pad=d.n_docs_pad,
+                k=min(top_k, d.n_docs_pad),
+                buckets=d.buckets,
+            )
         else:
             idx, vals, win = ops.dense_rank(
                 d.chunk_emb,
@@ -315,6 +350,15 @@ class SearchEngine:
                 n_docs_pad=d.n_docs_pad,
                 k=min(top_k, d.n_docs_pad),
             )
+        if backend is not None or (self.use_pallas and d.buckets):
+            idx = np.asarray(idx)
+            perm = getattr(self, "_result_perm", None)
+            if perm is not None:
+                idx = np.where(
+                    np.isfinite(np.asarray(vals)),
+                    perm[np.clip(idx, 0, len(perm) - 1)],
+                    idx,
+                )
         idx, vals, win = np.asarray(idx)[0], np.asarray(vals)[0], np.asarray(win)[0]
         out = []
         for di, v, w in zip(idx, vals, win):

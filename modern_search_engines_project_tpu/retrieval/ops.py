@@ -383,6 +383,40 @@ def dense_rank(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n_docs_pad", "k", "buckets")
+)
+def dense_rank_buckets(
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k: int,
+    buckets,
+):
+    """dense_rank over the bucketed exact-stride layout (used when the
+    packed bank stays host-side).  Returned doc indices are in the PERMUTED
+    order; callers map back via DeviceIndex.doc_perm."""
+    B = qvec.shape[0]
+    score_parts, win_parts = [], []
+    for (n, cnt), emb, dv, bs in zip(
+        buckets, bucket_emb, bucket_valid, bucket_start
+    ):
+        sims = jnp.dot(
+            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+        ).reshape(B, cnt, n)
+        sims = jnp.where(dv[None, :, None], sims, -jnp.inf)
+        score_parts.append(jnp.max(sims, axis=2))
+        slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
+        win_parts.append(bs[None, :] + slot)
+    doc_best = jnp.concatenate(score_parts, axis=1)[:, :n_docs_pad]
+    win = jnp.concatenate(win_parts, axis=1)[:, :n_docs_pad]
+    vals, idx = lax.top_k(doc_best, k)
+    return idx, vals, jnp.take_along_axis(win, idx, axis=1)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("n_docs_pad", "k_ret", "smoothing", "buckets", "approx"),
 )
@@ -440,14 +474,19 @@ def _hybrid_tail_buckets(
         .set(old_norm)
     )[:, :Dp]
 
-    # ---- pass 1: per-bucket sims + masked extrema --------------------------
-    sims_l, mask_l = [], []
+    # ---- pass 1: per-bucket sims -> masked extrema only ---------------------
+    # sims are NOT kept between passes: at 1M docs / 3M chunks a [B, C]
+    # buffer per bucket is ~GBs of HBM (measured OOM); recomputing the
+    # matmul in pass 2 costs less than the HBM round trip.
+    def bucket_sims(emb, cnt, n):
+        return jnp.dot(
+            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+        ).reshape(B, cnt, n)
+
     lo_parts, hi_parts = [], []
     off = 0
     for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-        sims = jnp.dot(
-            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
-        ).reshape(B, cnt, n)
+        sims = bucket_sims(emb, cnt, n)
         mask3 = (
             cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
         )
@@ -457,19 +496,21 @@ def _hybrid_tail_buckets(
         hi_parts.append(
             jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
         )
-        sims_l.append(sims)
-        mask_l.append(mask3)
         off += cnt
     lo_c = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
     hi_c = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
     den_c = hi_c - lo_c
 
-    # ---- pass 2: normalize, fuse, per-doc top-2, positional ----------------
+    # ---- pass 2: recompute sims, normalize, fuse, top-2, positional --------
     score_parts, win_parts = [], []
     off = 0
-    for (n, cnt), sims, mask3, bstart in zip(
-        buckets, sims_l, mask_l, bucket_start
+    for (n, cnt), emb, dvalid, bstart in zip(
+        buckets, bucket_emb, bucket_valid, bucket_start
     ):
+        sims = bucket_sims(emb, cnt, n)
+        mask3 = (
+            cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
+        )
         new_norm = jnp.where(
             mask3 & (den_c > 0),
             (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
@@ -545,6 +586,56 @@ def hybrid_rank_buckets(
         blk_local,
         term_ids,
         qtf,
+        n_docs_pad=n_docs_pad,
+        interpret=interpret,
+    )
+    return _hybrid_tail_buckets(
+        bm,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+        buckets=buckets,
+        approx=approx,
+    )
+
+
+def hybrid_rank_buckets_udedup(
+    blk_terms,
+    blk_impact,
+    blk_local,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
+    uids,
+    w,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+    buckets=(),
+    interpret: bool = False,
+    approx: bool = False,
+):
+    """hybrid_rank_buckets with the U-dedup BM25 front end: postings match
+    against the batch's DISTINCT query terms (bm25_pallas.dedup_query_terms
+    prepares uids/w on host).  Exact same scores; wins whenever the batch's
+    distinct-term count is below ~1.5 * B * T (always true for shared-term
+    production batches — every augmented query carries "tuebingen")."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_blocked_udedup,
+    )
+
+    bm = bm25_score_blocked_udedup(
+        blk_terms,
+        blk_impact,
+        blk_local,
+        uids,
+        w,
         n_docs_pad=n_docs_pad,
         interpret=interpret,
     )

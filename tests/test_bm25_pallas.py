@@ -99,6 +99,100 @@ class TestPallasParity:
             }
 
 
+class TestUdedupKernel:
+    def test_kernel_matches_base(self, built):
+        import jax.numpy as jnp
+
+        from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+            bm25_score_blocked,
+            bm25_score_blocked_udedup,
+            dedup_query_terms,
+        )
+        from modern_search_engines_project_tpu.retrieval.device_index import (
+            DeviceIndex,
+        )
+
+        art, _, cfg = built
+        d = DeviceIndex.from_artifacts(art, cfg)
+        rng = np.random.default_rng(3)
+        B, T = 8, cfg.max_query_terms
+        tids = rng.integers(-1, art.n_terms, (B, T)).astype(np.int32)
+        tids[1] = tids[0]  # shared-term queries (the dedup win case)
+        tids[3, :4] = tids[2, :4]
+        qtf = np.where(tids >= 0, rng.integers(1, 4, (B, T)), 0).astype(
+            np.float32
+        )
+        base = np.asarray(
+            bm25_score_blocked(
+                d.blk_terms, d.blk_impact, d.blk_local,
+                jnp.asarray(tids), jnp.asarray(qtf),
+                n_docs_pad=d.n_docs_pad, interpret=True,
+            )
+        )
+        uids, w = dedup_query_terms(tids, qtf)
+        ud = np.asarray(
+            bm25_score_blocked_udedup(
+                d.blk_terms, d.blk_impact, d.blk_local,
+                jnp.asarray(uids), jnp.asarray(w),
+                n_docs_pad=d.n_docs_pad, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(ud, base, atol=1e-4)
+
+    def test_engine_udedup_batch_matches_scatter(self, built):
+        """A multi-query batch takes the U-dedup path (heuristic) and must
+        match the scatter reference exactly."""
+        art, enc, cfg = built
+        eng_scatter = SearchEngine(art, enc, cfg, use_pallas=False)
+        eng_ud = SearchEngine(art, enc, cfg, use_pallas=True)
+        batch = QUERIES[:3] * 3  # shared terms across the batch
+        r_ud = eng_ud.search_batch(batch, top_k=10)
+        r_sc = eng_scatter.search_batch(batch, top_k=10)
+        for q, a_list, b_list in zip(batch, r_ud, r_sc):
+            assert len(a_list) == len(b_list), q
+            for a, b in zip(a_list, b_list):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
+
+    def test_heuristic_prep(self):
+        from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+            dedup_query_terms,
+        )
+
+        tids = np.array([[5, 9, -1], [5, 2, -1]], np.int32)
+        qtf = np.array([[2.0, 1.0, 0.0], [1.0, 3.0, 0.0]], np.float32)
+        uids, w = dedup_query_terms(tids, qtf)
+        assert len(uids) == 128 and set(uids[:3]) == {2, 5, 9}
+        u = {int(t): i for i, t in enumerate(uids[:3])}
+        assert w[0, u[5]] == 2.0 and w[0, u[9]] == 1.0 and w[0, u[2]] == 0.0
+        assert w[1, u[5]] == 1.0 and w[1, u[2]] == 3.0
+        # presence rows
+        assert w[2, u[5]] == 1.0 and w[2, u[2]] == 0.0
+        assert w[3, u[2]] == 1.0
+
+
+class TestBucketedDenseSearch:
+    def test_dense_search_pallas_matches_scatter(self, built):
+        """With the packed bank host-side, dense_search runs over buckets
+        (ops.dense_rank_buckets) and must match the packed-layout path."""
+        art, enc, cfg = built
+        eng_packed = SearchEngine(art, enc, cfg, use_pallas=False)
+        eng_buckets = SearchEngine(art, enc, cfg, use_pallas=True)
+        import numpy as np_
+
+        assert isinstance(eng_buckets.didx.chunk_emb, np_.ndarray)  # host
+        for q in QUERIES[:2]:
+            r1 = eng_packed.dense_search(q, top_k=10)
+            r2 = eng_buckets.dense_search(q, top_k=10)
+            assert len(r1) == len(r2) > 0, q
+            for a, b in zip(r1, r2):
+                assert abs(a.similarity_score - b.similarity_score) < 1e-4
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
+
+
 class TestApproxCandidates:
     def test_approx_matches_exact_on_small_corpus(self, built):
         art, enc, cfg = built
