@@ -85,7 +85,12 @@ def make_synthetic_index(
 
     cfg = Config(embedding_dim=dim)
     dtype = bank_dtype if bank_dtype is not None else jnp.bfloat16
-    return DeviceIndex.from_artifacts(art, cfg, bank_dtype=dtype), cfg, dfs
+    # packed bank + CSR stay host-side: the bench drives the bucketed
+    # Pallas path only, and the duplicate bank OOMs HBM at 1M docs
+    didx = DeviceIndex.from_artifacts(
+        art, cfg, bank_dtype=dtype, packed_device=False
+    )
+    return didx, cfg, dfs
 
 
 def sample_queries(rng, n_terms, dfs, B, T, dim):

@@ -45,14 +45,12 @@ def main(argv=None):
 
         encoder = HashingEncoder(dim=cfg.embedding_dim)
     else:
-        from modern_search_engines_project_tpu.models.checkpoint import (
-            load_encoder,
-        )
         from modern_search_engines_project_tpu.models.encoder import JaxEncoder
 
-        params, enc_cfg = load_encoder(args.encoder)
-        encoder = JaxEncoder(enc_cfg, params=params)
-        cfg = cfg.replace(embedding_dim=enc_cfg.dim)
+        # from_checkpoint records ckpt_path so the artifacts' provenance
+        # lets serving auto-load the matching query encoder
+        encoder = JaxEncoder.from_checkpoint(args.encoder)
+        cfg = cfg.replace(embedding_dim=encoder.cfg.dim)
 
     if args.force:
         import shutil

@@ -102,19 +102,21 @@ def _kernel_udedup(w_ref, uids_ref, terms_ref, impact_ref, localt_ref, out_ref):
     per-query weights are recovered with an MXU matmul.
 
     refs: w [2B, U] f32 (rows [0,B) qtf weights, rows [B,2B) presence 0/1);
-    uids [8, U/8] int32 laid out sublane-major (pad -2); terms/impact
-    [1, 1, 8, pcL]; localT [1, 1, pcL, 8]; out [2B, 128] f32.
+    uids [U, 1] int32 column (pad -2); terms/impact [1, 1, 8, pcL];
+    localT [1, 1, pcL, 8]; out [2B, 128] f32.
 
     Exactness: mu is 0/1 (exact in bf16); qtf weights are small integers
     (exact in bf16); the f32-accumulated matmuls are therefore exact, and
     the doc reduction uses the same bf16x2 compensated dot as the base
     kernel.  The match count channel uses the presence matrix directly, so
     admissibility semantics (matched docs with score 0) are preserved.
+    uids ships as a column vector so the match matrix is ONE broadcast
+    compare and the weight recovery ONE dot — no in-kernel concat or
+    transpose (Mosaic rejects cross-tile shape casts).
     """
     j = pl.program_id(1)
     B2, U = w_ref.shape
     pcL = terms_ref.shape[3]
-    u_sub = uids_ref.shape[1]
 
     acc = jnp.zeros((B2, DOC_BLOCK), jnp.float32)
     for s in range(SUB):
@@ -123,18 +125,12 @@ def _kernel_udedup(w_ref, uids_ref, terms_ref, impact_ref, localt_ref, out_ref):
         local_s = localt_ref[0, 0, :, s : s + 1]  # (pcL, 1)
 
         # distinct-term match matrix: U compares on the VPU
-        mu_parts = []
-        for us in range(SUB):
-            uid_row = uids_ref[us : us + 1, :]  # (1, u_sub)
-            mu_parts.append(
-                (terms_s.T == uid_row).astype(jnp.bfloat16)  # (pcL, u_sub)
-            )
-        mu = jnp.concatenate(mu_parts, axis=1)  # (pcL, U) 0/1 exact
+        mu = (uids_ref[:] == terms_s).astype(jnp.bfloat16)  # (U, pcL)
 
         # per-query (weight, presence) via one MXU matmul: (2B,U)@(U,pcL)
         mw = jnp.dot(
             w_ref[:].astype(jnp.bfloat16),
-            mu.T,
+            mu,
             preferred_element_type=jnp.float32,
         )  # rows [0,B): m = sum qtf over matched; rows [B,2B): match count
         m = mw[: B2 // 2]
@@ -243,7 +239,7 @@ def bm25_score_blocked_udedup(
                 (B2, U), lambda i, j: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (SUB, U // SUB), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (U, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
             ),
             stream_spec,
             stream_spec,
@@ -256,7 +252,7 @@ def bm25_score_blocked_udedup(
         interpret=interpret,
     )(
         w,
-        uids.reshape(SUB, U // SUB),
+        uids.reshape(U, 1),
         tile(blk_terms),
         tile(blk_impact),
         tile(blk_local).swapaxes(2, 3),

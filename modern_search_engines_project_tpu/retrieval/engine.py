@@ -122,8 +122,10 @@ class SearchEngine:
 
             uids, w = dedup_query_terms(term_ids, qtf)
             B, T = np.asarray(term_ids).shape
-            # VPU-ops heuristic: dedup match work ~ 2*U vs base ~ 3*T*B
-            if 2 * len(uids) <= 3 * B * T:
+            # measured v5e crossover: the (2B,U)@(U,pcL) weight-recovery
+            # matmul eats the VPU savings above U ~ B*T/4 (at B=64,T=16:
+            # U_pad=128 is 20% faster, 512 slower, 1024 ~2x slower)
+            if 4 * len(uids) <= B * T:
                 return ops.hybrid_rank_buckets_udedup(
                     d.blk_terms,
                     d.blk_impact,
