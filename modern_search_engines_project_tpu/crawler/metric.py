@@ -71,8 +71,14 @@ _DE_STOP = set(
 _WORD_RE = re.compile(r"[a-zA-ZäöüÄÖÜß]+")
 
 
-def english_score(text: str, sample_chars: int = 4000) -> float:
-    """Self-contained EN-vs-DE detector: stopword-hit ratio in [0, 1]."""
+def english_score(
+    text: str, sample_chars: int = 4000, inconclusive: float = 0.3
+) -> float:
+    """Self-contained EN-vs-DE detector: stopword-hit ratio in [0, 1].
+
+    ``inconclusive`` is returned when no stopword evidence exists at all;
+    gates with permissive thresholds (merge_crawls' 0.15) pass 0.0 here so
+    evidence-free text can't slip through on the convention value."""
     words = _WORD_RE.findall(text[:sample_chars].lower())
     if len(words) < 5:
         return 0.0
@@ -80,7 +86,7 @@ def english_score(text: str, sample_chars: int = 4000) -> float:
     de = sum(1 for w in words if w in _DE_STOP)
     total = len(words)
     if en + de == 0:
-        return 0.3  # inconclusive
+        return inconclusive
     ratio = en / (en + de)
     coverage = min(1.0, (en + de) / (0.2 * total))
     return ratio * coverage
@@ -96,38 +102,54 @@ def is_english(text: str, threshold: float = 0.5) -> bool:
 # page passing either survives.  The stopword detector above is signal 1;
 # this frozen high-frequency-trigram model (character level, so it also
 # works on stopword-poor text like listings or headlines) is signal 2.
-# Shared EN/DE trigrams are deliberately excluded from both sets.
-_EN_TRIGRAMS = frozenset(
-    "the and ing ion tio ent ati for hat tha ere his ith ted ers thi wit "
-    "are was ect rea eve int est ear ain one our iti all out has hav whi "
-    "hic ill ould oul ht. ave you tis ons of. to. in. ly. ng .th e t".split()
-)
-_DE_TRIGRAMS = frozenset(
-    "der die und den ein ich sch che gen ung nde cht das ber nen ine eit "
-    "ies ite ach end ige ken auf ebe ner mit zu. ld. em. aus als wir "
-    "uer ooe fuer ueb run ran wer wie ben eine nicht".split()
+# All entries are exactly 3 chars; trigrams frequent in BOTH classes are
+# excluded from both sets.
+_EN_TRIGRAMS = frozenset((
+    "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "hat", "tha",
+    "ere", "his", "ith", "ted", "ers", "thi", "wit", "are", "was", "ect",
+    "rea", "eve", "int", "ear", "ain", "one", "our", "iti", "all", "out",
+    "has", "hav", "whi", "hic", "ill", "oul", "uld", "ave", "you", "ons",
+    "ngs", "ght", "igh", "sho", "hou", "ack",
+))
+# evidence AGAINST English: high-frequency German trigrams plus hard
+# Romance/other function words (whole-word regex below) — EN-vs-DE alone
+# let French/Spanish pages through (their trigrams overlap English's)
+_NON_EN_TRIGRAMS = frozenset((
+    "der", "die", "und", "den", "ein", "ich", "sch", "che", "gen", "ung",
+    "nde", "cht", "das", "ber", "nen", "ine", "eit", "ies", "ite", "ach",
+    "end", "ige", "ken", "auf", "ebe", "ner", "mit", "aus", "als", "wir",
+    "uer", "ueb", "wer", "wie", "ben", "zur", "vom", "bei", "hab", "ihr",
+))
+_NON_EN_CHARS = set("äöüßàâéèêëíìîïóòôúùûñçãõåøæœ¿¡")
+_NON_EN_WORD_RE = re.compile(
+    r"\b(?:le|la|les|des|une|est|que|qui|avec|pour|dans|sur|el|los|las|"
+    r"una|del|para|por|como|pero|sin|di|il|per|che|della|nel|con|una|"
+    r"het|een|van|aan|och|att|inte|jest|nie|się)\b"
 )
 
 
 def trigram_english_score(text: str, sample_chars: int = 4000) -> float:
-    """Character-trigram EN-vs-DE score in [0, 1] (independent of the
-    stopword detector's evidence)."""
+    """Character-trigram English score in [0, 1] (independent of the
+    stopword detector's evidence): EN trigram hits vs German trigrams,
+    non-ASCII letters, and non-English function words."""
     low = " ".join(text[:sample_chars].lower().split())
     if len(low) < 12:
         return 0.0
-    en = de = 0
+    en = non_en = 0
     for i in range(len(low) - 2):
         tri = low[i : i + 3]
-        if "ä" in tri or "ö" in tri or "ü" in tri or "ß" in tri:
-            de += 1  # umlauts/eszett are a hard German signal
+        if tri[0] in _NON_EN_CHARS or tri[1] in _NON_EN_CHARS or tri[2] in _NON_EN_CHARS:
+            non_en += 1  # accents/umlauts are a hard non-English signal
         elif tri in _EN_TRIGRAMS:
             en += 1
-        elif tri in _DE_TRIGRAMS:
-            de += 1
-    if en + de == 0:
+        elif tri in _NON_EN_TRIGRAMS:
+            non_en += 1
+    # whole-word evidence for languages whose trigrams overlap English's
+    non_en += 3 * len(_NON_EN_WORD_RE.findall(low))
+    if en + non_en == 0:
         return 0.3  # inconclusive
-    ratio = en / (en + de)
-    coverage = min(1.0, (en + de) / (0.02 * len(low)))
+    ratio = en / (en + non_en)
+    coverage = min(1.0, (en + non_en) / (0.02 * len(low)))
     return ratio * coverage
 
 

@@ -64,7 +64,7 @@ def merge_crawls(
             continue
         if (
             len(doc.text) >= min_text_chars
-            and english_score(doc.text) < english_threshold
+            and english_score(doc.text, inconclusive=0.0) < english_threshold
             and trigram_english_score(doc.text) < trigram_threshold
         ):
             report.dropped_language += 1

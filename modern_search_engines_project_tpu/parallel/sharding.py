@@ -51,6 +51,7 @@ from modern_search_engines_project_tpu.retrieval.device_index import (
     balance_by_load,
     build_blocked_postings,
 )
+from modern_search_engines_project_tpu.retrieval import ops
 from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
 
 
@@ -355,70 +356,26 @@ def _sharded_hybrid_fn(
         )[:, :d_loc]
 
         # ---- stage 2: bucketed dense, pool extrema over ICI -----------------
-        # sims recomputed in the second pass rather than kept (see
-        # ops._hybrid_tail_buckets: persistent [B, C] buffers OOM at scale)
-        def bucket_sims(emb, cnt, n):
-            return jnp.dot(
-                qvec.astype(emb.dtype),
-                emb.T,
-                preferred_element_type=jnp.float32,
-            ).reshape(B, cnt, n)
-
-        lo_parts, hi_parts = [], []
-        off = 0
-        for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-            sims = bucket_sims(emb, cnt, n)
-            mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-            lo_parts.append(jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2)))
-            hi_parts.append(
-                jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
-            )
-            off += cnt
-        lo_l = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
-        hi_l = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
-        lo_c = lax.pmin(lo_l, axis)  # reference normalizes over the GLOBAL
-        hi_c = lax.pmax(hi_l, axis)  # candidate pool (reranker_api.py:289)
-        den_c = hi_c - lo_c
-
-        # ---- fusion + per-doc top-2 + positional, per bucket ----------------
-        score_parts, win_parts = [], []
-        off = 0
-        for (n, cnt), emb, dvalid, bstart in zip(
-            buckets, bucket_emb, bucket_valid, bucket_start
-        ):
-            sims = bucket_sims(emb, cnt, n)
-            mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-            new_norm = jnp.where(
-                mask3 & (den_c > 0),
-                (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
-                0.0,
-            )
-            fused = jnp.where(
-                mask3,
-                new_norm * (1.0 - smoothing)
-                + old_dense[:, off : off + cnt, None] * smoothing,
-                -jnp.inf,
-            )
-            if n == 1:
-                doc_score = fused[..., 0]
-                win_slot = jnp.zeros_like(doc_score, dtype=jnp.int32)
-            else:
-                top2_vals, top2_idx = lax.top_k(fused, 2)
-                m1 = top2_vals[..., 0]
-                w1s = top2_idx[..., 0].astype(jnp.int32)
-                m2 = top2_vals[..., 1]
-                w2s = top2_idx[..., 1].astype(jnp.int32)
-                ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
-                adj = 0.10 - (0.10 + 0.05) * ratio
-                m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
-                doc_score = jnp.maximum(m1_adj, m2)
-                win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
-            score_parts.append(doc_score)
-            win_parts.append(bstart[None, :] + win_slot)
-            off += cnt
-
-        doc_score = jnp.concatenate(score_parts, axis=1)  # [B, d_loc]
-        win_gid = jnp.concatenate(win_parts, axis=1)
+        # the per-bucket math is ops.bucket_pool_extrema/bucket_fused_scores
+        # — the EXACT functions the single-chip tail runs, so the paths
+        # cannot drift; only the extrema reduction crosses shards.
+        lo_l, hi_l = ops.bucket_pool_extrema(
+            buckets, bucket_emb, bucket_valid, qvec, cand_mask
+        )
+        lo_c = lax.pmin(lo_l[:, None, None], axis)  # reference normalizes
+        hi_c = lax.pmax(hi_l[:, None, None], axis)  # over the GLOBAL pool
+        doc_score, win_gid = ops.bucket_fused_scores(
+            buckets,
+            bucket_emb,
+            bucket_valid,
+            bucket_start,
+            qvec,
+            cand_mask,
+            old_dense,
+            lo_c,
+            hi_c,
+            smoothing,
+        )  # [B, d_loc] each
 
         # ---- combine per-candidate results across shards -------------------
         scatter_c = jnp.clip(scatter_idx, 0, d_loc - 1)
@@ -527,20 +484,9 @@ class ShardedEngineBackend:
             bval = tuple(v[0] for v in bval)
             bstart = tuple(b[0] for b in bstart)
             Bq = qv.shape[0]
-            score_parts, win_parts = [], []
-            for (n, cnt), emb, dv, bs in zip(buckets, bemb, bval, bstart):
-                sims = jnp.dot(
-                    qv.astype(emb.dtype),
-                    emb.T,
-                    preferred_element_type=jnp.float32,
-                ).reshape(Bq, cnt, n)
-                sims = jnp.where(dv[None, :, None], sims, -jnp.inf)
-                best = jnp.max(sims, axis=2)
-                slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
-                score_parts.append(best)
-                win_parts.append(bs[None, :] + slot)
-            doc_best = jnp.concatenate(score_parts, axis=1)  # [B, d_loc]
-            win = jnp.concatenate(win_parts, axis=1)
+            doc_best, win = ops.bucket_dense_best(
+                buckets, bemb, bval, bstart, qv
+            )  # [B, d_loc] each (shared with the single-chip path)
             lvals, lidx = lax.top_k(doc_best, k_loc)
             lwin = jnp.take_along_axis(win, lidx, axis=1)
             gidx = lidx + lax.axis_index("shard") * d_loc

@@ -118,14 +118,19 @@ class SearchEngine:
         if self.use_pallas and d.buckets and self.cfg.bm25_udedup:
             from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
                 dedup_query_terms,
+                u_pad_for,
             )
 
-            uids, w = dedup_query_terms(term_ids, qtf)
-            B, T = np.asarray(term_ids).shape
+            tids_np = np.asarray(term_ids)
+            B, T = tids_np.shape
+            u_pad = u_pad_for(int(np.unique(tids_np[tids_np >= 0]).size))
             # measured v5e crossover: the (2B,U)@(U,pcL) weight-recovery
             # matmul eats the VPU savings above U ~ B*T/4 (at B=64,T=16:
-            # U_pad=128 is 20% faster, 512 slower, 1024 ~2x slower)
-            if 4 * len(uids) <= B * T:
+            # U_pad=128 is 20% faster, 512 slower, 1024 ~2x slower).
+            # Gate BEFORE building the weight matrix — batch-1 traffic can
+            # never qualify and must not pay the prep on its hot path.
+            if 4 * u_pad <= B * T:
+                uids, w = dedup_query_terms(term_ids, qtf)
                 return ops.hybrid_rank_buckets_udedup(
                     d.blk_terms,
                     d.blk_impact,

@@ -382,6 +382,113 @@ def dense_rank(
     return idx, vals, win
 
 
+# ---- shared per-bucket scoring (single-chip tail AND the sharded SPMD fn
+# call these; the two paths must stay in exact parity) -----------------------
+
+
+def _bucket_sims(qvec, emb, cnt: int, n: int):
+    B = qvec.shape[0]
+    return jnp.dot(
+        qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+    ).reshape(B, cnt, n)
+
+
+def bucket_pool_extrema(buckets, bucket_emb, bucket_valid, qvec, cand_mask):
+    """Pass 1: masked cosine extrema over the candidate pool -> (lo, hi)
+    each [B] (sims are transient — recomputed in pass 2, see
+    _hybrid_tail_buckets memory note)."""
+    lo_parts, hi_parts = [], []
+    off = 0
+    for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
+        sims = _bucket_sims(qvec, emb, cnt, n)
+        mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
+        lo_parts.append(jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2)))
+        hi_parts.append(
+            jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
+        )
+        off += cnt
+    return (
+        jnp.min(jnp.stack(lo_parts), axis=0),
+        jnp.max(jnp.stack(hi_parts), axis=0),
+    )
+
+
+def bucket_fused_scores(
+    buckets,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
+    qvec,
+    cand_mask,
+    old_dense,
+    lo_c,
+    hi_c,
+    smoothing: float,
+):
+    """Pass 2: normalize/fuse/per-doc-top-2/positional over every bucket
+    -> (doc_score [B, sum cnt], win_gid [B, sum cnt]).  lo_c/hi_c are the
+    candidate-pool extrema ([B,1,1]), global across shards in SPMD use."""
+    den_c = hi_c - lo_c
+    score_parts, win_parts = [], []
+    off = 0
+    for (n, cnt), emb, dvalid, bstart in zip(
+        buckets, bucket_emb, bucket_valid, bucket_start
+    ):
+        sims = _bucket_sims(qvec, emb, cnt, n)
+        mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
+        new_norm = jnp.where(
+            mask3 & (den_c > 0),
+            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
+            0.0,
+        )
+        fused = jnp.where(
+            mask3,
+            new_norm * (1.0 - smoothing)
+            + old_dense[:, off : off + cnt, None] * smoothing,
+            -jnp.inf,
+        )
+        if n == 1:
+            doc_score = fused[..., 0]
+            win_slot = jnp.zeros_like(doc_score, dtype=jnp.int32)
+        else:
+            top2_vals, top2_idx = lax.top_k(fused, 2)
+            m1 = top2_vals[..., 0]
+            w1s = top2_idx[..., 0].astype(jnp.int32)
+            m2 = top2_vals[..., 1]
+            w2s = top2_idx[..., 1].astype(jnp.int32)
+            ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
+            adj = 0.10 - (0.10 + 0.05) * ratio
+            m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
+            doc_score = jnp.maximum(m1_adj, m2)
+            win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
+        score_parts.append(doc_score)
+        win_parts.append(bstart[None, :] + win_slot)
+        off += cnt
+    return (
+        jnp.concatenate(score_parts, axis=1),
+        jnp.concatenate(win_parts, axis=1),
+    )
+
+
+def bucket_dense_best(buckets, bucket_emb, bucket_valid, bucket_start, qvec):
+    """Brute-force dense per-doc best over every bucket ->
+    (doc_best [B, sum cnt], win_gid [B, sum cnt])."""
+    score_parts, win_parts = [], []
+    for (n, cnt), emb, dv, bs in zip(
+        buckets, bucket_emb, bucket_valid, bucket_start
+    ):
+        sims = jnp.where(
+            dv[None, :, None], _bucket_sims(qvec, emb, cnt, n), -jnp.inf
+        )
+        score_parts.append(jnp.max(sims, axis=2))
+        slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
+        win_parts.append(bs[None, :] + slot)
+    return (
+        jnp.concatenate(score_parts, axis=1),
+        jnp.concatenate(win_parts, axis=1),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_docs_pad", "k", "buckets")
 )
@@ -398,20 +505,10 @@ def dense_rank_buckets(
     """dense_rank over the bucketed exact-stride layout (used when the
     packed bank stays host-side).  Returned doc indices are in the PERMUTED
     order; callers map back via DeviceIndex.doc_perm."""
-    B = qvec.shape[0]
-    score_parts, win_parts = [], []
-    for (n, cnt), emb, dv, bs in zip(
-        buckets, bucket_emb, bucket_valid, bucket_start
-    ):
-        sims = jnp.dot(
-            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
-        ).reshape(B, cnt, n)
-        sims = jnp.where(dv[None, :, None], sims, -jnp.inf)
-        score_parts.append(jnp.max(sims, axis=2))
-        slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
-        win_parts.append(bs[None, :] + slot)
-    doc_best = jnp.concatenate(score_parts, axis=1)[:, :n_docs_pad]
-    win = jnp.concatenate(win_parts, axis=1)[:, :n_docs_pad]
+    doc_best, win = bucket_dense_best(
+        buckets, bucket_emb, bucket_valid, bucket_start, qvec
+    )
+    doc_best, win = doc_best[:, :n_docs_pad], win[:, :n_docs_pad]
     vals, idx = lax.top_k(doc_best, k)
     return idx, vals, jnp.take_along_axis(win, idx, axis=1)
 
@@ -474,75 +571,25 @@ def _hybrid_tail_buckets(
         .set(old_norm)
     )[:, :Dp]
 
-    # ---- pass 1: per-bucket sims -> masked extrema only ---------------------
+    # ---- pass 1: masked extrema; pass 2: recompute + fuse -------------------
     # sims are NOT kept between passes: at 1M docs / 3M chunks a [B, C]
     # buffer per bucket is ~GBs of HBM (measured OOM); recomputing the
     # matmul in pass 2 costs less than the HBM round trip.
-    def bucket_sims(emb, cnt, n):
-        return jnp.dot(
-            qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
-        ).reshape(B, cnt, n)
-
-    lo_parts, hi_parts = [], []
-    off = 0
-    for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-        sims = bucket_sims(emb, cnt, n)
-        mask3 = (
-            cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-        )
-        lo_parts.append(
-            jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2))
-        )
-        hi_parts.append(
-            jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
-        )
-        off += cnt
-    lo_c = jnp.min(jnp.stack(lo_parts), axis=0)[:, None, None]
-    hi_c = jnp.max(jnp.stack(hi_parts), axis=0)[:, None, None]
-    den_c = hi_c - lo_c
-
-    # ---- pass 2: recompute sims, normalize, fuse, top-2, positional --------
-    score_parts, win_parts = [], []
-    off = 0
-    for (n, cnt), emb, dvalid, bstart in zip(
-        buckets, bucket_emb, bucket_valid, bucket_start
-    ):
-        sims = bucket_sims(emb, cnt, n)
-        mask3 = (
-            cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-        )
-        new_norm = jnp.where(
-            mask3 & (den_c > 0),
-            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
-            0.0,
-        )
-        fused = jnp.where(
-            mask3,
-            new_norm * (1.0 - smoothing)
-            + old_dense[:, off : off + cnt, None] * smoothing,
-            -jnp.inf,
-        )
-        if n == 1:
-            m1 = fused[..., 0]
-            doc_score = m1  # single-chunk docs: no positional adjustment
-            win_slot = jnp.zeros_like(m1, dtype=jnp.int32)
-        else:
-            top2_vals, top2_idx = lax.top_k(fused, 2)
-            m1 = top2_vals[..., 0]
-            w1s = top2_idx[..., 0].astype(jnp.int32)
-            m2 = top2_vals[..., 1]
-            w2s = top2_idx[..., 1].astype(jnp.int32)
-            ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
-            adj = 0.10 - (0.10 + 0.05) * ratio
-            m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
-            doc_score = jnp.maximum(m1_adj, m2)
-            win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
-        score_parts.append(doc_score)
-        win_parts.append(bstart[None, :] + win_slot)
-        off += cnt
-
-    doc_score = jnp.concatenate(score_parts, axis=1)  # [B, Dp]
-    win = jnp.concatenate(win_parts, axis=1)
+    lo, hi = bucket_pool_extrema(
+        buckets, bucket_emb, bucket_valid, qvec, cand_mask
+    )
+    doc_score, win = bucket_fused_scores(
+        buckets,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
+        qvec,
+        cand_mask,
+        old_dense,
+        lo[:, None, None],
+        hi[:, None, None],
+        smoothing,
+    )  # [B, Dp] each
 
     cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
     cand_win = jnp.take_along_axis(win, top_idx, axis=1)

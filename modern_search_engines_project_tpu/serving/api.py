@@ -235,6 +235,15 @@ class SearchService:
                 {"error": "doc_ids, similarities and query are required"},
                 status=400,
             )
+        try:
+            doc_ids = [int(d) for d in doc_ids]
+            sims = [float(s) for s in sims]
+        except (TypeError, ValueError):
+            return web.json_response(
+                {"error": "doc_ids must be integers and similarities "
+                          "numbers"},
+                status=400,
+            )
         eng = self.engine
         top_k = int(data.get("top_k") or eng.cfg.top_k_reranking)
         loop = asyncio.get_running_loop()
@@ -244,8 +253,8 @@ class SearchService:
                 eng.art,
                 eng.encoder,
                 query,
-                [int(d) for d in doc_ids],
-                [float(s) for s in sims],
+                doc_ids,
+                sims,
                 top_k=top_k,
                 smoothing=eng.cfg.smoothing,
                 diversification=eng.cfg.diversification,

@@ -183,6 +183,32 @@ class TestMetric:
         )
         assert not is_probably_english(de)
 
+    def test_third_languages_rejected(self):
+        # the trigram detector must not confuse Romance languages with
+        # English (their trigram distributions overlap English's heavily)
+        from modern_search_engines_project_tpu.crawler.metric import (
+            english_score,
+            trigram_english_score,
+        )
+
+        fr = (
+            "L'université est l'une des plus anciennes du pays et les "
+            "étudiants sont satisfaits de la qualité des cours."
+        )
+        es = (
+            "La universidad es una de las más antiguas del país y los "
+            "estudiantes están contentos con la calidad de los cursos."
+        )
+        it = (
+            "L'università è una delle più antiche del paese e gli "
+            "studenti sono soddisfatti della qualità dei corsi."
+        )
+        for text in (fr, es, it):
+            assert trigram_english_score(text) < 0.3, text
+            # the permissive merge gate passes inconclusive=0.0, so
+            # evidence-free text cannot ride the 0.3 convention value
+            assert english_score(text, inconclusive=0.0) < 0.15, text
+
     def test_text_relevance(self):
         relevant = (
             "The University of Tuebingen is a research institute in "

@@ -117,6 +117,13 @@ class TestRerankEndpoint:
         async def body(client):
             resp = await client.post("/rerank", json={"query": "x"})
             assert resp.status == 400
+            # malformed values are a client error (400), not a 500
+            resp = await client.post(
+                "/rerank",
+                json={"doc_ids": ["abc"], "similarities": [0.5],
+                      "query": "x"},
+            )
+            assert resp.status == 400
             resp = await client.post(
                 "/rerank",
                 json={"doc_ids": [123456], "similarities": [1.0],
