@@ -236,27 +236,33 @@ class SearchEngine:
         out: List[List[RankedDoc]] = []
         fmt_timer = stage_timer("format_diversify", self.times)
         fmt_timer.__enter__()
+        # one vectorized numpy->python conversion per batch: per-element
+        # np-scalar casts in the candidate loop were the serving host
+        # bottleneck (~1000 candidates x B x 5 fields)
+        n_valid = valid.sum(axis=1).tolist()
+        doc_l, vals_l = doc.tolist(), vals.tolist()
+        old_l, win_l = old.tolist(), win.tolist()
+        n_docs_real = len(self.art.doc_ids)
+        n_wins = len(self.art.window_texts)
         for b in range(n_real):
             ranked: List[RankedDoc] = []
-            for j in range(doc.shape[1]):
-                if not valid[b, j]:
-                    break  # invalid candidates sort to the tail
-                d = int(doc[b, j])
-                if not (0 <= d < len(self.art.doc_ids)):
+            db, vb, ob, wb = doc_l[b], vals_l[b], old_l[b], win_l[b]
+            for j in range(n_valid[b]):  # invalid candidates sort to tail
+                d = db[j]
+                if not (0 <= d < n_docs_real):
                     continue
-                w = int(win[b, j])
-                w_ok = 0 <= w < len(self.art.window_texts)
+                w = wb[j]
+                w_ok = 0 <= w < n_wins
                 w = w if w_ok else 0
-                wtext = self.art.window_texts[w] if w_ok else ""
                 ranked.append(
                     RankedDoc(
                         doc_id=self.art.doc_ids[d],
                         url=self.art.urls[d],
                         title=self.art.titles[d],
-                        similarity_score=float(vals[b, j]),
-                        original_similarity=float(old[b, j]),
+                        similarity_score=vb[j],
+                        original_similarity=ob[j],
                         window_index=w,
-                        window_text=wtext,
+                        window_text=self.art.window_texts[w] if w_ok else "",
                         domain=self.art.domains[d],
                     )
                 )
