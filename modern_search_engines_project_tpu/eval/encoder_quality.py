@@ -183,6 +183,70 @@ def train_and_compare(
     return results, trained
 
 
+def cross_encoder_mrr(reranker, corpus: SemanticCorpus, negatives: int = 8,
+                      relevant: int = 2, seed: int = 0) -> float:
+    """MRR of the first relevant candidate after joint rescoring: each
+    held-out query gets ``relevant`` on-topic docs mixed with ``negatives``
+    off-topic ones."""
+    r = random.Random(seed)
+    topics = np.asarray(corpus.eval_doc_topics)
+    mrrs = []
+    for q, t in zip(corpus.eval_queries, corpus.eval_query_topics):
+        rel = [corpus.eval_docs[i] for i in np.nonzero(topics == t)[0][:relevant]]
+        irr_pool = np.nonzero(topics != t)[0]
+        cands = rel + [
+            corpus.eval_docs[irr_pool[r.randrange(len(irr_pool))]]
+            for _ in range(negatives)
+        ]
+        order = np.argsort(-reranker.rescore(q, cands))
+        first_rel = int(np.nonzero(order < len(rel))[0].min()) + 1
+        mrrs.append(1.0 / first_rel)
+    return float(np.mean(mrrs))
+
+
+def train_and_compare_cross_encoder(
+    n_topics: int = 8,
+    n_train_pairs: int = 600,
+    dim: int = 64,
+    vocab_size: int = 8192,
+    max_len: int = 32,
+    lr: float = 3e-3,
+    epochs: int = 1,
+    batch_size: int = 32,
+    seed: int = 0,
+):
+    """Train the stage-3 cross-encoder on the semantic corpus and compare
+    joint-rescoring MRR against an untrained one (the analog of the
+    bi-encoder demonstration for the optional cross-encoder extension)."""
+    from modern_search_engines_project_tpu.models.cross_encoder import (
+        CrossEncoderReranker,
+        train_cross_encoder,
+    )
+    from modern_search_engines_project_tpu.models.encoder import EncoderConfig
+
+    corpus = semantic_corpus(n_topics, n_train_pairs, seed=seed)
+    cfg = EncoderConfig(
+        vocab_size=vocab_size,
+        dim=dim,
+        n_layers=1,
+        n_heads=max(2, dim // 16),
+        mlp_ratio=2,
+        max_len=max_len,
+    )
+    triples = random_negative_triples(corpus.train_pairs, 1, seed=3)
+    trained, losses = train_cross_encoder(
+        triples, cfg, epochs=epochs, batch_size=batch_size,
+        learning_rate=lr, max_len=max_len,
+    )
+    untrained = CrossEncoderReranker(cfg, max_len=max_len, seed=1)
+    return {
+        "untrained_mrr": cross_encoder_mrr(untrained, corpus),
+        "trained_mrr": cross_encoder_mrr(trained, corpus),
+        "final_loss": losses[-1] if losses else float("nan"),
+        "steps": len(losses),
+    }
+
+
 def main(argv=None):
     import argparse
     import json

@@ -54,6 +54,18 @@ class TestTrainedBeatsHashing:
         assert t["mrr"] > h["mrr"] + 0.4, results
 
     @pytest.mark.slow
+    def test_cross_encoder_quality_win(self):
+        """The optional stage-3 cross-encoder must beat an untrained one at
+        joint rescoring (MRR over relevant-vs-offtopic candidates)."""
+        from modern_search_engines_project_tpu.eval.encoder_quality import (
+            train_and_compare_cross_encoder,
+        )
+
+        r = train_and_compare_cross_encoder()
+        assert r["trained_mrr"] > 0.6, r
+        assert r["trained_mrr"] > r["untrained_mrr"] + 0.2, r
+
+    @pytest.mark.slow
     def test_checkpoint_roundtrip_preserves_quality(self, tmp_path):
         from modern_search_engines_project_tpu.models import JaxEncoder
 
