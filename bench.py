@@ -329,6 +329,8 @@ def main():
     scan_ms = None
     shard_b1_ms = None
     shard_b64_ms = None
+    half_b1_ms = None
+    half_b64_ms = None
     try:
         scan_ms = scan_measure(
             didx, cfg, dfs, B, 16, "device-only (lax.scan)"
@@ -349,6 +351,23 @@ def main():
         shard_b1_ms = scan_measure(
             didx8, cfg8, dfs8, 1, 64, "per-shard (1/8 corpus) batch-1"
         )
+        # the BOTH-targets deployment shape: 2-way doc shard x 4-way
+        # replica on a v5e-8 — each chip holds HALF the corpus; p50 is the
+        # per-shard batch-1 time + an O(B x k) ICI merge, throughput is
+        # 4 replica groups x (B / per-shard batch time)
+        didx2, cfg2, dfs2 = make_synthetic_index(
+            n_docs=max(n_docs // 2, 1024),
+            n_terms=max(50_000, n_docs // 2),
+            avg_chunks=3.0,
+            dim=dim,
+            nnz_target=80 * n_docs // 2,
+        )
+        half_b1_ms = scan_measure(
+            didx2, cfg2, dfs2, 1, 64, "per-shard-of-2 (deployment) batch-1"
+        )
+        half_b64_ms = scan_measure(
+            didx2, cfg2, dfs2, B, 16, "per-shard-of-2 (deployment) batch-64"
+        )
     except Exception as exc:  # tunnel/compile-service variance
         print(f"scan device bench unavailable: {exc}", file=sys.stderr)
 
@@ -364,6 +383,10 @@ def main():
         extras_scan["v5e8_projected_qps"] = round(B / shard_b64_ms * 1e3, 1)
     if shard_b1_ms is not None:
         extras_scan["v5e8_per_shard_ms_b1"] = round(shard_b1_ms, 3)
+    if half_b1_ms is not None and half_b64_ms is not None:
+        # 2-shard x 4-replica v5e-8: p50 and throughput targets together
+        extras_scan["v5e8_2x4_p50_ms"] = round(half_b1_ms, 3)
+        extras_scan["v5e8_2x4_qps"] = round(4 * B / half_b64_ms * 1e3, 1)
     print(
         json.dumps(
             {

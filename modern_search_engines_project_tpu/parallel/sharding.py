@@ -61,6 +61,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh_2d(dp: int, shard: int) -> Mesh:
+    """2-D deployment mesh: the index is sharded over ``shard`` (memory
+    scaling) and replicated over ``dp`` (query-batch data parallelism, no
+    collectives).  dp=8, shard=1 = pure replication (max throughput when
+    the index fits one chip); dp=1, shard=8 = pure sharding (max corpus).
+    The scaling knobs of the v5e-8 deployment (see README benchmarks)."""
+    devs = jax.devices()
+    assert dp * shard <= len(devs), (dp, shard, len(devs))
+    return Mesh(
+        np.array(devs[: dp * shard]).reshape(dp, shard), ("dp", "shard")
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -106,7 +119,9 @@ class ShardedDeviceIndex:
         posting_cap: Optional[int] = None,
     ) -> "ShardedDeviceIndex":
         cfg = config or art.config
-        S = mesh.devices.size
+        # 2-D (dp, shard) meshes replicate the index over dp (P("shard")
+        # placement does this for free) and split query batches over dp
+        S = dict(mesh.shape).get("shard", mesh.devices.size)
         n_docs = art.n_docs
         V = art.n_terms
         dim = art.chunk_emb.shape[1]
@@ -437,22 +452,41 @@ class ShardedEngineBackend:
         )
         nb = len(s.buckets)
         sharded = P("shard")
-        repl = P()
+        # query batches split over dp when present (index is replicated
+        # across dp by the P("shard") placement)
+        self.dp = dict(mesh.shape).get("dp", 1)
+        qspec = P("dp") if "dp" in mesh.axis_names else P()
+        self._qspec = qspec
         self._ranker = jax.jit(
             shard_map(
                 fn,
                 mesh=mesh,
                 in_specs=(sharded,) * 6
                 + ((sharded,) * nb,) * 3
-                + (repl, repl, repl),
-                out_specs=(repl, repl, repl, repl, repl),
+                + (qspec, qspec, qspec),
+                out_specs=(qspec,) * 5,
                 check_vma=False,
             )
         )
 
+    def _pad_dp(self, *arrays):
+        """Pad the batch axis to a dp multiple (shard_map needs it even)."""
+        B = arrays[0].shape[0]
+        pad = (-B) % self.dp
+        if not pad:
+            return B, arrays
+        return B, tuple(
+            np.concatenate([np.asarray(a), np.zeros((pad,) + a.shape[1:],
+                                                    np.asarray(a).dtype)])
+            for a in arrays
+        )
+
     def rank(self, term_ids, qtf, qvec):
         s = self.sidx
-        return self._ranker(
+        B, (term_ids, qtf, qvec) = self._pad_dp(
+            np.asarray(term_ids), np.asarray(qtf), np.asarray(qvec)
+        )
+        out = self._ranker(
             s.indptr,
             s.post_docs,
             s.post_impact,
@@ -466,6 +500,7 @@ class ShardedEngineBackend:
             jnp.asarray(qtf),
             jnp.asarray(qvec),
         )
+        return tuple(x[:B] for x in out)
 
     def dense_topk(self, qvec, k: int):
         """Sharded exact brute-force dense retrieval (ops.dense_rank role):
@@ -511,13 +546,18 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=s.mesh,
-                in_specs=((P("shard"),) * nb,) * 3 + (P(),),
-                out_specs=(P(), P(), P()),
+                in_specs=((P("shard"),) * nb,) * 3 + (self._qspec,),
+                out_specs=(self._qspec,) * 3,
                 check_vma=False,
             )
         )
-        return ranker(
-            s.bucket_emb, s.bucket_valid, s.bucket_start, jnp.asarray(qvec)
+        B, (qvec,) = self._pad_dp(np.asarray(qvec))
+        return tuple(
+            x[:B]
+            for x in ranker(
+                s.bucket_emb, s.bucket_valid, s.bucket_start,
+                jnp.asarray(qvec),
+            )
         )
 
     def bm25_topk(self, term_ids, qtf, k: int):
@@ -556,15 +596,21 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=s.mesh,
-                in_specs=(P("shard"),) * 3 + (P(), P()),
-                out_specs=(P(), P()),
+                in_specs=(P("shard"),) * 3 + (self._qspec, self._qspec),
+                out_specs=(self._qspec, self._qspec),
                 check_vma=False,
             )
         )
-        return ranker(
-            s.indptr,
-            s.post_docs,
-            s.post_impact,
-            jnp.asarray(term_ids),
-            jnp.asarray(qtf),
+        B, (term_ids, qtf) = self._pad_dp(
+            np.asarray(term_ids), np.asarray(qtf)
+        )
+        return tuple(
+            x[:B]
+            for x in ranker(
+                s.indptr,
+                s.post_docs,
+                s.post_impact,
+                jnp.asarray(term_ids),
+                jnp.asarray(qtf),
+            )
         )

@@ -171,6 +171,52 @@ class TestShardedBucketLayout:
                 ) < 1e-4, q
 
 
+class TestDeploymentMeshes:
+    """2-D (dp, shard) meshes: dp replicates the index for query-batch data
+    parallelism; shard partitions documents.  All shapes must reproduce the
+    single-chip results exactly."""
+
+    @pytest.mark.parametrize("dp,shard", [(8, 1), (2, 4), (4, 2)])
+    def test_2d_mesh_matches_single(self, engines, dp, shard):
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        single, _ = engines
+        art, cfg = single.art, single.cfg
+        enc = single.encoder
+        eng2d = SearchEngine.sharded(art, enc, make_mesh_2d(dp, shard), cfg)
+        assert eng2d.didx.n_shards == shard
+        # batch path exercises the dp split (batch 6 pads to dp multiple)
+        res_b = eng2d.search_batch(QUERIES * 2, top_k=10)
+        ref_b = single.search_batch(QUERIES * 2, top_k=10)
+        for a_list, b_list in zip(res_b, ref_b):
+            assert len(a_list) == len(b_list)
+            for a, b in zip(a_list, b_list):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4
+        # single query (B=1 < dp: padding path)
+        r1 = single.search(QUERIES[0], top_k=10)
+        r2 = eng2d.search(QUERIES[0], top_k=10)
+        s1 = np.array([r.similarity_score for r in r1])
+        s2 = np.array([r.similarity_score for r in r2])
+        assert np.allclose(s1, s2, atol=2e-4)
+        # bm25-only and dense-only paths
+        b1 = single.bm25_search(QUERIES[0], top_k=20)
+        b2 = eng2d.bm25_search(QUERIES[0], top_k=20)
+        assert np.allclose(
+            [r["score"] for r in b1], [r["score"] for r in b2], atol=1e-4
+        )
+        d1 = single.dense_search(QUERIES[0], top_k=10)
+        d2 = eng2d.dense_search(QUERIES[0], top_k=10)
+        assert np.allclose(
+            [r.similarity_score for r in d1],
+            [r.similarity_score for r in d2],
+            atol=2e-4,
+        )
+
+
 class TestShardedPallas:
     def test_sharded_pallas_matches_scatter(self, engines, eight_devices):
         import numpy as np
