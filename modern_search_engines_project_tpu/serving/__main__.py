@@ -143,6 +143,10 @@ def main():
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument("--sharded", action="store_true",
                         help="shard the index over all visible devices")
+    parser.add_argument("--mesh", default=None, metavar="DP,SHARD",
+                        help="2-D deployment mesh: DP index replicas x "
+                             "SHARD document shards (e.g. 4,2 meets both "
+                             "the p50 and throughput targets on a v5e-8)")
     parser.add_argument("--queries", default="queries.txt")
     parser.add_argument("--encoder-ckpt", default=None,
                         help="trained encoder checkpoint dir (models/"
@@ -167,7 +171,14 @@ def main():
         cfg = DEFAULT_CONFIG
         art, enc = _demo_artifacts(cfg)
 
-    if args.sharded:
+    if args.mesh:
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        dp, shard = (int(x) for x in args.mesh.split(","))
+        engine = SearchEngine.sharded(art, enc, make_mesh_2d(dp, shard), cfg)
+    elif args.sharded:
         from modern_search_engines_project_tpu.parallel import make_mesh
 
         engine = SearchEngine.sharded(art, enc, make_mesh(), cfg)
