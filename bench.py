@@ -37,6 +37,7 @@ def make_synthetic_index(
     nnz_target: int,
     seed: int = 0,
     bank_dtype=None,
+    bm25_layout: str = "slots",
 ):
     import jax.numpy as jnp
 
@@ -88,7 +89,8 @@ def make_synthetic_index(
     # packed bank + CSR stay host-side: the bench drives the bucketed
     # Pallas path only, and the duplicate bank OOMs HBM at 1M docs
     didx = DeviceIndex.from_artifacts(
-        art, cfg, bank_dtype=dtype, packed_device=False
+        art, cfg, bank_dtype=dtype, packed_device=False,
+        bm25_layout=bm25_layout,
     )
     return didx, cfg, dfs
 

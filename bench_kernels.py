@@ -1,0 +1,142 @@
+"""A/B bench: doc-slot vs doc-major-blocked BM25 Pallas kernels.
+
+Measures kernel device time with the scan-in-one-dispatch methodology
+(queries generated on-device, N iterations under one lax.scan, one end
+sync) at configurable corpus size.  Not part of the driver bench —
+a tool for kernel work; results recorded in NOTES.md / docs/METRICS.md.
+
+    python bench_kernels.py [n_docs] [which]
+      which: all | slots | blocked | slots_ud | blocked_ud (default all)
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+from bench import make_synthetic_index
+
+T = 16
+DIM = 768
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from modern_search_engines_project_tpu.retrieval import bm25_pallas as bp
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    interpret = jax.default_backend() == "cpu"
+    n_terms = max(50_000, n_docs // 2)
+
+    t0 = time.time()
+    didx_s, cfg, dfs = make_synthetic_index(
+        n_docs, n_terms, 3.0, DIM, 80 * n_docs, bm25_layout="slots"
+    )
+    print(f"index built in {time.time()-t0:.1f}s nnz={didx_s.nnz} "
+          f"slot_classes={[t.shape for t in didx_s.slot_terms]}",
+          file=sys.stderr)
+    slot_pad = sum(int(np.prod(t.shape)) for t in didx_s.slot_terms)
+    blk_pad = int(np.prod(np.asarray(didx_s.blk_terms).shape))
+    print(f"padding: slots {slot_pad/didx_s.nnz:.2f}x "
+          f"blocked {blk_pad/didx_s.nnz:.2f}x of nnz", file=sys.stderr)
+
+    logits = jnp.log(jnp.asarray(dfs, jnp.float32))
+
+    def scan_kernel(runner_args, fn, B, n_scan, label, udedup=False):
+        """n_scan kernel calls under ONE lax.scan; queries device-generated."""
+
+        @jax.jit
+        def loop(args, seed0):
+            def one(carry, seed):
+                key = jax.random.fold_in(jax.random.key(7), seed)
+                tid = jax.random.categorical(
+                    key, logits, shape=(B, T)
+                ).astype(jnp.int32)
+                qw = jnp.ones((B, T), jnp.float32)
+                if udedup:
+                    # device-side dedup prep is host logic; approximate the
+                    # U-dedup steady state with a FIXED uids set + per-seed
+                    # weights (same kernel work as production batches)
+                    U = 128
+                    uids = jnp.arange(U, dtype=jnp.int32)  # common terms
+                    w = jnp.abs(
+                        jax.random.normal(key, (2 * B, U), jnp.float32)
+                    )
+                    o = fn(*args, uids, w)
+                else:
+                    o = fn(*args, tid, qw)
+                return carry + jnp.sum(o[:, 0]), None
+
+            acc, _ = jax.lax.scan(
+                one, jnp.zeros((), jnp.float32), seed0 + jnp.arange(n_scan)
+            )
+            return acc
+
+        t0 = time.time()
+        _ = float(np.asarray(loop(runner_args, jnp.int32(0))))
+        comp = time.time() - t0
+        t0 = time.time()
+        _ = float(np.asarray(loop(runner_args, jnp.int32(n_scan))))
+        ms = (time.time() - t0) / n_scan * 1e3
+        print(f"{label}: {ms:.3f} ms/call (B={B}; compile {comp:.0f}s)",
+              file=sys.stderr)
+        return ms
+
+    results = {}
+    slots_args = (didx_s.slot_terms, didx_s.slot_impact, didx_s.col_unperm)
+    blk_args = (
+        jnp.asarray(np.asarray(didx_s.blk_terms)),
+        jnp.asarray(np.asarray(didx_s.blk_impact)),
+        jnp.asarray(np.asarray(didx_s.blk_local)),
+    )
+
+    def slots_fn(st, si, cu, tid, qw):
+        return bp.bm25_score_slots(st, si, cu, tid, qw, interpret=interpret)
+
+    def blocked_fn(bt, bi, bl, tid, qw):
+        return bp.bm25_score_blocked(
+            bt, bi, bl, tid, qw, n_docs_pad=didx_s.n_docs_pad,
+            interpret=interpret,
+        )
+
+    def slots_ud_fn(st, si, cu, uids, w):
+        return bp.bm25_score_slots_udedup(
+            st, si, cu, uids, w, interpret=interpret
+        )
+
+    def blocked_ud_fn(bt, bi, bl, uids, w):
+        return bp.bm25_score_blocked_udedup(
+            bt, bi, bl, uids, w, n_docs_pad=didx_s.n_docs_pad,
+            interpret=interpret,
+        )
+
+    plan = []
+    if which in ("all", "slots"):
+        plan += [("slots_b64", slots_args, slots_fn, 64, 16, False),
+                 ("slots_b1", slots_args, slots_fn, 1, 64, False)]
+    if which in ("all", "blocked"):
+        plan += [("blocked_b64", blk_args, blocked_fn, 64, 16, False),
+                 ("blocked_b1", blk_args, blocked_fn, 1, 64, False)]
+    if which in ("all", "slots_ud"):
+        plan += [("slots_udedup_b64", slots_args, slots_ud_fn, 64, 16, True)]
+    if which in ("all", "blocked_ud"):
+        plan += [("blocked_udedup_b64", blk_args, blocked_ud_fn, 64, 16,
+                  True)]
+    for label, args, fn, B, n, ud in plan:
+        try:
+            results[label] = round(
+                scan_kernel(args, fn, B, n, label, udedup=ud), 3
+            )
+        except Exception as exc:
+            print(f"{label} failed: {exc}", file=sys.stderr)
+            results[label] = None
+    print(json.dumps({"n_docs": n_docs, "nnz": didx_s.nnz, **results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,11 @@ class Config:
     # query terms (exact scores; auto-enabled when the distinct count is
     # small enough to win — see engine._device_rank)
     bm25_udedup: bool = True
+    # BM25 posting layout on device: "slots" (doc-slot stride classes, no
+    # one-hot doc-reduction matmul) or "blocked" (doc-major + scatter-as-
+    # matmul).  Slots is faster at every measured batch size; blocked kept
+    # for A/B and the sharded backend.
+    bm25_layout: str = "slots"
     top_k_reranking: int = 100  # stage-2 results
     max_query_terms: int = 16  # static pad for jitted query scoring
     # --- fusion / rerank ---

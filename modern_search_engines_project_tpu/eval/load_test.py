@@ -1,0 +1,156 @@
+"""HTTP serving load test: concurrent /api/search over an in-process server.
+
+Measures the end-to-end online-serving throughput the reference never had
+(its Flask app handles one request per worker; search_api.py:69-152) —
+C concurrent clients fire R total requests at the aiohttp app; the
+QueryBatcher coalesces them into device batches.  Reports q/s, latency
+percentiles, and coalescing stats.
+
+Usage (synthetic corpus; runs on whatever jax backend is active):
+
+    python -m modern_search_engines_project_tpu.eval.load_test \
+        [--docs 20000] [--requests 512] [--concurrency 64] [--summarize]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import random
+import time
+
+
+def build_service(n_docs: int, summarize: bool = True, seed: int = 7):
+    import sys
+    from pathlib import Path
+
+    # tests/corpus_util.py owns the synthetic-corpus generator
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
+    from corpus_util import make_corpus, make_vocab
+
+    from modern_search_engines_project_tpu.config import Config
+    from modern_search_engines_project_tpu.index import IndexBuilder
+    from modern_search_engines_project_tpu.models import HashingEncoder
+    from modern_search_engines_project_tpu.retrieval import SearchEngine
+    from modern_search_engines_project_tpu.serving.api import SearchService
+
+    cfg = Config(embedding_dim=64, window_size=32, step_size=28)
+    enc = HashingEncoder(dim=cfg.embedding_dim)
+    docs = make_corpus(n_docs=n_docs, seed=seed, n_domains=max(16, n_docs // 50))
+    art = IndexBuilder(enc, cfg).build(docs)
+    engine = SearchEngine(art, enc, cfg)
+    service = SearchService(engine)
+    if not summarize:
+        class _Null:
+            def generate_summary(self, q, w):
+                return ""
+
+        service.summarizer = _Null()
+    return service, make_vocab(400)
+
+
+def stub_device(engine, queries) -> None:
+    """Replace engine._device_rank with per-batch-shape cached outputs.
+
+    Measures the serving HOST ceiling (batcher + finishing + summarizer +
+    JSON) with the device call free — the honest complement to the
+    device-only scan numbers in bench.py, since a tunnel-attached TPU adds
+    ~40-200 ms of dispatch/transfer per call that a locally attached chip
+    does not.
+    """
+    import numpy as np
+
+    cache = {}
+    b = 1
+    while b <= 64:
+        term_ids, qtf, processed = engine.prepare_queries(queries[:b])
+        qvec = engine.encode_queries(processed)
+        out = engine._device_rank(term_ids, qtf, qvec)
+        cache[b] = tuple(np.asarray(x) for x in out)
+        b *= 2
+
+    engine._device_rank = lambda t, q, v: cache[t.shape[0]]
+
+
+async def run_load(
+    service, vocab, n_requests: int, concurrency: int
+) -> dict:
+    from aiohttp.test_utils import TestClient, TestServer
+
+    rng = random.Random(11)
+    queries = [
+        " ".join(rng.sample(vocab[:120], rng.randint(1, 3)))
+        for _ in range(n_requests)
+    ]
+    client = TestClient(TestServer(service.build_app()))
+    await client.start_server()
+    try:
+        # warm every power-of-two batch shape the batcher can emit so
+        # compile time is excluded from the timed section (partial flushes
+        # under ramp-up produce intermediate sizes)
+        loop = asyncio.get_running_loop()
+        b = 1
+        while b <= service.batcher.max_batch:
+            await loop.run_in_executor(
+                None,
+                lambda n=b: service.engine.search_batch(queries[:n], top_k=100),
+            )
+            b *= 2
+        await client.post("/api/search", json={"query": queries[0]})
+        sem = asyncio.Semaphore(concurrency)
+        lat: list = []
+
+        async def one(q):
+            async with sem:
+                t0 = time.perf_counter()
+                resp = await client.post("/api/search", json={"query": q})
+                body = await resp.json()
+                lat.append(time.perf_counter() - t0)
+                assert resp.status == 200, body
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(q) for q in queries))
+        wall = time.perf_counter() - t0
+    finally:
+        await client.close()
+    lat.sort()
+    return {
+        "requests": n_requests,
+        "concurrency": concurrency,
+        "wall_s": round(wall, 3),
+        "qps": round(n_requests / wall, 1),
+        "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+        "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 2),
+        "batcher": service.batcher.stats(),
+        "engine_stages": (
+            service.engine.times.report() if service.engine.times else {}
+        ),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=20000)
+    p.add_argument("--requests", type=int, default=512)
+    p.add_argument("--concurrency", type=int, default=64)
+    p.add_argument("--no-summarize", action="store_true")
+    p.add_argument("--stub-device", action="store_true",
+                   help="measure the host-path ceiling: device outputs are "
+                        "cached per batch shape and returned instantly")
+    args = p.parse_args(argv)
+
+    service, vocab = build_service(args.docs, summarize=not args.no_summarize)
+    if args.stub_device:
+        rng = random.Random(3)
+        qs = [" ".join(rng.sample(vocab[:120], 2)) for _ in range(64)]
+        stub_device(service.engine, qs)
+    out = asyncio.run(
+        run_load(service, vocab, args.requests, args.concurrency)
+    )
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -157,11 +157,117 @@ def _kernel_udedup(w_ref, uids_ref, terms_ref, impact_ref, localt_ref, out_ref):
     out_ref[:] += acc
 
 
+def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref):
+    """One (group, row_chunk) grid step over the doc-slot layout.
+
+    refs: tids/qtf [B, T]; terms/impact [1, RC, COLS] (column d%COLS of the
+    group = doc d's postings stacked vertically); out [2B, COLS] f32 —
+    rows [0, B) scores, rows [B, 2B) match counts.
+
+    The slot layout makes the per-doc reduction a straight sum over rows:
+    no one-hot matmul (the blocked kernel spent ~2*2B*128*2 MXU flops per
+    posting on "scatter as matmul"), no local-id operand, no bf16 rounding
+    anywhere — scores accumulate in f32 exactly.
+    """
+    j = pl.program_id(1)
+    B, T = tids_ref.shape
+    RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
+
+    tids_all = jnp.where(tids_ref[:] < 0, -2, tids_ref[:])  # pad -1 -> -2
+    qtf_all = qtf_ref[:]
+
+    def tile(i, carry):
+        acc_s, acc_c = carry
+        tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) int32
+        ir = impact_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) f32
+        m = jnp.zeros((B, SUB, COLS), jnp.float32)
+        for t in range(T):
+            tid = tids_all[:, t][:, None, None]  # (B, 1, 1)
+            q = qtf_all[:, t][:, None, None]
+            m = m + jnp.where(tr[None, :, :] == tid, q, 0.0)
+        acc_s = acc_s + jnp.sum(m * ir[None, :, :], axis=1)
+        acc_c = acc_c + jnp.sum((m > 0.0).astype(jnp.float32), axis=1)
+        return acc_s, acc_c
+
+    acc_s, acc_c = jax.lax.fori_loop(
+        0,
+        RC // SUB,
+        tile,
+        (
+            jnp.zeros((B, COLS), jnp.float32),
+            jnp.zeros((B, COLS), jnp.float32),
+        ),
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.concatenate([acc_s, acc_c], axis=0)
+
+
+def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+    """U-dedup slot-kernel step: postings match against the batch's DISTINCT
+    query terms (U compares per posting row, shared across queries), then
+    per-query weights are recovered with one (2B,U)@(U,COLS) MXU matmul per
+    sublane row — the ONLY matmul left (the blocked U-dedup kernel paid an
+    additional one-hot doc reduction).  Exact: w entries are small integers
+    and mu is 0/1, both bf16-exact, accumulated in f32.
+
+    refs: w [2B, U] f32; uids [U, 1] int32 (pad -2); terms/impact
+    [1, RC, COLS]; out [2B, COLS] f32.
+    """
+    j = pl.program_id(1)
+    B2, U = w_ref.shape
+    RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
+    w_bf = w_ref[:].astype(jnp.bfloat16)
+    uids = uids_ref[:]
+
+    def tile(i, acc):
+        tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS)
+        ir = impact_ref[0, pl.ds(i * SUB, SUB), :]
+        for s in range(SUB):
+            mu = (uids == tr[s : s + 1, :]).astype(jnp.bfloat16)  # (U, COLS)
+            mw = jnp.dot(
+                w_bf, mu, preferred_element_type=jnp.float32
+            )  # (2B, COLS): rows [0,B) qtf weights, [B,2B) presence
+            contrib = jnp.concatenate(
+                [
+                    mw[: B2 // 2] * ir[s : s + 1, :],
+                    (mw[B2 // 2 :] > 0.0).astype(jnp.float32),
+                ],
+                axis=0,
+            )
+            acc = acc + contrib
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, RC // SUB, tile, jnp.zeros((B2, COLS), jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+# Mosaic's default scoped-vmem limit is 16 MB; the kernel's per-sublane
+# intermediates (one-hot, match matrix, hi/lo splits) scale with the posting
+# chunk and blew it at pc=16384 (measured 16.46 MB, B=16, 20k docs).  Raise
+# the limit (v5e has 128 MB VMEM) and ALSO cap the auto chunk so the
+# estimate stays well inside it.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _auto_posting_chunk(p_blk: int) -> int:
-    """Largest p_blk divisor whose 3 streamed f32 operands stay well under
-    VMEM (~4 MB) — fewer grid steps means less per-step overhead
-    (measured 13-19% on v5e at 8M postings)."""
-    budget = 4 * 1024 * 1024 // (3 * 4)
+    """Largest p_blk divisor whose kernel working set stays well under the
+    scoped-vmem limit — fewer grid steps means less per-step overhead
+    (measured 13-19% on v5e at 8M postings).  Scoped usage is ~1 KB per
+    posting slot (calibrated from a measured 16.46 MB at pc=16384), so cap
+    the chunk at limit/2 / 1 KB."""
+    budget = (_VMEM_LIMIT // 2) // 1030
     best = SUB * 128
     for cand in range(SUB * 128, min(p_blk, budget) + 1, SUB * 128):
         if p_blk % cand == 0:
@@ -261,6 +367,7 @@ def bm25_score_blocked_udedup(
             (B2, DOC_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B2, n_docs_pad), jnp.float32),
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(
         w,
@@ -332,6 +439,7 @@ def bm25_score_blocked(
             (2 * B, DOC_BLOCK), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2 * B, n_docs_pad), jnp.float32),
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )(
         term_ids,
@@ -346,3 +454,103 @@ def bm25_score_blocked(
     return jnp.concatenate(
         [keyed, jnp.full((B, 1), -1.0, jnp.float32)], axis=1
     )
+
+
+# ---- doc-slot layout entry points ------------------------------------------
+
+SLOT_ROW_CHUNK = 512  # rows per grid step (streamed operands ~2 MB at 512)
+
+
+def _slots_call(kernel, front, slot_terms, slot_impact, B2, interpret):
+    """Run ``kernel`` over every stride class and concatenate the per-class
+    ``[B2, n_g * COLS]`` outputs along the column axis (class-major column
+    order; callers un-permute with DeviceIndex.col_unperm)."""
+    f0, f1 = front
+    parts = []
+    for terms, impact in zip(slot_terms, slot_impact):
+        n_g, S, COLS = terms.shape
+        RC = min(S, SLOT_ROW_CHUNK)
+        assert S % RC == 0  # strides <= 512 or multiples of 512
+        stream = pl.BlockSpec(
+            (1, RC, COLS), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_g, S // RC),
+            in_specs=[
+                pl.BlockSpec(
+                    f0.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    f1.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                stream,
+                stream,
+            ],
+            out_specs=pl.BlockSpec(
+                (B2, COLS), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B2, n_g * COLS), jnp.float32),
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+            interpret=interpret,
+        )(f0, f1, terms, impact)
+        parts.append(out)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _slots_key(full, col_unperm, B):
+    """(scores; counts) concat -> keyed scores in dense doc order
+    (same admissibility contract as bm25_score_blocked)."""
+    scores, matched = full[:B], full[B:] > 0.0
+    keyed = jnp.where(matched & (scores >= 0.0), scores, -1.0)
+    keyed = jnp.take(keyed, col_unperm, axis=1)
+    return jnp.concatenate(
+        [keyed, jnp.full((B, 1), -1.0, jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bm25_score_slots(
+    slot_terms: tuple,
+    slot_impact: tuple,
+    col_unperm: jnp.ndarray,  # int32 [n_docs_pad]
+    term_ids: jnp.ndarray,  # [B, T]
+    qtf: jnp.ndarray,  # [B, T]
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Keyed BM25 scores [B, n_docs_pad + 1] via the doc-slot layout: the
+    per-doc reduction is a sum over slot rows, so the kernel has no one-hot
+    matmul, no local-id operand, and exact f32 accumulation."""
+    B = term_ids.shape[0]
+    full = _slots_call(
+        _kernel_slots, (term_ids, qtf), slot_terms, slot_impact, 2 * B,
+        interpret,
+    )
+    return _slots_key(full, col_unperm, B)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bm25_score_slots_udedup(
+    slot_terms: tuple,
+    slot_impact: tuple,
+    col_unperm: jnp.ndarray,
+    uids: jnp.ndarray,  # [U] int32 (pad -2)
+    w: jnp.ndarray,  # [2B, U] f32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """U-dedup variant of bm25_score_slots (same contract): postings match
+    the batch's distinct terms once; per-query weights are recovered with
+    the only remaining matmul."""
+    B = w.shape[0] // 2
+    U = uids.shape[0]
+    full = _slots_call(
+        _kernel_slots_udedup,
+        (w, uids.reshape(U, 1)),
+        slot_terms,
+        slot_impact,
+        2 * B,
+        interpret,
+    )
+    return _slots_key(full, col_unperm, B)

@@ -51,6 +51,11 @@ def balance_by_load(idxs: np.ndarray, load: np.ndarray, block: int = 128) -> np.
     return idxs[order][final]
 
 
+def _sort_by_load(idxs: np.ndarray, load: np.ndarray) -> np.ndarray:
+    """Order ``idxs`` by descending ``load`` (posting count)."""
+    return idxs[np.argsort(-load[idxs], kind="stable")]
+
+
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """concat([arange(c) for c in counts]) without the python loop."""
     total = int(counts.sum())
@@ -62,6 +67,101 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 
 DOC_BLOCK = 128  # docs per kernel block (MXU lane width)
 POSTING_CHUNK = 2048  # postings processed per kernel grid step
+SLOT_COLS = 512  # doc columns per slot-layout group
+
+
+def build_slot_postings(
+    indptr: np.ndarray,
+    post_docs: np.ndarray,
+    post_impact: np.ndarray,
+    n_docs_pad: int,
+    cols: int = SLOT_COLS,
+):
+    """Term-major CSR -> doc-slot layout for the slot Pallas kernel.
+
+    Column ``d % cols`` of group ``d // cols`` holds doc d's postings stacked
+    vertically, so the per-doc reduction is a straight sum over rows — no
+    per-posting local ids and no one-hot "scatter as matmul" (which costs
+    ~2*2B*128*2 MXU flops per posting in the blocked kernel and dominated
+    its runtime).  Groups are classed by quantized row stride so each
+    class is one rectangular ``[n_groups, stride, cols]`` pallas stream;
+    docs arrive pre-sorted by posting count (device_index doc permutation),
+    keeping within-group stride spread — and therefore padding — small.
+
+    Returns ``(slot_terms, slot_impact, col_unperm)``:
+      * slot_terms / slot_impact — tuples of ``[n_g, S, cols]`` arrays
+        (terms int32 pad -1, impact f32 pad 0), one per stride class.
+      * col_unperm — int32 [n_docs_pad]: dense doc idx -> column in the
+        class-concatenated kernel output.
+    """
+    V = indptr.shape[0] - 1
+    nnz = post_docs.shape[0]
+    n_slots = _round_up(max(n_docs_pad, cols), cols)
+    n_groups = n_slots // cols
+
+    term_of_post = np.repeat(np.arange(V, dtype=np.int32), np.diff(indptr))
+    order = np.argsort(post_docs, kind="stable")
+    d = post_docs[order].astype(np.int64)
+    t = term_of_post[order]
+    im = post_impact[order]
+    counts = np.bincount(d, minlength=n_slots)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    row = np.arange(nnz, dtype=np.int64) - starts[d]
+
+    # per-group stride: max posting count rounded to 8, then snapped to at
+    # most MAX_CLASSES quantile levels (each level a valid row-chunk
+    # multiple) — adaptive: narrow count distributions get near-exact
+    # strides (pow2 rounding measured 1.86x padding on a Poisson-shaped
+    # corpus; quantile levels ~1.0x), wide ones stay bounded at 16 kernels
+    gmax = np.maximum.reduceat(counts, np.arange(0, n_slots, cols))
+    stride = np.maximum(_round_up_arr(gmax, 8), 8)
+
+    def _snap(s: int) -> int:
+        # S <= 512 runs as one row chunk; larger strides must divide into
+        # 512-row chunks (bm25_pallas.SLOT_ROW_CHUNK)
+        return int(s) if s <= 512 else int(_round_up_arr(np.int64(s), 512))
+
+    MAX_CLASSES = 16
+    uniq = np.unique([_snap(s) for s in stride])
+    if len(uniq) > MAX_CLASSES:
+        qi = np.ceil((np.arange(MAX_CLASSES) + 1) * len(uniq) / MAX_CLASSES)
+        uniq = uniq[qi.astype(np.int64) - 1]  # right-edge quantiles incl max
+    S_g = uniq[np.searchsorted(uniq, [_snap(s) for s in stride])]
+
+    classes = np.unique(S_g)
+    class_of_group = np.searchsorted(classes, S_g)
+    rank_in_class = np.zeros(n_groups, np.int64)
+    group_pos = np.zeros(n_groups, np.int64)  # position in concat output
+    slot_terms, slot_impact = [], []
+    offset = 0
+    for ci, S in enumerate(classes):
+        gsel = np.nonzero(class_of_group == ci)[0]
+        rank_in_class[gsel] = np.arange(len(gsel))
+        group_pos[gsel] = offset + np.arange(len(gsel))
+        offset += len(gsel)
+        terms = np.full((len(gsel), int(S), cols), -1, np.int32)
+        impact = np.zeros((len(gsel), int(S), cols), np.float32)
+        slot_terms.append(terms)
+        slot_impact.append(impact)
+
+    # vectorized scatter of every posting into its class array
+    g = d // cols
+    col = d % cols
+    ci_p = class_of_group[g]
+    flat_idx = (rank_in_class[g] * classes[ci_p] + row) * cols + col
+    for ci in range(len(classes)):
+        sel = ci_p == ci
+        if sel.any():
+            slot_terms[ci].reshape(-1)[flat_idx[sel]] = t[sel]
+            slot_impact[ci].reshape(-1)[flat_idx[sel]] = im[sel]
+
+    dd = np.arange(n_docs_pad, dtype=np.int64)
+    col_unperm = (group_pos[dd // cols] * cols + dd % cols).astype(np.int32)
+    return tuple(slot_terms), tuple(slot_impact), col_unperm
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
 
 
 def build_blocked_postings(
@@ -117,6 +217,10 @@ class DeviceIndex:
     blk_terms: jnp.ndarray  # int32 [n_blocks, p_blk]
     blk_impact: jnp.ndarray  # float32 [n_blocks, p_blk]
     blk_local: jnp.ndarray  # int32 [n_blocks, p_blk]
+    # BM25, doc-slot layout (stride classes; see build_slot_postings)
+    slot_terms: tuple  # per class: int32 [n_g, S, SLOT_COLS]
+    slot_impact: tuple  # per class: float32 [n_g, S, SLOT_COLS]
+    col_unperm: Optional[jnp.ndarray]  # int32 [n_docs_pad]
     # dense (packed layout: contiguous per-doc segments)
     chunk_emb: jnp.ndarray  # bank_dtype [n_chunks_pad, dim]
     chunk_doc: jnp.ndarray  # int32 [n_chunks_pad] (pad -> n_docs_pad sentinel)
@@ -150,12 +254,17 @@ class DeviceIndex:
         posting_cap: Optional[int] = None,
         slot_layout: bool = True,
         packed_device: bool = True,
+        bm25_layout: str = "slots",
     ) -> "DeviceIndex":
         """``packed_device=False`` keeps the packed chunk bank and the CSR
         posting copies as HOST numpy arrays: when the bucketed Pallas path
         serves queries they are dead weight, and at 1M docs the duplicate
         bf16 bank alone is ~4.6 GB of HBM (measured OOM at 1M with both
-        layouts resident)."""
+        layouts resident).
+
+        ``bm25_layout`` picks which BM25 posting layout is device-resident
+        ("slots" or "blocked"); the other stays host-side numpy so the two
+        never double HBM."""
         cfg = config or art.config
         n_docs = art.n_docs
         n_docs_pad = max(_round_up(n_docs, 128), 128)
@@ -188,8 +297,13 @@ class DeviceIndex:
             post_load = np.bincount(
                 np.asarray(art.post_docs), minlength=n_docs
             ).astype(np.int64)
+            # within a chunk-count bucket, order docs by posting count
+            # (descending) so consecutive slot-layout groups have
+            # near-uniform row strides — the slot kernel's padding is the
+            # within-group stride spread (the old balance_by_load ordering
+            # served the blocked kernel's per-block SUM padding instead)
             idxs_per = [
-                balance_by_load(order[dnc[order] == n], post_load, DOC_BLOCK)
+                _sort_by_load(order[dnc[order] == n], post_load)
                 for n in distinct
             ]
             pads = [_round_up(max(len(ix), 8), 8) for ix in idxs_per]
@@ -247,6 +361,21 @@ class DeviceIndex:
             np.asarray(art.post_impact),
             n_docs_pad,
         )
+        slot_terms, slot_impact, col_unperm = build_slot_postings(
+            np.asarray(art.indptr),
+            post_docs_for_blocks,
+            np.asarray(art.post_impact),
+            n_docs_pad,
+        )
+        # exactly one BM25 layout is device-resident (HBM); see docstring
+        if bm25_layout == "slots":
+            slot_terms = tuple(jnp.asarray(x) for x in slot_terms)
+            slot_impact = tuple(jnp.asarray(x) for x in slot_impact)
+            col_unperm = jnp.asarray(col_unperm)
+        else:
+            blk_terms = jnp.asarray(blk_terms)
+            blk_impact = jnp.asarray(blk_impact)
+            blk_local = jnp.asarray(blk_local)
 
         # empty-corpus guard: gathers need at least one posting row
         pd = np.asarray(art.post_docs, np.int32)
@@ -262,9 +391,12 @@ class DeviceIndex:
             indptr=jnp.asarray(art.indptr, jnp.int32),
             post_docs=dev(pd),
             post_impact=dev(pi),
-            blk_terms=jnp.asarray(blk_terms),
-            blk_impact=jnp.asarray(blk_impact),
-            blk_local=jnp.asarray(blk_local),
+            blk_terms=blk_terms,
+            blk_impact=blk_impact,
+            blk_local=blk_local,
+            slot_terms=slot_terms,
+            slot_impact=slot_impact,
+            col_unperm=col_unperm,
             chunk_emb=(
                 jnp.asarray(chunk_emb, bank_dtype)
                 if packed_device

@@ -22,8 +22,8 @@ from modern_search_engines_project_tpu.retrieval.device_index import DeviceIndex
 from modern_search_engines_project_tpu.retrieval.numpy_ref import preprocess_query
 from modern_search_engines_project_tpu.retrieval.rerank import (
     RankedDoc,
-    dedup_by_base_url,
-    hybrid_diversification,
+    factorize,
+    finish_positions,
 )
 from modern_search_engines_project_tpu.text.analyzer import Analyzer
 from modern_search_engines_project_tpu.utils.timing import StageTimes, stage_timer
@@ -63,6 +63,7 @@ class SearchEngine:
             # copies are the scatter fallback only — keep them on host
             # (duplicate HBM residency OOMs at 1M docs)
             packed_device=not self.use_pallas,
+            bm25_layout=getattr(self.cfg, "bm25_layout", "slots"),
         )
         self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
         self._pallas_interpret = backend != "tpu"
@@ -73,6 +74,15 @@ class SearchEngine:
         # pallas paths rank in the bucketed (permuted) doc order
         self._result_perm = (
             self.didx.doc_perm if self.use_pallas else None
+        )
+        self._init_finish_codes()
+
+    def _init_finish_codes(self) -> None:
+        """Per-doc integer codes for the array-native finishing pass
+        (dedup by query-stripped url + domain diversification)."""
+        self._domain_codes = factorize(self.art.domains)
+        self._base_codes = factorize(
+            [u.split("?", 1)[0] for u in self.art.urls]
         )
 
     # --- host-side query prep ----------------------------------------------
@@ -115,6 +125,59 @@ class SearchEngine:
 
     def _device_rank(self, term_ids, qtf, qvec):
         d = self.didx
+        use_slots = (
+            self.use_pallas
+            and d.buckets
+            and getattr(self.cfg, "bm25_layout", "slots") == "slots"
+        )
+        if use_slots and self.cfg.bm25_udedup:
+            from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+                dedup_query_terms,
+                u_pad_for,
+            )
+
+            tids_np = np.asarray(term_ids)
+            B, T = tids_np.shape
+            u_pad = u_pad_for(int(np.unique(tids_np[tids_np >= 0]).size))
+            # same crossover gate as the blocked kernel: the (2B,U)@(U,*)
+            # weight-recovery matmul must beat B*T VPU compares per posting
+            if 4 * u_pad <= B * T:
+                uids, w = dedup_query_terms(term_ids, qtf)
+                return ops.hybrid_rank_slots_udedup(
+                    d.slot_terms,
+                    d.slot_impact,
+                    d.col_unperm,
+                    d.bucket_emb,
+                    d.bucket_valid,
+                    d.bucket_start,
+                    uids,
+                    w,
+                    qvec,
+                    n_docs_pad=d.n_docs_pad,
+                    k_ret=self.k_ret,
+                    smoothing=self.cfg.smoothing,
+                    buckets=d.buckets,
+                    interpret=self._pallas_interpret,
+                    approx=self.cfg.approx_candidates,
+                )
+        if use_slots:
+            return ops.hybrid_rank_slots(
+                d.slot_terms,
+                d.slot_impact,
+                d.col_unperm,
+                d.bucket_emb,
+                d.bucket_valid,
+                d.bucket_start,
+                term_ids,
+                qtf,
+                qvec,
+                n_docs_pad=d.n_docs_pad,
+                k_ret=self.k_ret,
+                smoothing=self.cfg.smoothing,
+                buckets=d.buckets,
+                interpret=self._pallas_interpret,
+                approx=self.cfg.approx_candidates,
+            )
         if self.use_pallas and d.buckets and self.cfg.bm25_udedup:
             from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
                 dedup_query_terms,
@@ -236,22 +299,32 @@ class SearchEngine:
         out: List[List[RankedDoc]] = []
         fmt_timer = stage_timer("format_diversify", self.times)
         fmt_timer.__enter__()
-        # one vectorized numpy->python conversion per batch: per-element
-        # np-scalar casts in the candidate loop were the serving host
-        # bottleneck (~1000 candidates x B x 5 fields)
+        # array-native finishing: dedup + diversification run on integer
+        # codes over the ~1000-candidate pool; RankedDoc objects are only
+        # built for the <= top_k selected rows (constructing 1000 dataclass
+        # rows per query to throw 90% away was the serving host bottleneck)
         n_valid = valid.sum(axis=1).tolist()
-        doc_l, vals_l = doc.tolist(), vals.tolist()
-        old_l, win_l = old.tolist(), win.tolist()
         n_docs_real = len(self.art.doc_ids)
         n_wins = len(self.art.window_texts)
         for b in range(n_real):
+            nv = n_valid[b]
+            db = doc[b, :nv]
+            ok = (db >= 0) & (db < n_docs_real)
+            pos0 = np.nonzero(ok)[0]
+            db = db[pos0]
+            sel, sc = finish_positions(
+                vals[b, :nv][pos0],
+                self._domain_codes[db],
+                self._base_codes[db],
+                top_k,
+                relevance_threshold=self.cfg.diversification_threshold,
+                diversification=self.cfg.diversification,
+            )
+            d_sel = db[sel].tolist()
+            o_sel = old[b, :nv][pos0][sel].tolist()
+            w_sel = win[b, :nv][pos0][sel].tolist()
             ranked: List[RankedDoc] = []
-            db, vb, ob, wb = doc_l[b], vals_l[b], old_l[b], win_l[b]
-            for j in range(n_valid[b]):  # invalid candidates sort to tail
-                d = db[j]
-                if not (0 <= d < n_docs_real):
-                    continue
-                w = wb[j]
+            for d, s, o, w in zip(d_sel, sc.tolist(), o_sel, w_sel):
                 w_ok = 0 <= w < n_wins
                 w = w if w_ok else 0
                 ranked.append(
@@ -259,22 +332,13 @@ class SearchEngine:
                         doc_id=self.art.doc_ids[d],
                         url=self.art.urls[d],
                         title=self.art.titles[d],
-                        similarity_score=vb[j],
-                        original_similarity=ob[j],
+                        similarity_score=s,
+                        original_similarity=o,
                         window_index=w,
                         window_text=self.art.window_texts[w] if w_ok else "",
                         domain=self.art.domains[d],
                     )
                 )
-            ranked = dedup_by_base_url(ranked)
-            if self.cfg.diversification:
-                ranked = hybrid_diversification(
-                    ranked,
-                    relevance_threshold=self.cfg.diversification_threshold,
-                    top_k=top_k,
-                )
-            else:
-                ranked = ranked[:top_k]
             if self.cross_encoder is not None and ranked:
                 ce = self.cross_encoder.rescore(
                     queries[b], [r.window_text for r in ranked]
@@ -331,6 +395,7 @@ class SearchEngine:
         self.cross_encoder = None
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
+        self._init_finish_codes()
         return self
 
     def dense_search(self, query: str, top_k: int = 100, augment: bool = True):
@@ -412,7 +477,13 @@ class SearchEngine:
                     np.asarray(idx),
                 )
         elif self.use_pallas:
-            idx, vals = ops.bm25_topk_blocked(
+            topk_fn = (
+                ops.bm25_topk_slots
+                if getattr(self.cfg, "bm25_layout", "slots") == "slots"
+                and self.didx.col_unperm is not None
+                else ops.bm25_topk_blocked
+            )
+            idx, vals = topk_fn(
                 self.didx,
                 term_ids,
                 qtf,

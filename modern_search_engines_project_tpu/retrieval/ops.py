@@ -698,3 +698,114 @@ def hybrid_rank_buckets_udedup(
         buckets=buckets,
         approx=approx,
     )
+
+
+def hybrid_rank_slots(
+    slot_terms,
+    slot_impact,
+    col_unperm,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
+    term_ids,
+    qtf,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+    buckets=(),
+    interpret: bool = False,
+    approx: bool = False,
+):
+    """Doc-slot Pallas BM25 + bucketed dense tail — the fastest single-chip
+    configuration (no one-hot doc-reduction matmul; see bm25_pallas
+    _kernel_slots).  Returned doc indices are in the PERMUTED order;
+    callers map back via DeviceIndex.doc_perm."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_slots,
+    )
+
+    bm = bm25_score_slots(
+        slot_terms,
+        slot_impact,
+        col_unperm,
+        term_ids,
+        qtf,
+        interpret=interpret,
+    )
+    return _hybrid_tail_buckets(
+        bm,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+        buckets=buckets,
+        approx=approx,
+    )
+
+
+def hybrid_rank_slots_udedup(
+    slot_terms,
+    slot_impact,
+    col_unperm,
+    bucket_emb,
+    bucket_valid,
+    bucket_start,
+    uids,
+    w,
+    qvec,
+    *,
+    n_docs_pad: int,
+    k_ret: int,
+    smoothing: float = 0.15,
+    buckets=(),
+    interpret: bool = False,
+    approx: bool = False,
+):
+    """hybrid_rank_slots with the U-dedup front end (shared-term batches)."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_slots_udedup,
+    )
+
+    bm = bm25_score_slots_udedup(
+        slot_terms,
+        slot_impact,
+        col_unperm,
+        uids,
+        w,
+        interpret=interpret,
+    )
+    return _hybrid_tail_buckets(
+        bm,
+        bucket_emb,
+        bucket_valid,
+        bucket_start,
+        qvec,
+        n_docs_pad=n_docs_pad,
+        k_ret=k_ret,
+        smoothing=smoothing,
+        buckets=buckets,
+        approx=approx,
+    )
+
+
+def bm25_topk_slots(index, term_ids, qtf, k: int, interpret: bool = False):
+    """BM25-only retrieval via the doc-slot kernel."""
+    from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+        bm25_score_slots,
+    )
+
+    bm = bm25_score_slots(
+        index.slot_terms,
+        index.slot_impact,
+        index.col_unperm,
+        jnp.asarray(term_ids),
+        jnp.asarray(qtf),
+        interpret=interpret,
+    )
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    return idx, vals

@@ -26,6 +26,7 @@ stays responsive while queries batch up.
 from __future__ import annotations
 
 import asyncio
+import functools
 import logging
 import re
 import time
@@ -50,8 +51,10 @@ log = logging.getLogger("serving")
 UI_DIR = Path(__file__).resolve().parent.parent.parent / "ui"
 
 
+@functools.lru_cache(maxsize=65536)
 def extract_domain_topic(url: str) -> str:
-    """Domain-derived topic label (search_api.py:168-201 parity)."""
+    """Domain-derived topic label (search_api.py:168-201 parity).
+    Memoized — popular doc urls recur in every response page."""
     if not url or url == "#":
         return "unknown"
     try:

@@ -205,3 +205,99 @@ class TestApproxCandidates:
             r2 = approx.search(q, top_k=10)
             # with candidates << corpus, approx selection is exact
             assert [r.doc_id for r in r1] == [r.doc_id for r in r2]
+
+
+class TestSlotLayout:
+    def test_slot_roundtrip(self, built):
+        """Every posting appears exactly once in its doc's column; per-doc
+        impact sums match the CSR."""
+        from modern_search_engines_project_tpu.retrieval.device_index import (
+            build_slot_postings,
+        )
+
+        art, _, _ = built
+        n_docs_pad = 128
+        terms, impact, col_unperm = build_slot_postings(
+            np.asarray(art.indptr),
+            np.asarray(art.post_docs),
+            np.asarray(art.post_impact),
+            n_docs_pad,
+        )
+        total = sum(int((t >= 0).sum()) for t in terms)
+        assert total == art.post_docs.shape[0]
+        want = np.zeros(n_docs_pad)
+        np.add.at(want, art.post_docs, art.post_impact)
+        # per-class per-group column sums, gathered into dense doc order
+        col_sums = np.concatenate(
+            [im.sum(axis=1).reshape(-1) for im in impact]
+        )
+        got = col_sums[col_unperm]
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_slot_kernel_matches_scatter(self, built):
+        """bm25_score_slots (plain + udedup) vs the scatter path, exact."""
+        import jax.numpy as jnp
+
+        from modern_search_engines_project_tpu.retrieval import ops
+        from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+            bm25_score_slots,
+            bm25_score_slots_udedup,
+            dedup_query_terms,
+        )
+
+        art, _, cfg = built
+        d = DeviceIndex.from_artifacts(art, cfg)
+        rng = np.random.default_rng(7)
+        B, T = 4, cfg.max_query_terms
+        tids = rng.integers(-1, art.n_terms, (B, T)).astype(np.int32)
+        tids[1] = tids[0]
+        qtf = np.where(tids >= 0, rng.integers(1, 4, (B, T)), 0).astype(
+            np.float32
+        )
+        ref = np.asarray(
+            ops.bm25_score_batch(
+                d.indptr,
+                jnp.asarray(np.asarray(d.post_docs)),
+                jnp.asarray(np.asarray(d.post_impact)),
+                tids,
+                qtf,
+                n_docs_pad=d.n_docs_pad,
+                posting_cap=d.posting_cap,
+            )
+        )[:, : d.n_docs_pad]
+        # scatter scores are in ORIGINAL doc order; slots in permuted order
+        perm = d.doc_perm
+        real = perm >= 0
+        ref_perm = np.full_like(ref, -1.0)
+        ref_perm[:, real] = ref[:, perm[real]]
+        got = np.asarray(
+            bm25_score_slots(
+                d.slot_terms, d.slot_impact, d.col_unperm,
+                jnp.asarray(tids), jnp.asarray(qtf), interpret=True,
+            )
+        )[:, : d.n_docs_pad]
+        np.testing.assert_allclose(got, ref_perm, atol=1e-5)
+        uids, w = dedup_query_terms(tids, qtf)
+        got_ud = np.asarray(
+            bm25_score_slots_udedup(
+                d.slot_terms, d.slot_impact, d.col_unperm,
+                jnp.asarray(uids), jnp.asarray(w), interpret=True,
+            )
+        )[:, : d.n_docs_pad]
+        np.testing.assert_allclose(got_ud, ref_perm, atol=1e-5)
+
+    def test_blocked_layout_still_serves(self, built):
+        """cfg.bm25_layout='blocked' keeps the old kernel path working."""
+        art, enc, cfg = built
+        eng_scatter = SearchEngine(art, enc, cfg, use_pallas=False)
+        eng_blk = SearchEngine(
+            art, enc, cfg.replace(bm25_layout="blocked"), use_pallas=True
+        )
+        for q in QUERIES[:2]:
+            r1 = eng_scatter.search(q, top_k=10)
+            r2 = eng_blk.search(q, top_k=10)
+            assert len(r1) == len(r2) > 0
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
