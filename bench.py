@@ -147,10 +147,12 @@ def main():
     k_ret = min(k_ret, didx.n_docs_pad)
 
     def run(term_ids, qtf, qvec):
-        return ops.hybrid_rank_buckets(
-            didx.blk_terms,
-            didx.blk_impact,
-            didx.blk_local,
+        # mirrors engine._device_rank's slots dispatch (plain front end; the
+        # scan section below additionally exercises the U-dedup gate)
+        return ops.hybrid_rank_slots(
+            didx.slot_terms,
+            didx.slot_impact,
+            didx.col_unperm,
             didx.bucket_emb,
             didx.bucket_valid,
             didx.bucket_start,
@@ -283,26 +285,62 @@ def main():
     import functools
 
     def scan_measure(idx_, cfg_, dfs_, batch, n_scan, label):
-        """True device time: n_scan batches under ONE lax.scan dispatch."""
+        """True device time: n_scan batches under ONE lax.scan dispatch.
+
+        Mirrors the engine's BM25 front-end gate: batches whose distinct
+        query-term count fits the measured U-dedup crossover take the
+        U-dedup slot kernel (device-side prep); otherwise the plain slot
+        kernel.  The distinct count of every generated batch is verified
+        host-side BEFORE timing (dedup_query_terms_device silently drops
+        terms past its static budget, which would fake the workload)."""
+        from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+            dedup_query_terms_device,
+            u_pad_for,
+        )
+
         k_eff = min(1000, idx_.n_docs_pad)
+        logits = jnp.log(jnp.asarray(dfs_, jnp.float32))
+
+        def gen(seed):
+            key = jax.random.fold_in(jax.random.key(7), seed)
+            k1, k2 = jax.random.split(key)
+            tid = jax.random.categorical(
+                k1, logits, shape=(batch, T)
+            ).astype(jnp.int32)
+            qw = jnp.ones((batch, T), jnp.float32)
+            qv = jax.random.normal(k2, (batch, dim), jnp.float32)
+            qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
+            return tid, qw, qv
+
+        # engine gate (measured crossover, engine._device_rank): pick the
+        # front end from the ACTUAL distinct-term counts of the scan batches
+        gen_j = jax.jit(gen)
+        max_distinct = max(
+            int(np.unique(np.asarray(gen_j(jnp.int32(s))[0])).size)
+            for s in range(2 * n_scan)
+        )
+        u_pad = u_pad_for(max_distinct)
+        use_udedup = u_pad <= 24 * batch - 290
 
         @functools.partial(jax.jit, static_argnames=("buckets",))
-        def scan_loop(bt, bi, bl, bemb, bval, bstart, logits, seed0, *, buckets):
+        def scan_loop(st, si, cu, bemb, bval, bstart, seed0, *, buckets):
             def one(carry, seed):
-                key = jax.random.fold_in(jax.random.key(7), seed)
-                k1, k2 = jax.random.split(key)
-                tid = jax.random.categorical(
-                    k1, logits, shape=(batch, T)
-                ).astype(jnp.int32)
-                qw = jnp.ones((batch, T), jnp.float32)
-                qv = jax.random.normal(k2, (batch, dim), jnp.float32)
-                qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
-                o = ops.hybrid_rank_buckets(
-                    bt, bi, bl, bemb, bval, bstart, tid, qw, qv,
-                    n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
-                    smoothing=cfg_.smoothing, buckets=buckets,
-                    interpret=interpret,
-                )
+                tid, qw, qv = gen(seed)
+                if use_udedup:
+                    uids, w = dedup_query_terms_device(tid, qw, u_pad)
+                    o = ops.hybrid_rank_slots_udedup(
+                        st, si, cu, bemb, bval, bstart, uids, w, qv,
+                        n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
+                        smoothing=cfg_.smoothing, buckets=buckets,
+                        interpret=interpret,
+                    )
+                else:
+                    o = ops.hybrid_rank_slots(
+                        st, si, cu, bemb, bval, bstart, tid, qw, qv,
+                        n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
+                        smoothing=cfg_.smoothing, buckets=buckets,
+                        interpret=interpret,
+                    )
                 return carry + jnp.sum(o[0][:, 0]), None
 
             acc, _ = jax.lax.scan(
@@ -310,10 +348,9 @@ def main():
             )
             return acc
 
-        logits = jnp.log(jnp.asarray(dfs_, jnp.float32))
         sargs = (
-            idx_.blk_terms, idx_.blk_impact, idx_.blk_local,
-            idx_.bucket_emb, idx_.bucket_valid, idx_.bucket_start, logits,
+            idx_.slot_terms, idx_.slot_impact, idx_.col_unperm,
+            idx_.bucket_emb, idx_.bucket_valid, idx_.bucket_start,
         )
         t0 = time.time()
         _ = int(np.asarray(scan_loop(*sargs, jnp.int32(0), buckets=idx_.buckets)))
@@ -321,9 +358,11 @@ def main():
         t0 = time.time()
         _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=idx_.buckets)))
         ms = (time.time() - t0) / n_scan * 1e3
+        front = f"udedup U={u_pad}" if use_udedup else "plain"
         print(
             f"{label}: {ms:.3f} ms/batch of {batch} "
-            f"({batch / ms * 1e3:.0f} q/s on-device; compile {comp:.0f}s)",
+            f"({batch / ms * 1e3:.0f} q/s on-device; {front}; "
+            f"compile {comp:.0f}s)",
             file=sys.stderr,
         )
         return ms

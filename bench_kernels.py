@@ -62,7 +62,7 @@ def main():
                     # device-side dedup prep is host logic; approximate the
                     # U-dedup steady state with a FIXED uids set + per-seed
                     # weights (same kernel work as production batches)
-                    U = 128
+                    U = udedup if isinstance(udedup, int) else 128
                     uids = jnp.arange(U, dtype=jnp.int32)  # common terms
                     w = jnp.abs(
                         jax.random.normal(key, (2 * B, U), jnp.float32)
@@ -124,6 +124,9 @@ def main():
                  ("blocked_b1", blk_args, blocked_fn, 1, 64, False)]
     if which in ("all", "slots_ud"):
         plan += [("slots_udedup_b64", slots_args, slots_ud_fn, 64, 16, True)]
+    if which == "slots_ud_sweep":
+        plan += [(f"slots_udedup_b64_U{u}", slots_args, slots_ud_fn, 64, 16,
+                  u) for u in (512, 1024)]
     if which in ("all", "blocked_ud"):
         plan += [("blocked_udedup_b64", blk_args, blocked_ud_fn, 64, 16,
                   True)]

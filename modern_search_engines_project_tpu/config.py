@@ -44,9 +44,9 @@ class Config:
     # parity.
     approx_candidates: bool = False
     # U-dedup BM25 kernel: match postings against the batch's DISTINCT
-    # query terms (exact scores; auto-enabled when the distinct count is
-    # small enough to win — see engine._device_rank)
-    bm25_udedup: bool = True
+    # query terms (exact scores).  True = auto (measured crossover gate in
+    # engine._device_rank), "always" = pin the path, False = off.
+    bm25_udedup: object = True
     # BM25 posting layout on device: "slots" (doc-slot stride classes, no
     # one-hot doc-reduction matmul) or "blocked" (doc-major + scatter-as-
     # matmul).  Slots is faster at every measured batch size; blocked kept

@@ -44,12 +44,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from modern_search_engines_project_tpu.config import Config
 from modern_search_engines_project_tpu.index.builder import IndexArtifacts
 from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
-    bm25_score_blocked,
+    bm25_score_slots,
 )
 from modern_search_engines_project_tpu.retrieval.device_index import (
     DOC_BLOCK,
-    balance_by_load,
-    build_blocked_postings,
+    SLOT_COLS,
+    _sort_by_load,
+    _stride_classes,
+    build_slot_postings,
 )
 from modern_search_engines_project_tpu.retrieval import ops
 from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
@@ -90,9 +92,10 @@ class ShardedDeviceIndex:
     indptr: jnp.ndarray  # [S, V+1] per-shard CSR (permuted local doc ids)
     post_docs: jnp.ndarray  # [S, nnz_pad]
     post_impact: jnp.ndarray  # [S, nnz_pad]
-    blk_terms: jnp.ndarray  # [S, n_blocks_loc, p_blk] doc-major blocked
-    blk_impact: jnp.ndarray
-    blk_local: jnp.ndarray
+    # doc-slot Pallas layout, shared class structure across shards (SPMD)
+    slot_terms: tuple  # per class: int32 [S, n_g, S_c, SLOT_COLS]
+    slot_impact: tuple  # per class: float32 [S, n_g, S_c, SLOT_COLS]
+    col_unperm: jnp.ndarray  # int32 [d_loc] (identical on every shard)
     # bucketed exact-stride dense layout (global bucket schema)
     buckets: tuple  # ((n, cnt_pad), ...) identical across shards
     bucket_emb: tuple  # per bucket: [S, cnt_pad * n, dim]
@@ -159,10 +162,10 @@ class ShardedDeviceIndex:
             valid = np.zeros((S, cnt_pad), bool)
             bstart = np.zeros((S, cnt_pad), np.int32)
             for s in range(S):
-                idxs = balance_by_load(
-                    np.nonzero((dnc == n) & (shard_of == s))[0],
-                    post_load,
-                    DOC_BLOCK,
+                # sorted by posting count so slot-layout groups have
+                # near-uniform strides (see device_index doc permutation)
+                idxs = _sort_by_load(
+                    np.nonzero((dnc == n) & (shard_of == s))[0], post_load
                 )
                 cnt = len(idxs)
                 if cnt:
@@ -212,19 +215,35 @@ class ShardedDeviceIndex:
             post_docs[s, :nl] = docs_l[s]
             post_impact[s, :nl] = imp_l[s]
 
-        blocked = [
-            build_blocked_postings(indptr_l[s], docs_l[s], imp_l[s], d_loc)
+        # shared stride classes: quantize on the CROSS-SHARD max per group
+        # so every shard builds the identical [n_g, S_c, COLS] structure
+        # (SPMD requires equal shapes; padding = cross-shard stride spread)
+        n_slots = _round_up(max(d_loc, SLOT_COLS), SLOT_COLS)
+        gmax = np.zeros(n_slots // SLOT_COLS, np.int64)
+        for s in range(S):
+            counts = np.bincount(docs_l[s], minlength=n_slots)
+            gmax = np.maximum(
+                gmax,
+                np.maximum.reduceat(
+                    counts, np.arange(0, n_slots, SLOT_COLS)
+                ),
+            )
+        S_g = _stride_classes(gmax)
+        per_shard = [
+            build_slot_postings(
+                indptr_l[s], docs_l[s], imp_l[s], d_loc, S_g=S_g
+            )
             for s in range(S)
         ]
-        p_blk_max = max(b[0].shape[1] for b in blocked)
-        n_blocks_loc = d_loc // DOC_BLOCK
-        blk_terms = np.full((S, n_blocks_loc, p_blk_max), -1, np.int32)
-        blk_impactA = np.zeros((S, n_blocks_loc, p_blk_max), np.float32)
-        blk_localA = np.zeros((S, n_blocks_loc, p_blk_max), np.int32)
-        for s, (bt, bi, bl) in enumerate(blocked):
-            blk_terms[s, :, : bt.shape[1]] = bt
-            blk_impactA[s, :, : bt.shape[1]] = bi
-            blk_localA[s, :, : bt.shape[1]] = bl
+        slot_terms = tuple(
+            np.stack([per_shard[s][0][c] for s in range(S)])
+            for c in range(len(per_shard[0][0]))
+        )
+        slot_impact = tuple(
+            np.stack([per_shard[s][1][c] for s in range(S)])
+            for c in range(len(per_shard[0][1]))
+        )
+        col_unperm = per_shard[0][2]  # identical across shards
 
         if posting_cap is None:
             caps = []
@@ -242,9 +261,9 @@ class ShardedDeviceIndex:
             indptr=put(np.stack(indptr_l), sh),
             post_docs=put(post_docs, sh),
             post_impact=put(post_impact, sh),
-            blk_terms=put(blk_terms, sh),
-            blk_impact=put(blk_impactA, sh),
-            blk_local=put(blk_localA, sh),
+            slot_terms=tuple(put(t, sh) for t in slot_terms),
+            slot_impact=tuple(put(t, sh) for t in slot_impact),
+            col_unperm=put(col_unperm, P()),  # replicated
             buckets=tuple(
                 (int(n), int(c)) for n, c in zip(distinct, cnt_pads)
             ),
@@ -283,9 +302,9 @@ def _sharded_hybrid_fn(
         indptr,
         post_docs,
         post_impact,
-        blk_terms,
-        blk_impact,
-        blk_local,
+        slot_terms,
+        slot_impact,
+        col_unperm,
         bucket_emb,
         bucket_valid,
         bucket_start,
@@ -295,11 +314,8 @@ def _sharded_hybrid_fn(
     ):
         # local blocks arrive with a leading shard axis of size 1
         indptr, post_docs, post_impact = indptr[0], post_docs[0], post_impact[0]
-        blk_terms, blk_impact, blk_local = (
-            blk_terms[0],
-            blk_impact[0],
-            blk_local[0],
-        )
+        slot_terms = tuple(t[0] for t in slot_terms)
+        slot_impact = tuple(t[0] for t in slot_impact)
         bucket_emb = tuple(e[0] for e in bucket_emb)
         bucket_valid = tuple(v[0] for v in bucket_valid)
         bucket_start = tuple(b[0] for b in bucket_start)
@@ -311,13 +327,12 @@ def _sharded_hybrid_fn(
 
         # ---- stage 1: local BM25 + global candidate merge over ICI ---------
         if use_pallas:
-            bm = bm25_score_blocked(
-                blk_terms,
-                blk_impact,
-                blk_local,
+            bm = bm25_score_slots(
+                slot_terms,
+                slot_impact,
+                col_unperm,
                 term_ids,
                 qtf,
-                n_docs_pad=d_loc,
                 interpret=interpret,
             )
         else:
@@ -451,6 +466,7 @@ class ShardedEngineBackend:
             interpret=self._interpret,
         )
         nb = len(s.buckets)
+        nc = len(s.slot_terms)
         sharded = P("shard")
         # query batches split over dp when present (index is replicated
         # across dp by the P("shard") placement)
@@ -461,7 +477,9 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=mesh,
-                in_specs=(sharded,) * 6
+                in_specs=(sharded,) * 3
+                + ((sharded,) * nc,) * 2
+                + (P(),)  # col_unperm replicated
                 + ((sharded,) * nb,) * 3
                 + (qspec, qspec, qspec),
                 out_specs=(qspec,) * 5,
@@ -490,9 +508,9 @@ class ShardedEngineBackend:
             s.indptr,
             s.post_docs,
             s.post_impact,
-            s.blk_terms,
-            s.blk_impact,
-            s.blk_local,
+            s.slot_terms,
+            s.slot_impact,
+            s.col_unperm,
             s.bucket_emb,
             s.bucket_valid,
             s.bucket_start,

@@ -1,30 +1,35 @@
-"""Pallas TPU kernel: doc-major blocked BM25 scoring.
+"""Pallas TPU kernels: BM25 scoring over two posting layouts.
 
 Why a kernel: the XLA gather/scatter formulation of BM25
 (ops.bm25_score_batch) serializes ~posting_cap random accesses per query on
 TPU — measured 3.3 s for a 64-query batch over 8M postings, i.e. 99% of the
-whole hybrid pipeline (see bench history).  This kernel re-states BM25 as
-regular, MXU/VPU-shaped work with NO gathers or scatters:
+whole hybrid pipeline (see bench history).  Both kernels re-state BM25 as
+regular, MXU/VPU-shaped work with NO gathers or scatters.
 
-  layout  : postings stored doc-major in blocks of 128 docs, each block's
-            postings padded to a common chunk multiple
-            (device_index.build_blocked_postings), tiled as
-            ``[n_blocks, n_chunks, 8, pc/8]`` — native (8, 128k) TPU tiles;
-            the per-posting local doc ids additionally ship pre-transposed
-            ``[..., pc/8, 8]`` so the kernel never reshapes or transposes
-            (Mosaic rejects cross-tile shape casts).
-  match   : for each posting, its term id is compared against the <= T query
-            term ids (VPU compare-accumulate, T tiny) -> per-posting query
-            weight and match count.
-  reduce  : per-document reduction via a one-hot ``[pc/8, 128]`` matmul on
-            the MXU per sublane row — "scatter as matmul".
-  stream  : grid = (doc_blocks, posting_chunks); postings stream HBM->VMEM
-            once per query *batch* (not per query), output block revisited
-            across posting chunks (TPU grids run sequentially per core).
+**Doc-slot layout** (the default; _kernel_slots / _kernel_slots_udedup):
+column ``d % 512`` of group ``d // 512`` holds doc d's postings stacked
+vertically (device_index.build_slot_postings), so the per-doc reduction is
+a straight sum over rows — no local-id operand, no one-hot matmul, exact
+f32 accumulation.  Docs are pre-sorted by posting count inside each chunk
+bucket so the per-group row stride (and therefore padding, measured 1.07x
+at the 100k bench shape) stays small; groups are classed by quantized
+stride into <= 16 rectangular streams.  Measured v5e (100k docs, 8M
+postings): batch-1 1.55 ms (blocked: 4.66), batch-64 U-dedup U=128
+5.2 ms / U=512 9.3 ms (blocked U=128: 10.1), batch-64 plain 16.7 ms.
 
-Matched-ness is accumulated alongside scores (one stacked matmul) because
-the reference admits matched docs whose score is exactly 0
-(min_score=0.0 with >=, bm25_indexer.py:383).
+**Doc-major blocked layout** (_kernel / _kernel_udedup, kept under
+cfg.bm25_layout="blocked"): blocks of 128 docs padded to a common posting
+chunk; per-doc reduction via a one-hot ``[pc/8, 128]`` bf16x2 matmul —
+"scatter as matmul" (~2*2B*128*2 MXU flops per posting, which the slot
+layout eliminates).  Wins only the plain batch-64 case (13.7 vs 16.7 ms),
+which the engine's measured U-dedup gate makes rare.
+
+Shared contract: postings stream HBM->VMEM once per query *batch*; the
+match loop compares each posting's term id against the query's <= T term
+ids (plain) or the batch's <= U distinct ids + one weight-recovery matmul
+(U-dedup).  Matched-ness is accumulated alongside scores because the
+reference admits matched docs whose score is exactly 0 (min_score=0.0
+with >=, bm25_indexer.py:383).
 """
 
 from __future__ import annotations
@@ -177,7 +182,11 @@ def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref):
     qtf_all = qtf_ref[:]
 
     def tile(i, carry):
-        acc_s, acc_c = carry
+        # accumulators stay (B, SUB, COLS): per-sublane partial sums, NO
+        # cross-sublane reduction inside the loop (two per-tile axis=1
+        # reductions measured +35% kernel time at B=64) — one reduction
+        # after the loop instead
+        acc_s3, acc_c3 = carry
         tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) int32
         ir = impact_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) f32
         m = jnp.zeros((B, SUB, COLS), jnp.float32)
@@ -185,19 +194,21 @@ def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref):
             tid = tids_all[:, t][:, None, None]  # (B, 1, 1)
             q = qtf_all[:, t][:, None, None]
             m = m + jnp.where(tr[None, :, :] == tid, q, 0.0)
-        acc_s = acc_s + jnp.sum(m * ir[None, :, :], axis=1)
-        acc_c = acc_c + jnp.sum((m > 0.0).astype(jnp.float32), axis=1)
-        return acc_s, acc_c
+        acc_s3 = acc_s3 + m * ir[None, :, :]
+        acc_c3 = acc_c3 + (m > 0.0).astype(jnp.float32)
+        return acc_s3, acc_c3
 
-    acc_s, acc_c = jax.lax.fori_loop(
+    acc_s3, acc_c3 = jax.lax.fori_loop(
         0,
         RC // SUB,
         tile,
         (
-            jnp.zeros((B, COLS), jnp.float32),
-            jnp.zeros((B, COLS), jnp.float32),
+            jnp.zeros((B, SUB, COLS), jnp.float32),
+            jnp.zeros((B, SUB, COLS), jnp.float32),
         ),
     )
+    acc_s = jnp.sum(acc_s3, axis=1)
+    acc_c = jnp.sum(acc_c3, axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -554,3 +565,26 @@ def bm25_score_slots_udedup(
         interpret,
     )
     return _slots_key(full, col_unperm, B)
+
+
+def dedup_query_terms_device(term_ids, qtf, u_pad: int):
+    """Jittable twin of ``dedup_query_terms`` with a STATIC distinct-term
+    budget: distinct ids beyond ``u_pad`` would be silently dropped, so
+    callers must size u_pad >= the batch's true distinct count (the host
+    twin measures it; bench.py asserts it before timing).  Lets scan-style
+    device benchmarks and fully-fused pipelines take the U-dedup path."""
+    B, T = term_ids.shape
+    SENT = jnp.int32(2**31 - 1)
+    flat = jnp.where(term_ids.reshape(-1) < 0, SENT, term_ids.reshape(-1))
+    uniq = jnp.unique(flat, size=u_pad, fill_value=SENT)
+    uids = jnp.where(uniq == SENT, jnp.int32(-2), uniq.astype(jnp.int32))
+    pos = jnp.searchsorted(uniq, jnp.clip(term_ids, 0, None)).astype(
+        jnp.int32
+    )
+    valid = term_ids >= 0
+    cols = jnp.where(valid, pos, u_pad)  # invalid -> dropped column
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    w = jnp.zeros((2 * B, u_pad + 1), jnp.float32)
+    w = w.at[rows, cols].add(jnp.where(valid, qtf, 0.0))
+    w = w.at[B + rows, cols].max(jnp.where(valid, 1.0, 0.0))
+    return uids, w[:, :u_pad]

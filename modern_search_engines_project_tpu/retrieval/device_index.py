@@ -76,6 +76,7 @@ def build_slot_postings(
     post_impact: np.ndarray,
     n_docs_pad: int,
     cols: int = SLOT_COLS,
+    S_g: Optional[np.ndarray] = None,
 ):
     """Term-major CSR -> doc-slot layout for the slot Pallas kernel.
 
@@ -109,24 +110,14 @@ def build_slot_postings(
     row = np.arange(nnz, dtype=np.int64) - starts[d]
 
     # per-group stride: max posting count rounded to 8, then snapped to at
-    # most MAX_CLASSES quantile levels (each level a valid row-chunk
-    # multiple) — adaptive: narrow count distributions get near-exact
-    # strides (pow2 rounding measured 1.86x padding on a Poisson-shaped
-    # corpus; quantile levels ~1.0x), wide ones stay bounded at 16 kernels
-    gmax = np.maximum.reduceat(counts, np.arange(0, n_slots, cols))
-    stride = np.maximum(_round_up_arr(gmax, 8), 8)
-
-    def _snap(s: int) -> int:
-        # S <= 512 runs as one row chunk; larger strides must divide into
-        # 512-row chunks (bm25_pallas.SLOT_ROW_CHUNK)
-        return int(s) if s <= 512 else int(_round_up_arr(np.int64(s), 512))
-
-    MAX_CLASSES = 16
-    uniq = np.unique([_snap(s) for s in stride])
-    if len(uniq) > MAX_CLASSES:
-        qi = np.ceil((np.arange(MAX_CLASSES) + 1) * len(uniq) / MAX_CLASSES)
-        uniq = uniq[qi.astype(np.int64) - 1]  # right-edge quantiles incl max
-    S_g = uniq[np.searchsorted(uniq, [_snap(s) for s in stride])]
+    # most 16 quantile levels — adaptive: narrow count distributions get
+    # near-exact strides (pow2 rounding measured 1.86x padding on a
+    # Poisson-shaped corpus; quantile levels 1.07x at the 100k bench shape).
+    # The sharded builder passes shared ``S_g`` (cross-shard max strides) so
+    # every shard gets the identical SPMD class structure.
+    if S_g is None:
+        gmax = np.maximum.reduceat(counts, np.arange(0, n_slots, cols))
+        S_g = _stride_classes(gmax)
 
     classes = np.unique(S_g)
     class_of_group = np.searchsorted(classes, S_g)
@@ -162,6 +153,25 @@ def build_slot_postings(
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
+
+
+def _stride_classes(gmax: np.ndarray, max_classes: int = 16) -> np.ndarray:
+    """Snap per-group max posting counts to <= max_classes stride levels.
+
+    Levels are right-edge quantiles of the observed strides (always
+    including the max), each a valid row-chunk size: any multiple of 8 up
+    to 512, multiples of 512 beyond (bm25_pallas.SLOT_ROW_CHUNK)."""
+    stride = np.maximum(_round_up_arr(gmax.astype(np.int64), 8), 8)
+
+    def _snap(s: int) -> int:
+        return int(s) if s <= 512 else int(_round_up_arr(np.int64(s), 512))
+
+    snapped = np.array([_snap(s) for s in stride], np.int64)
+    uniq = np.unique(snapped)
+    if len(uniq) > max_classes:
+        qi = np.ceil((np.arange(max_classes) + 1) * len(uniq) / max_classes)
+        uniq = uniq[qi.astype(np.int64) - 1]
+    return uniq[np.searchsorted(uniq, snapped)]
 
 
 def build_blocked_postings(

@@ -139,9 +139,14 @@ class SearchEngine:
             tids_np = np.asarray(term_ids)
             B, T = tids_np.shape
             u_pad = u_pad_for(int(np.unique(tids_np[tids_np >= 0]).size))
-            # same crossover gate as the blocked kernel: the (2B,U)@(U,*)
-            # weight-recovery matmul must beat B*T VPU compares per posting
-            if 4 * u_pad <= B * T:
+            # measured v5e crossover at 100k docs/8M postings:
+            #   plain   ~ 0.8 + 0.25*B ms   (B=1: 1.55, B=64: 16.7)
+            #   udedup  ~ 3.9 + 0.0106*U ms (U=128: 5.2, 512: 9.3, 1024: 14.7)
+            # -> udedup wins iff u_pad < ~24*B - 290 (B=64: always; B<=17:
+            # never).  Both sides scale with nnz, so the ratio-based gate
+            # holds across corpus sizes.  bm25_udedup="always" pins the
+            # path (tests / unusual workloads).
+            if self.cfg.bm25_udedup == "always" or u_pad <= 24 * B - 290:
                 uids, w = dedup_query_terms(term_ids, qtf)
                 return ops.hybrid_rank_slots_udedup(
                     d.slot_terms,

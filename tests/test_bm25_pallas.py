@@ -144,7 +144,9 @@ class TestUdedupKernel:
         match the scatter reference exactly."""
         art, enc, cfg = built
         eng_scatter = SearchEngine(art, enc, cfg, use_pallas=False)
-        eng_ud = SearchEngine(art, enc, cfg, use_pallas=True)
+        eng_ud = SearchEngine(
+            art, enc, cfg.replace(bm25_udedup="always"), use_pallas=True
+        )
         batch = QUERIES[:3] * 3  # shared terms across the batch
         r_ud = eng_ud.search_batch(batch, top_k=10)
         r_sc = eng_scatter.search_batch(batch, top_k=10)
