@@ -96,13 +96,17 @@ def make_synthetic_index(
 
 
 def sample_queries(rng, n_terms, dfs, B, T, dim):
-    # realistic mix: a couple of common terms + informative tail terms.
-    # Unique term ids with qtf counts (engine.prepare_queries semantics).
+    # realistic query model: 2-6 terms per query (reference queries.txt
+    # queries are 2-4 words plus the "tübingen" augmentation,
+    # search_api.py:155-166), drawn from the df distribution so common
+    # terms repeat across the batch like real traffic.  Unique term ids
+    # with qtf counts (engine.prepare_queries semantics).
     probs = dfs / dfs.sum()
     term_ids = np.full((B, T), -1, np.int32)
     qtf = np.zeros((B, T), np.float32)
     for b in range(B):
-        draws = rng.choice(n_terms, size=T, p=probs)
+        n_q = rng.integers(2, 7)
+        draws = rng.choice(n_terms, size=n_q, p=probs)
         uniq, counts = np.unique(draws, return_counts=True)
         term_ids[b, : len(uniq)] = uniq
         qtf[b, : len(uniq)] = counts
@@ -119,7 +123,7 @@ def main():
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     B = 64
-    T = 16
+    T = 8  # term-axis bucket for 2-6-term queries (engine.prepare_queries)
     dim = 768
     k_ret = 1000
 
@@ -207,11 +211,15 @@ def main():
         @jax.jit
         def gen(seed):
             key = jax.random.fold_in(jax.random.key(7), seed)
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(key, 3)
             term_ids = jax.random.categorical(
                 k1, dfs_logits, shape=(batch, T)
             ).astype(jnp.int32)
-            qtf = jnp.ones((batch, T), jnp.float32)
+            # realistic 2-6 terms/query (see sample_queries)
+            n_q = jax.random.randint(k3, (batch, 1), 2, 7)
+            valid = jnp.arange(T)[None, :] < n_q
+            term_ids = jnp.where(valid, term_ids, -1)
+            qtf = valid.astype(jnp.float32)
             qvec = jax.random.normal(k2, (batch, dim), jnp.float32)
             qvec = qvec / jnp.linalg.norm(qvec, axis=1, keepdims=True)
             return term_ids, qtf, qvec
@@ -303,11 +311,15 @@ def main():
 
         def gen(seed):
             key = jax.random.fold_in(jax.random.key(7), seed)
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(key, 3)
             tid = jax.random.categorical(
                 k1, logits, shape=(batch, T)
             ).astype(jnp.int32)
-            qw = jnp.ones((batch, T), jnp.float32)
+            # realistic 2-6 terms/query (see sample_queries)
+            n_q = jax.random.randint(k3, (batch, 1), 2, 7)
+            valid = jnp.arange(T)[None, :] < n_q
+            tid = jnp.where(valid, tid, -1)
+            qw = valid.astype(jnp.float32)
             qv = jax.random.normal(k2, (batch, dim), jnp.float32)
             qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
             return tid, qw, qv

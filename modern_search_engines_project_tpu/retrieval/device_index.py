@@ -307,15 +307,21 @@ class DeviceIndex:
             post_load = np.bincount(
                 np.asarray(art.post_docs), minlength=n_docs
             ).astype(np.int64)
-            # within a chunk-count bucket, order docs by posting count
-            # (descending) so consecutive slot-layout groups have
-            # near-uniform row strides — the slot kernel's padding is the
-            # within-group stride spread (the old balance_by_load ordering
-            # served the blocked kernel's per-block SUM padding instead)
-            idxs_per = [
-                _sort_by_load(order[dnc[order] == n], post_load)
-                for n in distinct
-            ]
+            # within a chunk-count bucket, order docs to suit the serving
+            # BM25 layout: slots wants posting counts sorted (its padding
+            # is the within-group stride spread); blocked wants per-block
+            # SUMS balanced (its padding is the max block sum)
+            if bm25_layout == "slots":
+                idxs_per = [
+                    _sort_by_load(order[dnc[order] == n], post_load)
+                    for n in distinct
+                ]
+            else:
+                idxs_per = [
+                    balance_by_load(order[dnc[order] == n], post_load,
+                                    DOC_BLOCK)
+                    for n in distinct
+                ]
             pads = [_round_up(max(len(ix), 8), 8) for ix in idxs_per]
             # make the concatenated doc axis a DOC_BLOCK multiple; absorb
             # the rounding in the SMALLEST-stride bucket so pad slots cost

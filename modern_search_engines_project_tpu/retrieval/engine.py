@@ -100,6 +100,7 @@ class SearchEngine:
         term_ids = np.full((B, T), -1, np.int32)
         qtf = np.zeros((B, T), np.float32)
         processed = []
+        max_slots = 0
         for i, q in enumerate(queries):
             pq = preprocess_query(q) if augment else q
             processed.append(pq)
@@ -114,7 +115,16 @@ class SearchEngine:
                 term_ids[i, slot] = tid
                 qtf[i, slot] = float(tf)
                 slot += 1
-        return term_ids, qtf, processed
+            max_slots = max(max_slots, slot)
+        # bucket the term axis (4/8/.../T): the kernels' match loop is
+        # linear in the PADDED T, and real queries carry 2-6 terms after
+        # augmentation — always padding to max_query_terms doubles the
+        # plain-kernel time for nothing.  Bounded compiled shapes.
+        t_eff = 4
+        while t_eff < max_slots:
+            t_eff *= 2
+        t_eff = min(t_eff, T)
+        return term_ids[:, :t_eff], qtf[:, :t_eff], processed
 
     def encode_queries(self, processed: Sequence[str]) -> np.ndarray:
         q = np.asarray(self.encoder.encode_batch(list(processed)), np.float32)
