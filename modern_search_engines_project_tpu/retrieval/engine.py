@@ -372,6 +372,42 @@ class SearchEngine:
     def search(self, query: str, top_k: Optional[int] = None) -> List[RankedDoc]:
         return self.search_batch([query], top_k=top_k)[0]
 
+    def warmup(self, batch_sizes: Sequence[int] = (1, 64)) -> int:
+        """Compile the hot query shapes before traffic arrives.
+
+        Each (batch-bucket, term-bucket, front-end) combination is a
+        separate XLA compile (tens of seconds on a cold TPU) — a cold
+        serve would pay that on the first unlucky request.  Runs one
+        throwaway batch per requested size with both a short query (term
+        bucket 4) and a long one (the max bucket).  Returns the number of
+        device calls made."""
+        # warmup queries need REAL vocab terms: unknown terms are dropped
+        # before term-axis bucketing, and the U-dedup bucket follows the
+        # batch's distinct-term count
+        T = self.cfg.max_query_terms
+        vocab_terms = []
+        for t in self.art.vocab.term_to_id:
+            vocab_terms.append(t)
+            if len(vocab_terms) >= max(batch_sizes, default=1) * T:
+                break
+        long_q = " ".join(vocab_terms[:T]) if vocab_terms else "warmup"
+        calls = 0
+        for b in batch_sizes:
+            b = max(1, int(b))
+            batches = [["warmup"] * b, [long_q] * b]
+            if b > 1 and len(vocab_terms) >= b * T:
+                # all-distinct batch: warms the largest U-dedup bucket
+                batches.append(
+                    [
+                        " ".join(vocab_terms[i * T : (i + 1) * T])
+                        for i in range(b)
+                    ]
+                )
+            for qs in batches:
+                self.search_batch(qs, top_k=1)
+                calls += 1
+        return calls
+
     @classmethod
     def sharded(
         cls,

@@ -154,6 +154,10 @@ def main():
     parser.add_argument("--force-encoder", action="store_true",
                         help="serve even if the encoder does not match the "
                              "index's embedding provenance")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the hot query shapes before serving "
+                             "(first-request compiles take tens of seconds "
+                             "on a cold TPU)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -161,31 +165,49 @@ def main():
     from modern_search_engines_project_tpu.retrieval import SearchEngine
     from modern_search_engines_project_tpu.serving.api import SearchService
 
-    if args.index:
-        from modern_search_engines_project_tpu.index import load_artifacts
+    def build_engine():
+        if args.index:
+            from modern_search_engines_project_tpu.index import load_artifacts
 
-        art = load_artifacts(args.index)
-        enc = resolve_encoder(art, args.encoder_ckpt, args.force_encoder)
-        cfg = art.config
-    else:
-        cfg = DEFAULT_CONFIG
-        art, enc = _demo_artifacts(cfg)
+            art = load_artifacts(args.index)
+            enc = resolve_encoder(art, args.encoder_ckpt, args.force_encoder)
+            cfg = art.config
+        else:
+            cfg = DEFAULT_CONFIG
+            art, enc = _demo_artifacts(cfg)
 
-    if args.mesh:
-        from modern_search_engines_project_tpu.parallel.sharding import (
-            make_mesh_2d,
+        if args.mesh:
+            from modern_search_engines_project_tpu.parallel.sharding import (
+                make_mesh_2d,
+            )
+
+            dp, shard = (int(x) for x in args.mesh.split(","))
+            return SearchEngine.sharded(
+                art, enc, make_mesh_2d(dp, shard), cfg
+            )
+        if args.sharded:
+            from modern_search_engines_project_tpu.parallel import make_mesh
+
+            return SearchEngine.sharded(art, enc, make_mesh(), cfg)
+        return SearchEngine(art, enc, cfg)
+
+    engine = build_engine()
+    if args.warmup:
+        import time as _time
+
+        t0 = _time.time()
+        n = engine.warmup()
+        logging.info(
+            "warmed %d query shapes in %.1fs", n, _time.time() - t0
         )
 
-        dp, shard = (int(x) for x in args.mesh.split(","))
-        engine = SearchEngine.sharded(art, enc, make_mesh_2d(dp, shard), cfg)
-    elif args.sharded:
-        from modern_search_engines_project_tpu.parallel import make_mesh
-
-        engine = SearchEngine.sharded(art, enc, make_mesh(), cfg)
-    else:
-        engine = SearchEngine(art, enc, cfg)
-
-    service = SearchService(engine, queries_path=args.queries)
+    service = SearchService(
+        engine,
+        queries_path=args.queries,
+        # reload re-reads the index dir; the demo corpus is deterministic,
+        # so reloading it is harmless (and keeps the endpoint testable)
+        engine_factory=build_engine,
+    )
     service.run(host=args.host, port=args.port)
 
 

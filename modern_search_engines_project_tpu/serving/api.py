@@ -80,8 +80,15 @@ class SearchService:
         queries_path: str = "queries.txt",
         results_path: str = "batch_search_results.txt",
         rate_limiter: Optional[RateLimiter] = None,
+        engine_factory=None,
     ):
         self.engine = engine
+        # zero-downtime index refresh: POST /api/reload rebuilds an engine
+        # via this factory (re-reading the index directory) and swaps it in
+        # between device batches.  The reference gets the equivalent for
+        # free from re-running the incremental indexer against the same
+        # DuckDB file its server reads (indexer.py:49-57 + search_api.py:32).
+        self.engine_factory = engine_factory
         self.summarizer = summarizer or ExtractiveSummarizer()
         self.queries_path = Path(queries_path)
         self.results_path = Path(results_path)
@@ -313,6 +320,39 @@ class SearchService:
         )
         return web.json_response({"response": text})
 
+    async def reload_index(self, request: web.Request) -> web.Response:
+        """Rebuild the engine from the (possibly re-indexed) on-disk index
+        and swap it in atomically — serving never stops.  In-flight device
+        batches finish on the old engine; the swap happens on the event
+        loop between batches (single-threaded, no lock needed)."""
+        if self.engine_factory is None:
+            return web.json_response(
+                {"error": "serving was started without a reloadable index"},
+                status=409,
+            )
+        loop = asyncio.get_running_loop()
+        t0 = time.time()
+        try:
+            new_engine = await loop.run_in_executor(
+                self._pool, self.engine_factory
+            )
+        except Exception as exc:
+            log.exception("index reload failed")
+            return web.json_response(
+                {"error": f"reload failed: {exc}"}, status=500
+            )
+        self.engine = new_engine
+        self.batcher.engine = new_engine
+        art = getattr(new_engine, "art", None)
+        return web.json_response(
+            {
+                "status": "reloaded",
+                "n_docs": getattr(art, "n_docs", None),
+                "n_chunks": getattr(art, "n_chunks", None),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response(
             {"status": "healthy", "search_engine_ready": self.engine is not None}
@@ -371,6 +411,7 @@ class SearchService:
         app.router.add_post("/api/generate_summary", self.generate_summary)
         app.router.add_post("/rerank", self.rerank)  # reference sidecar path
         app.router.add_post("/api/rerank", self.rerank)
+        app.router.add_post("/api/reload", self.reload_index)
         app.router.add_get("/api/health", self.health)
         app.router.add_get("/api/stats", self.stats)
         app.router.add_get("/api/config", self.config_view)

@@ -200,3 +200,69 @@ class TestShardedServing:
             assert data["documents"][0]["rank"] == 1
 
         with_client(service, body)
+
+
+class TestReloadAndWarmup:
+    def _build(self, n_docs, seed=3):
+        docs = make_corpus(n_docs=n_docs, seed=seed, min_len=40, max_len=120)
+        cfg = Config(
+            embedding_dim=32, window_size=32, step_size=25,
+            top_k_retrieval=20, top_k_reranking=10, max_query_terms=8,
+        )
+        enc = HashingEncoder(dim=32)
+        return SearchEngine(IndexBuilder(enc, cfg).build(docs), enc, cfg)
+
+    def test_reload_swaps_engine(self):
+        """POST /api/reload rebuilds the engine via the factory and swaps
+        it in; subsequent searches see the new corpus size."""
+        sizes = iter([20, 50])
+        factory = lambda: self._build(next(sizes))  # noqa: E731
+        svc = SearchService(factory(), engine_factory=factory)
+        assert svc.engine.art.n_docs == 20
+
+        async def body(client):
+            r = await client.post("/api/reload")
+            assert r.status == 200
+            data = await r.json()
+            assert data["status"] == "reloaded" and data["n_docs"] == 50
+            # the batcher routes to the NEW engine
+            r = await client.post(
+                "/api/search", json={"query": "research law"}
+            )
+            assert r.status == 200
+            return None
+
+        with_client(svc, body)
+        assert svc.engine.art.n_docs == 50
+        assert svc.batcher.engine is svc.engine
+
+    def test_reload_without_factory_409(self):
+        svc = SearchService(self._build(20))
+
+        async def body(client):
+            r = await client.post("/api/reload")
+            assert r.status == 409
+
+        with_client(svc, body)
+
+    def test_reload_failure_keeps_old_engine(self):
+        def boom():
+            raise RuntimeError("disk gone")
+
+        svc = SearchService(self._build(20), engine_factory=boom)
+        old = svc.engine
+
+        async def body(client):
+            r = await client.post("/api/reload")
+            assert r.status == 500
+
+        with_client(svc, body)
+        assert svc.engine is old
+
+    def test_warmup_compiles_hot_shapes(self):
+        eng = self._build(30)
+        n = eng.warmup(batch_sizes=(1, 4))
+        # 2 single + 2 batch + 1 all-distinct batch (vocab is large enough)
+        assert n == 5
+        # warmed engine still answers correctly
+        assert isinstance(eng.search("research law", top_k=5), list)
