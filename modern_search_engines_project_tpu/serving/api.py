@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import asyncio
 import functools
+import json
 import logging
 import re
 import time
@@ -96,6 +97,10 @@ class SearchService:
         self.rate_limiter = rate_limiter or RateLimiter(enabled=False)
         # one worker: device calls serialize, host work stays async
         self._pool = ThreadPoolExecutor(max_workers=1)
+        # pre-escaped JSON fragments for the static per-result fields
+        # (url/title/snippet/domain/doc_id): escaping ~100 snippet strings
+        # per response was the largest per-request host cost under load
+        self._doc_json: dict = {}
         # concurrent online queries coalesce into one device batch
         self.batcher = QueryBatcher(
             engine,
@@ -124,23 +129,33 @@ class SearchService:
         loop = asyncio.get_running_loop()
         ranked = await self.batcher.search(query, top_k=top_k)
 
-        documents = []
+        qid_json = json.dumps(query_id)
+        frags = []
         for i, doc in enumerate(ranked, start=1):
-            content = doc.window_text or ""
-            documents.append(
-                {
-                    "query_id": query_id,
-                    "rank": i,
-                    "url": doc.url,
-                    "score": doc.similarity_score,
-                    "title": doc.title or "No Title",
-                    "snippet": (
-                        content[:200] + "..." if len(content) > 200 else content
-                    )
-                    or "No content available",
-                    "domain": extract_domain_topic(doc.url),
-                    "doc_id": str(doc.doc_id),
-                }
+            static = self._doc_json.get((doc.doc_id, doc.window_index))
+            if static is None:
+                content = doc.window_text or ""
+                head = json.dumps({"url": doc.url})[1:-1]
+                tail = json.dumps(
+                    {
+                        "title": doc.title or "No Title",
+                        "snippet": (
+                            content[:200] + "..."
+                            if len(content) > 200
+                            else content
+                        )
+                        or "No content available",
+                        "domain": extract_domain_topic(doc.url),
+                        "doc_id": str(doc.doc_id),
+                    }
+                )[1:-1]
+                static = (head, tail)
+                if len(self._doc_json) > 500_000:
+                    self._doc_json.clear()
+                self._doc_json[(doc.doc_id, doc.window_index)] = static
+            frags.append(
+                f'{{"query_id": {qid_json}, "rank": {i}, {static[0]}, '
+                f'"score": {float(doc.similarity_score)!r}, {static[1]}}}'
             )
         windows = [d.window_text for d in ranked[:10] if d.window_text]
         llm_response = ""
@@ -149,12 +164,14 @@ class SearchService:
                 None, lambda: self.summarizer.generate_summary(query, windows)
             )
         log.info(
-            "search %r -> %d docs in %.3fs", query, len(documents),
+            "search %r -> %d docs in %.3fs", query, len(frags),
             time.time() - t0,
         )
-        return web.json_response(
-            {"llm_response": llm_response, "documents": documents}
+        body = (
+            f'{{"llm_response": {json.dumps(llm_response)}, '
+            f'"documents": [{",".join(frags)}]}}'
         )
+        return web.Response(text=body, content_type="application/json")
 
     async def _run_batch(self):
         if not self.queries_path.exists():
@@ -343,6 +360,8 @@ class SearchService:
             )
         self.engine = new_engine
         self.batcher.engine = new_engine
+        # window indices / snippets may differ in the re-built index
+        self._doc_json.clear()
         art = getattr(new_engine, "art", None)
         return web.json_response(
             {
