@@ -50,7 +50,7 @@ def build_service(n_docs: int, summarize: bool = True, seed: int = 7):
     return service, make_vocab(400)
 
 
-def stub_device(engine, queries) -> None:
+def stub_device(engine, queries, latency_ms: float = 0.0) -> None:
     """Replace engine._device_rank with per-batch-shape cached outputs.
 
     Measures the serving HOST ceiling (batcher + finishing + summarizer +
@@ -70,7 +70,12 @@ def stub_device(engine, queries) -> None:
         cache[b] = tuple(np.asarray(x) for x in out)
         b *= 2
 
-    engine._device_rank = lambda t, q, v: cache[t.shape[0]]
+    def ranked(t, q, v):
+        if latency_ms > 0.0:  # emulate a locally attached chip's batch time
+            time.sleep(latency_ms / 1e3)
+        return cache[t.shape[0]]
+
+    engine._device_rank = ranked
 
 
 async def run_load(
@@ -138,13 +143,19 @@ def main(argv=None):
     p.add_argument("--stub-device", action="store_true",
                    help="measure the host-path ceiling: device outputs are "
                         "cached per batch shape and returned instantly")
+    p.add_argument("--stub-device-ms", type=float, default=0.0,
+                   help="like --stub-device but each device call sleeps "
+                        "this long — emulates a LOCALLY attached chip's "
+                        "measured batch latency (e.g. 15 for v5e batch-64 "
+                        "at 100k docs), so the device/finishing overlap is "
+                        "measurable without tunnel RTT noise")
     args = p.parse_args(argv)
 
     service, vocab = build_service(args.docs, summarize=not args.no_summarize)
-    if args.stub_device:
+    if args.stub_device or args.stub_device_ms > 0:
         rng = random.Random(3)
         qs = [" ".join(rng.sample(vocab[:120], 2)) for _ in range(64)]
-        stub_device(service.engine, qs)
+        stub_device(service.engine, qs, latency_ms=args.stub_device_ms)
     out = asyncio.run(
         run_load(service, vocab, args.requests, args.concurrency)
     )

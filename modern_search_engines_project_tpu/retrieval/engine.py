@@ -288,6 +288,23 @@ class SearchEngine:
             b *= 2
         return b
 
+    def rank_batch(self, queries: Sequence[str], augment: bool = True):
+        """Device half of ``search_batch``: query prep + encode + the one
+        compiled ranking program.  Returns a raw array tuple for
+        ``finish_batch`` — serving overlaps this (device worker) with the
+        previous batch's host finishing."""
+        n_real = len(queries)
+        padded = list(queries) + [""] * (self._bucket(n_real) - n_real)
+        with stage_timer("query_prep", self.times):
+            term_ids, qtf, processed = self.prepare_queries(padded, augment)
+        with stage_timer("query_encode", self.times):
+            qvec = self.encode_queries(processed)
+        with stage_timer("device_rank", self.times):
+            return tuple(
+                np.asarray(x)
+                for x in self._device_rank(term_ids, qtf, qvec)
+            )
+
     def search_batch(
         self,
         queries: Sequence[str],
@@ -296,18 +313,22 @@ class SearchEngine:
     ) -> List[List[RankedDoc]]:
         """Hybrid two-stage search for a batch of queries (reference P3:
         all batch queries scored as one device batch)."""
+        return self.finish_batch(
+            self.rank_batch(queries, augment), queries, top_k
+        )
+
+    def finish_batch(
+        self,
+        raw,
+        queries: Sequence[str],
+        top_k: Optional[int] = None,
+    ) -> List[List[RankedDoc]]:
+        """Host half of ``search_batch``: dedup + diversification over the
+        candidate pool and RankedDoc materialization for the top-k rows.
+        Pure host work — independent of the device worker."""
         top_k = top_k or self.cfg.top_k_reranking
         n_real = len(queries)
-        padded = list(queries) + [""] * (self._bucket(n_real) - n_real)
-        with stage_timer("query_prep", self.times):
-            term_ids, qtf, processed = self.prepare_queries(padded, augment)
-        with stage_timer("query_encode", self.times):
-            qvec = self.encode_queries(processed)
-        with stage_timer("device_rank", self.times):
-            doc, vals, old, win, valid = (
-                np.asarray(x)
-                for x in self._device_rank(term_ids, qtf, qvec)
-            )
+        doc, vals, old, win, valid = raw
         perm = getattr(self, "_result_perm", None)
         if perm is not None:
             doc = np.where(valid, perm[np.clip(doc, 0, len(perm) - 1)], doc)

@@ -28,9 +28,14 @@ class QueryBatcher:
         pool,
         max_batch: int = 64,
         window_ms: float = 3.0,
+        finish_pool=None,
     ):
         self.engine = engine
         self._pool = pool  # the service's single device-worker executor
+        # host finishing (dedup/diversify/RankedDoc build, ~15-25 ms per
+        # full batch) runs OFF the device worker so batch N's finishing
+        # overlaps batch N+1's device dispatch
+        self._finish_pool = finish_pool
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self._pending: List[Tuple[str, int, asyncio.Future]] = []
@@ -67,10 +72,15 @@ class QueryBatcher:
         async def run():
             texts = [q for q, _, _ in batch]
             k = max(t for _, t, _ in batch)
+            engine = self.engine  # pin: /api/reload may swap mid-flight
             try:
-                results = await loop.run_in_executor(
+                raw = await loop.run_in_executor(
                     self._pool,
-                    lambda: self.engine.search_batch(texts, top_k=k),
+                    lambda: engine.rank_batch(texts),
+                )
+                results = await loop.run_in_executor(
+                    self._finish_pool,
+                    lambda: engine.finish_batch(raw, texts, top_k=k),
                 )
             except Exception as exc:  # fan the failure out per request
                 for _, _, fut in batch:

@@ -30,10 +30,18 @@ class StubEngine:
 
         self.cfg = _Cfg()
 
-    def search_batch(self, queries, top_k=10):
+    def rank_batch(self, queries, augment=True):
+        """Device half: fixed-latency call, returns a raw handle."""
         self.calls.append(list(queries))
         time.sleep(self.latency)
+        return list(queries)
+
+    def finish_batch(self, raw, queries, top_k=10):
+        assert raw == list(queries)  # raw handle routed with its batch
         return [[f"{q}::r{i}" for i in range(top_k)] for q in queries]
+
+    def search_batch(self, queries, top_k=10):
+        return self.finish_batch(self.rank_batch(queries), queries, top_k)
 
     def search(self, query, top_k=10):
         return self.search_batch([query], top_k)[0]
@@ -99,7 +107,7 @@ class TestCoalescing:
 
     def test_engine_failure_propagates(self):
         class Boom(StubEngine):
-            def search_batch(self, queries, top_k=10):
+            def rank_batch(self, queries, augment=True):
                 raise RuntimeError("device on fire")
 
         batcher = QueryBatcher(
