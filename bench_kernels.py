@@ -106,7 +106,12 @@ def main():
 
     def slots_ud_fn(st, si, cu, uids, w):
         return bp.bm25_score_slots_udedup(
-            st, si, cu, uids, w, interpret=interpret
+            st, si, cu, uids, w, interpret=interpret, acc=False
+        )
+
+    def slots_ud_acc_fn(st, si, cu, uids, w):
+        return bp.bm25_score_slots_udedup(
+            st, si, cu, uids, w, interpret=interpret, acc=True
         )
 
     def blocked_ud_fn(bt, bi, bl, uids, w):
@@ -124,9 +129,22 @@ def main():
                  ("blocked_b1", blk_args, blocked_fn, 1, 64, False)]
     if which in ("all", "slots_ud"):
         plan += [("slots_udedup_b64", slots_args, slots_ud_fn, 64, 16, True)]
+    if which in ("all", "slots_ud_acc"):
+        plan += [("slots_udedup_acc_b64", slots_args, slots_ud_acc_fn, 64,
+                  16, True),
+                 ("slots_udedup_acc_b1", slots_args, slots_ud_acc_fn, 1,
+                  64, 16)]
     if which == "slots_ud_sweep":
         plan += [(f"slots_udedup_b64_U{u}", slots_args, slots_ud_fn, 64, 16,
                   u) for u in (512, 1024)]
+    if which == "slots_ud_acc_sweep":
+        plan += [(f"slots_udedup_acc_b64_U{u}", slots_args, slots_ud_acc_fn,
+                  64, 16, u) for u in (512, 1024)]
+    if which == "slots_ud_256":
+        plan += [("slots_udedup_b64_U256", slots_args, slots_ud_fn, 64, 16,
+                  256),
+                 ("slots_udedup_acc_b64_U256", slots_args, slots_ud_acc_fn,
+                  64, 16, 256)]
     if which in ("all", "blocked_ud"):
         plan += [("blocked_udedup_b64", blk_args, blocked_ud_fn, 64, 16,
                   True)]

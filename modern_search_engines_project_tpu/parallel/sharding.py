@@ -290,12 +290,20 @@ def _sharded_hybrid_fn(
     axis: str = "shard",
     use_pallas: bool = False,
     interpret: bool = False,
+    udedup: bool = False,
+    udedup_acc: bool = True,
 ):
     """Per-shard hybrid ranking under shard_map (bucketed dense stage).
 
     Mirrors the single-chip ``ops._hybrid_tail_buckets`` with three
     cross-shard touch points: candidate allgather+merge, pool-extrema
     pmin/pmax, and the final per-candidate pmax combine.
+
+    With ``udedup=True`` (requires use_pallas) the query front end is the
+    U-dedup slot kernel: ``q1`` is the replicated distinct-term vector
+    [U] and ``q2`` the per-query weight/presence tensor [B, 2, U] (stacked
+    on axis 1 so dp batch-splitting stays a plain leading-axis split —
+    the kernel's [2B, U] layout would split its two channels wrongly).
     """
 
     def fn(
@@ -308,8 +316,8 @@ def _sharded_hybrid_fn(
         bucket_emb,
         bucket_valid,
         bucket_start,
-        term_ids,
-        qtf,
+        q1,
+        q2,
         qvec,
     ):
         # local blocks arrive with a leading shard axis of size 1
@@ -320,19 +328,34 @@ def _sharded_hybrid_fn(
         bucket_valid = tuple(v[0] for v in bucket_valid)
         bucket_start = tuple(b[0] for b in bucket_start)
 
-        B = term_ids.shape[0]
+        B = q2.shape[0] if udedup else q1.shape[0]
         s_id = lax.axis_index(axis)
         b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         k_loc = min(k_ret, d_loc)
 
         # ---- stage 1: local BM25 + global candidate merge over ICI ---------
-        if use_pallas:
+        if udedup:
+            from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+                bm25_score_slots_udedup,
+            )
+
+            w_loc = jnp.concatenate([q2[:, 0], q2[:, 1]], axis=0)
+            bm = bm25_score_slots_udedup(
+                slot_terms,
+                slot_impact,
+                col_unperm,
+                q1,
+                w_loc,
+                interpret=interpret,
+                acc=udedup_acc,
+            )
+        elif use_pallas:
             bm = bm25_score_slots(
                 slot_terms,
                 slot_impact,
                 col_unperm,
-                term_ids,
-                qtf,
+                q1,
+                q2,
                 interpret=interpret,
             )
         else:
@@ -340,8 +363,8 @@ def _sharded_hybrid_fn(
                 indptr,
                 post_docs,
                 post_impact,
-                term_ids,
-                qtf,
+                q1,
+                q2,
                 n_docs_pad=d_loc,
                 posting_cap=posting_cap,
             )
@@ -454,34 +477,47 @@ class ShardedEngineBackend:
             art, mesh, cfg, bank_dtype=bank_dtype
         )
         s = self.sidx
+        self.cfg = cfg
         self.doc_perm = s.doc_perm
         self.k_ret = min(cfg.top_k_retrieval, s.n_docs_pad)
-        fn = _sharded_hybrid_fn(
-            s.d_loc,
-            s.posting_cap,
-            self.k_ret,
-            cfg.smoothing,
-            s.buckets,
-            use_pallas=self.use_pallas,
-            interpret=self._interpret,
-        )
-        nb = len(s.buckets)
-        nc = len(s.slot_terms)
-        sharded = P("shard")
+        self._mesh = mesh
         # query batches split over dp when present (index is replicated
         # across dp by the P("shard") placement)
         self.dp = dict(mesh.shape).get("dp", 1)
         qspec = P("dp") if "dp" in mesh.axis_names else P()
         self._qspec = qspec
-        self._ranker = jax.jit(
+        self._ranker = self._build_ranker(udedup=False)
+        self._ranker_ud = {}  # per-variant, built lazily on first dispatch
+
+    def _build_ranker(self, udedup: bool, udedup_acc: bool = True):
+        from jax import shard_map
+
+        s = self.sidx
+        fn = _sharded_hybrid_fn(
+            s.d_loc,
+            s.posting_cap,
+            self.k_ret,
+            self.cfg.smoothing,
+            s.buckets,
+            use_pallas=self.use_pallas,
+            interpret=self._interpret,
+            udedup=udedup,
+            udedup_acc=udedup_acc,
+        )
+        nb = len(s.buckets)
+        nc = len(s.slot_terms)
+        sharded = P("shard")
+        qspec = self._qspec
+        q1_spec = P() if udedup else qspec  # distinct-term ids replicate
+        return jax.jit(
             shard_map(
                 fn,
-                mesh=mesh,
+                mesh=self._mesh,
                 in_specs=(sharded,) * 3
                 + ((sharded,) * nc,) * 2
                 + (P(),)  # col_unperm replicated
                 + ((sharded,) * nb,) * 3
-                + (qspec, qspec, qspec),
+                + (q1_spec, qspec, qspec),
                 out_specs=(qspec,) * 5,
                 check_vma=False,
             )
@@ -501,10 +537,41 @@ class ShardedEngineBackend:
 
     def rank(self, term_ids, qtf, qvec):
         s = self.sidx
-        B, (term_ids, qtf, qvec) = self._pad_dp(
-            np.asarray(term_ids), np.asarray(qtf), np.asarray(qvec)
-        )
-        out = self._ranker(
+        term_ids = np.asarray(term_ids)
+        q1, q2 = jnp.asarray(term_ids), None
+        plan = None
+        if self.use_pallas and self.cfg.bm25_udedup:
+            from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+                dedup_query_terms,
+                u_pad_for,
+                udedup_plan,
+            )
+
+            Bq = term_ids.shape[0]
+            u_pad = u_pad_for(
+                int(np.unique(term_ids[term_ids >= 0]).size)
+            )
+            plan = udedup_plan(u_pad, Bq)
+            if self.cfg.bm25_udedup == "always" and plan is None:
+                plan = "acc"
+            if plan is not None:
+                uids, w = dedup_query_terms(term_ids, qtf)
+                # [B, 2, U]: dp batch-splitting stays a leading-axis split
+                q1 = jnp.asarray(uids)
+                q2 = np.stack([w[:Bq], w[Bq:]], axis=1)
+        if plan is not None:
+            B, (q2, qvec) = self._pad_dp(q2, np.asarray(qvec))
+            if plan not in self._ranker_ud:  # jit re-specializes per shape
+                self._ranker_ud[plan] = self._build_ranker(
+                    udedup=True, udedup_acc=plan == "acc"
+                )
+            ranker = self._ranker_ud[plan]
+        else:
+            B, (q1, q2, qvec) = self._pad_dp(
+                term_ids, np.asarray(qtf), np.asarray(qvec)
+            )
+            ranker = self._ranker
+        out = ranker(
             s.indptr,
             s.post_docs,
             s.post_impact,
@@ -514,8 +581,8 @@ class ShardedEngineBackend:
             s.bucket_emb,
             s.bucket_valid,
             s.bucket_start,
-            jnp.asarray(term_ids),
-            jnp.asarray(qtf),
+            jnp.asarray(q1),
+            jnp.asarray(q2),
             jnp.asarray(qvec),
         )
         return tuple(x[:B] for x in out)

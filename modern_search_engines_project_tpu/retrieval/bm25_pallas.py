@@ -263,6 +263,78 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     out_ref[:] += acc
 
 
+def _kernel_slots_udedup_acc(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+    """Traffic-restructured U-dedup slot step: instead of a per-sublane
+    (2B,U)@(U,COLS) matmul + elementwise chain (whose VMEM read-modify-
+    writes dominate, ~12 MB/tile measured via the 5.2 ms kernel time),
+    accumulate a weighted match matrix X[u, col] = impact of term u in doc
+    col (and presence P) over ALL rows of the grid step, then recover
+    per-query scores with matmuls ONCE per step:
+
+        S = wq @ X      (score rows; X split bf16-hi/lo, f32 accumulate)
+        C = wp @ P      (presence rows; 0/1 entries, bf16-exact)
+
+    Each (term, doc) pair appears at most once in a doc's posting column,
+    so X entries are single impacts (not sums) — the hi/lo split gives the
+    same exactness as the per-sublane variant.  Per-tile traffic collapses
+    to the X/P carry update (~1 MB vs ~12 MB).
+
+    refs: w [2B, U] f32; uids [U, 1] int32 (pad -2); terms/impact
+    [1, RC, COLS]; out [2B, COLS] f32.
+    """
+    j = pl.program_id(1)
+    B2, U = w_ref.shape
+    B = B2 // 2
+    RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
+    uids = uids_ref[:]  # (U, 1)
+
+    def tile(i, carry):
+        X, P = carry
+        tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) int32
+        ir = impact_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS) f32
+        # 8 compare/selects feeding one add tree -> a single X/P update
+        x = jnp.zeros((U, COLS), jnp.float32)
+        p = jnp.zeros((U, COLS), jnp.float32)
+        for s in range(SUB):
+            m = uids == tr[s : s + 1, :]  # (U, COLS)
+            x = x + jnp.where(m, ir[s : s + 1, :], 0.0)
+            p = p + m.astype(jnp.float32)
+        return X + x, P + p
+
+    X, P = jax.lax.fori_loop(
+        0,
+        RC // SUB,
+        tile,
+        (
+            jnp.zeros((U, COLS), jnp.float32),
+            jnp.zeros((U, COLS), jnp.float32),
+        ),
+    )
+    wq = w_ref[:B].astype(jnp.bfloat16)
+    wp = w_ref[B:].astype(jnp.bfloat16)
+    # 3-way bf16 split of X (~24 mantissa bits ~= f32): the per-sublane
+    # variant is f32-exact, so the restructured one must be too.  qtf /
+    # presence weights are small integers — bf16-exact on the left side.
+    x1 = X.astype(jnp.bfloat16)
+    r1 = X - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    S = (
+        jnp.dot(wq, x1, preferred_element_type=jnp.float32)
+        + jnp.dot(wq, x2, preferred_element_type=jnp.float32)
+        + jnp.dot(wq, x3, preferred_element_type=jnp.float32)
+    )
+    C = jnp.dot(
+        wp, P.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.concatenate([S, C], axis=0)
+
+
 # Mosaic's default scoped-vmem limit is 16 MB; the kernel's per-sublane
 # intermediates (one-hot, match matrix, hi/lo splits) scale with the posting
 # chunk and blew it at pc=16384 (measured 16.46 MB, B=16, 20k docs).  Raise
@@ -284,6 +356,37 @@ def _auto_posting_chunk(p_blk: int) -> int:
         if p_blk % cand == 0:
             best = cand
     return best
+
+
+def udedup_plan(u_pad: int, B: int):
+    """Measured v5e dispatch gate (100k docs / 8M postings; every side
+    scales with nnz, so the ratios hold across corpus sizes):
+
+        plain slot kernel   ~ 0.8 + 0.25*B          ms
+        udedup "matmul"     ~ 3.9 + 0.0106*u_pad    ms (per-sublane matmul;
+                              measured 5.0 @ U=128, 5.98 @ 256, 9.3 @ 512,
+                              14.7 @ 1024)
+        udedup "acc"        ~ max(1.5, 0.031*u_pad) ms (X/P accumulator;
+                              measured 3.46 @ U=128, 8.54 @ 256, 15.1 @ 512,
+                              28.8 @ 1024 — the U x COLS carry traffic
+                              scales with U, so it wins only the U=128
+                              bucket, which IS the production shape: every
+                              augmented query shares "tuebingen")
+
+    Returns the winning variant name ("acc" | "matmul") or None when the
+    plain per-query kernel wins (small batches / huge distinct-term sets).
+    """
+    plain = 0.8 + 0.25 * B
+    acc = max(1.5, 0.031 * u_pad)
+    matmul = 3.9 + 0.0106 * u_pad
+    best = min(acc, matmul)
+    if best >= plain:
+        return None
+    return "acc" if acc <= matmul else "matmul"
+
+
+def udedup_wins(u_pad: int, B: int) -> bool:
+    return udedup_plan(u_pad, B) is not None
 
 
 def u_pad_for(n_distinct: int, u_buckets=(128, 256, 512, 1024)) -> int:
@@ -541,7 +644,7 @@ def bm25_score_slots(
     return _slots_key(full, col_unperm, B)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "acc"))
 def bm25_score_slots_udedup(
     slot_terms: tuple,
     slot_impact: tuple,
@@ -550,14 +653,17 @@ def bm25_score_slots_udedup(
     w: jnp.ndarray,  # [2B, U] f32
     *,
     interpret: bool = False,
+    acc: bool = True,
 ) -> jnp.ndarray:
     """U-dedup variant of bm25_score_slots (same contract): postings match
-    the batch's distinct terms once; per-query weights are recovered with
-    the only remaining matmul."""
+    the batch's distinct terms once; per-query weights are recovered by
+    matmul.  acc=True (default) uses the X/P-accumulator kernel (matmuls
+    once per grid step); acc=False keeps the per-sublane-matmul variant
+    for A/B."""
     B = w.shape[0] // 2
     U = uids.shape[0]
     full = _slots_call(
-        _kernel_slots_udedup,
+        _kernel_slots_udedup_acc if acc else _kernel_slots_udedup,
         (w, uids.reshape(U, 1)),
         slot_terms,
         slot_impact,

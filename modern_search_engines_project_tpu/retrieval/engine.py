@@ -144,19 +144,19 @@ class SearchEngine:
             from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
                 dedup_query_terms,
                 u_pad_for,
+                udedup_plan,
             )
 
             tids_np = np.asarray(term_ids)
             B, T = tids_np.shape
             u_pad = u_pad_for(int(np.unique(tids_np[tids_np >= 0]).size))
-            # measured v5e crossover at 100k docs/8M postings:
-            #   plain   ~ 0.8 + 0.25*B ms   (B=1: 1.55, B=64: 16.7)
-            #   udedup  ~ 3.9 + 0.0106*U ms (U=128: 5.2, 512: 9.3, 1024: 14.7)
-            # -> udedup wins iff u_pad < ~24*B - 290 (B=64: always; B<=17:
-            # never).  Both sides scale with nnz, so the ratio-based gate
-            # holds across corpus sizes.  bm25_udedup="always" pins the
-            # path (tests / unusual workloads).
-            if self.cfg.bm25_udedup == "always" or u_pad <= 24 * B - 290:
+            # variant selection from the measured v5e cost model
+            # (bm25_pallas.udedup_plan); bm25_udedup="always" pins the
+            # U-dedup path (tests / unusual workloads).
+            plan = udedup_plan(u_pad, B)
+            if self.cfg.bm25_udedup == "always" and plan is None:
+                plan = "acc"
+            if plan is not None:
                 uids, w = dedup_query_terms(term_ids, qtf)
                 return ops.hybrid_rank_slots_udedup(
                     d.slot_terms,
@@ -174,6 +174,7 @@ class SearchEngine:
                     buckets=d.buckets,
                     interpret=self._pallas_interpret,
                     approx=self.cfg.approx_candidates,
+                    acc=plan == "acc",
                 )
         if use_slots:
             return ops.hybrid_rank_slots(

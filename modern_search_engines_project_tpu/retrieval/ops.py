@@ -765,8 +765,10 @@ def hybrid_rank_slots_udedup(
     buckets=(),
     interpret: bool = False,
     approx: bool = False,
+    acc: bool = True,
 ):
-    """hybrid_rank_slots with the U-dedup front end (shared-term batches)."""
+    """hybrid_rank_slots with the U-dedup front end (shared-term batches).
+    ``acc`` picks the kernel variant (bm25_pallas.udedup_plan)."""
     from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
         bm25_score_slots_udedup,
     )
@@ -778,6 +780,7 @@ def hybrid_rank_slots_udedup(
         uids,
         w,
         interpret=interpret,
+        acc=acc,
     )
     return _hybrid_tail_buckets(
         bm,

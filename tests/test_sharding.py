@@ -241,3 +241,40 @@ class TestShardedPallas:
         same = out_p[0] == out_s[0]
         close = np.abs(out_p[1] - out_s[1]) < 1e-4
         assert np.all(same | close)
+
+    @pytest.mark.parametrize("variant", ["acc", "matmul"])
+    def test_sharded_udedup_matches_scatter(
+        self, engines, eight_devices, monkeypatch, variant
+    ):
+        """Both U-dedup kernel variants, dispatched through the sharded
+        backend's gate, must match the scatter backend exactly."""
+        import numpy as np
+
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedEngineBackend,
+        )
+        from modern_search_engines_project_tpu.retrieval import bm25_pallas
+
+        single, sharded = engines
+        art, cfg = single.art, single.cfg
+        mesh = sharded.didx.mesh
+        pallas_backend = ShardedEngineBackend(
+            art, mesh, cfg, use_pallas=True
+        )
+        monkeypatch.setattr(
+            bm25_pallas, "udedup_plan", lambda u, b: variant
+        )
+        term_ids, qtf, processed = single.prepare_queries(QUERIES)
+        qvec = single.encode_queries(processed)
+        out_p = [
+            np.asarray(x) for x in pallas_backend.rank(term_ids, qtf, qvec)
+        ]
+        assert variant in pallas_backend._ranker_ud  # gate actually fired
+        out_s = [
+            np.asarray(x)
+            for x in sharded._backend.rank(term_ids, qtf, qvec)
+        ]
+        assert np.allclose(out_p[1], out_s[1], atol=1e-4)
+        same = out_p[0] == out_s[0]
+        close = np.abs(out_p[1] - out_s[1]) < 1e-4
+        assert np.all(same | close)
