@@ -304,6 +304,7 @@ def main():
         from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
             dedup_query_terms_device,
             u_pad_for,
+            udedup_plan,
         )
 
         k_eff = min(1000, idx_.n_docs_pad)
@@ -332,7 +333,8 @@ def main():
             for s in range(2 * n_scan)
         )
         u_pad = u_pad_for(max_distinct)
-        use_udedup = u_pad <= 24 * batch - 290
+        plan = udedup_plan(u_pad, batch)
+        use_udedup = plan is not None
 
         @functools.partial(jax.jit, static_argnames=("buckets",))
         def scan_loop(st, si, cu, bemb, bval, bstart, seed0, *, buckets):
@@ -344,7 +346,7 @@ def main():
                         st, si, cu, bemb, bval, bstart, uids, w, qv,
                         n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
                         smoothing=cfg_.smoothing, buckets=buckets,
-                        interpret=interpret,
+                        interpret=interpret, acc=plan == "acc",
                     )
                 else:
                     o = ops.hybrid_rank_slots(
@@ -370,7 +372,7 @@ def main():
         t0 = time.time()
         _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=idx_.buckets)))
         ms = (time.time() - t0) / n_scan * 1e3
-        front = f"udedup U={u_pad}" if use_udedup else "plain"
+        front = f"udedup-{plan} U={u_pad}" if use_udedup else "plain"
         print(
             f"{label}: {ms:.3f} ms/batch of {batch} "
             f"({batch / ms * 1e3:.0f} q/s on-device; {front}; "

@@ -154,6 +154,9 @@ def main():
     parser.add_argument("--force-encoder", action="store_true",
                         help="serve even if the encoder does not match the "
                              "index's embedding provenance")
+    parser.add_argument("--query-cache", type=int, default=1024,
+                        help="LRU size for (query, top_k) result caching "
+                             "(0 disables; cleared on /api/reload)")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the hot query shapes before serving "
                              "(first-request compiles take tens of seconds "
@@ -204,6 +207,7 @@ def main():
     service = SearchService(
         engine,
         queries_path=args.queries,
+        query_cache_size=args.query_cache,
         # reload re-reads the index dir; the demo corpus is deterministic,
         # so reloading it is harmless (and keeps the endpoint testable)
         engine_factory=build_engine,

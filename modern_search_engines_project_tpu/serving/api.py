@@ -82,6 +82,7 @@ class SearchService:
         results_path: str = "batch_search_results.txt",
         rate_limiter: Optional[RateLimiter] = None,
         engine_factory=None,
+        query_cache_size: int = 1024,
     ):
         self.engine = engine
         # zero-downtime index refresh: POST /api/reload rebuilds an engine
@@ -101,6 +102,15 @@ class SearchService:
         # (url/title/snippet/domain/doc_id): escaping ~100 snippet strings
         # per response was the largest per-request host cost under load
         self._doc_json: dict = {}
+        # LRU of (query, top_k) -> (ranked, summary).  The reference's
+        # reranker config reserves a cache section but never implements it
+        # (reranker/config.yaml cache placeholder); results are pure
+        # functions of the index, so caching is sound until /api/reload,
+        # which clears it.  0 disables.
+        self._query_cache_size = max(0, int(query_cache_size))
+        self._query_cache: dict = {}
+        self._cache_hits = 0
+        self._cache_misses = 0
         # concurrent online queries coalesce into one device batch
         self.batcher = QueryBatcher(
             engine,
@@ -127,7 +137,17 @@ class SearchService:
         query_id = data.get("query_id", uuid.uuid4().hex)
 
         loop = asyncio.get_running_loop()
-        ranked = await self.batcher.search(query, top_k=top_k)
+        cache_key = (query, top_k)
+        cached = self._query_cache.get(cache_key)
+        if cached is not None:
+            self._cache_hits += 1
+            # re-insert for LRU recency (dicts preserve insertion order)
+            self._query_cache.pop(cache_key, None)
+            self._query_cache[cache_key] = cached
+            ranked, summary = cached
+        else:
+            self._cache_misses += 1
+            ranked, summary = await self.batcher.search(query, top_k=top_k), None
 
         qid_json = json.dumps(query_id)
         frags = []
@@ -158,11 +178,15 @@ class SearchService:
                 f'"score": {float(doc.similarity_score)!r}, {static[1]}}}'
             )
         windows = [d.window_text for d in ranked[:10] if d.window_text]
-        llm_response = ""
-        if windows:
+        llm_response = summary or ""
+        if windows and summary is None:
             llm_response = await loop.run_in_executor(
                 None, lambda: self.summarizer.generate_summary(query, windows)
             )
+        if cached is None and self._query_cache_size:
+            if len(self._query_cache) >= self._query_cache_size:
+                self._query_cache.pop(next(iter(self._query_cache)))
+            self._query_cache[cache_key] = (ranked, llm_response)
         log.info(
             "search %r -> %d docs in %.3fs", query, len(frags),
             time.time() - t0,
@@ -360,8 +384,9 @@ class SearchService:
             )
         self.engine = new_engine
         self.batcher.engine = new_engine
-        # window indices / snippets may differ in the re-built index
+        # window indices / snippets / rankings may differ in the new index
         self._doc_json.clear()
+        self._query_cache.clear()
         art = getattr(new_engine, "art", None)
         return web.json_response(
             {
@@ -398,6 +423,12 @@ class SearchService:
         times = getattr(self.engine, "times", None)
         payload = times.report() if times else {}
         payload["online_batching"] = self.batcher.stats()
+        payload["query_cache"] = {
+            "size": len(self._query_cache),
+            "capacity": self._query_cache_size,
+            "hits": self._cache_hits,
+            "misses": self._cache_misses,
+        }
         return web.json_response(payload)
 
     async def index(self, request: web.Request) -> web.Response:

@@ -259,6 +259,63 @@ class TestReloadAndWarmup:
         with_client(svc, body)
         assert svc.engine is old
 
+    def test_query_cache_hits_skip_device(self):
+        """Repeated identical queries are served from the LRU cache (no
+        second device batch), responses byte-identical apart from
+        query_id; /api/reload clears the cache."""
+        sizes = iter([30, 30])
+        factory = lambda: self._build(next(sizes))  # noqa: E731
+        svc = SearchService(factory(), engine_factory=factory)
+
+        async def body(client):
+            r1 = await (await client.post(
+                "/api/search", json={"query": "research law"}
+            )).json()
+            calls_after_first = svc.batcher.device_batches
+            r2 = await (await client.post(
+                "/api/search", json={"query": "research law"}
+            )).json()
+            assert svc.batcher.device_batches == calls_after_first
+            assert svc._cache_hits == 1
+            strip = lambda d: [  # noqa: E731
+                {k: v for k, v in doc.items() if k != "query_id"}
+                for doc in d["documents"]
+            ]
+            assert strip(r1) == strip(r2)
+            assert r1["llm_response"] == r2["llm_response"]
+            # reload invalidates
+            assert (await client.post("/api/reload")).status == 200
+            assert len(svc._query_cache) == 0
+            await (await client.post(
+                "/api/search", json={"query": "research law"}
+            )).json()
+            assert svc.batcher.device_batches == calls_after_first + 1
+
+        with_client(svc, body)
+
+    def test_query_cache_disabled(self):
+        svc = SearchService(self._build(20), query_cache_size=0)
+
+        async def body(client):
+            for _ in range(2):
+                await client.post(
+                    "/api/search", json={"query": "research law"}
+                )
+            assert svc._cache_hits == 0 and len(svc._query_cache) == 0
+
+        with_client(svc, body)
+
+    def test_query_cache_lru_eviction(self):
+        svc = SearchService(self._build(20), query_cache_size=2)
+
+        async def body(client):
+            for q in ("a law", "b law", "c law"):
+                await client.post("/api/search", json={"query": q})
+            assert len(svc._query_cache) == 2
+            assert ("a law", 10) not in svc._query_cache
+
+        with_client(svc, body)
+
     def test_warmup_compiles_hot_shapes(self):
         eng = self._build(30)
         n = eng.warmup(batch_sizes=(1, 4))
