@@ -1,0 +1,170 @@
+"""Multi-host (multi-process) sharded serving — the DCN story, executable.
+
+SURVEY.md §5.8 maps the reference's localhost-HTTP process mesh
+(``search_api.py:97-101`` → reranker/assistant sidecars) to jax
+collectives: postings + chunk banks shard over ICI *within* a slice, and
+across hosts the same SPMD program spans processes with collectives riding
+DCN.  A TPU pod is not available in CI, so this module makes the
+multi-host path executable anyway: N local processes, each owning K
+virtual CPU devices, join one ``jax.distributed`` cluster and form a
+GLOBAL mesh whose cross-process collectives ride gloo — the CPU stand-in
+for DCN.  The SPMD ranking program is byte-identical to the single-host
+sharded path (``parallel/sharding.py``); only device placement changes.
+
+Run one process per "host" (all on one box for the demo):
+
+    python -m modern_search_engines_project_tpu.parallel.multihost \
+        --coordinator localhost:29500 --num-processes 2 --process-id 0 &
+    python -m modern_search_engines_project_tpu.parallel.multihost \
+        --coordinator localhost:29500 --num-processes 2 --process-id 1
+
+Each process prints one JSON line with its ranked results; because the
+query batch is replicated and the merge collectives are global, every
+process must print the SAME ranking (asserted in tests/test_multihost.py,
+which also checks it against an unsharded single-process oracle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def init_multihost(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    cpu_devices_per_process: int = 0,
+):
+    """Join a jax.distributed cluster; returns the global device list.
+
+    On a real TPU pod: call with cpu_devices_per_process=0 and let jax
+    pick up the TPU topology.  For the CPU demo: each process forces
+    ``cpu_devices_per_process`` virtual host devices (must run before any
+    jax device is touched; the axon tunnel platform force-registers, so
+    the platform is pinned via jax.config, not env — see
+    tests/conftest.py).
+    """
+    if cpu_devices_per_process:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+            f"{cpu_devices_per_process}"
+        )
+        # a stale platform request (e.g. JAX_PLATFORMS=axon under the TPU
+        # tunnel) would wedge backend discovery before initialize()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if cpu_devices_per_process:
+        jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator, num_processes=num_processes, process_id=process_id
+    )
+    return jax.devices()
+
+
+def make_multihost_mesh(axis: str = "shard"):
+    """1-D mesh over ALL global devices (every process's chips): the index
+    shards across hosts, so a corpus can exceed one host's HBM.  The
+    candidate allgather + extrema pmin/pmax then cross processes (DCN)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def demo_corpus(n_docs: int = 64):
+    """Deterministic corpus — every process must build identical artifacts
+    (the same invariant a real deployment gets from a shared index
+    manifest, SURVEY §5.4)."""
+    from modern_search_engines_project_tpu.index.builder import Document
+
+    words = [
+        "tuebingen", "castle", "neckar", "university", "research", "law",
+        "faculty", "ai", "cyber", "valley", "museum", "river", "town",
+        "student", "library", "science", "history", "bridge",
+    ]
+    docs = []
+    for i in range(n_docs):
+        body = " ".join(
+            words[(i * 7 + j * 3) % len(words)] for j in range(40)
+        )
+        docs.append(
+            Document(
+                doc_id=i + 1,
+                url=f"https://host{i % 4}.example.org/page/{i}",
+                title=f"Document {i}",
+                text=f"{words[i % len(words)]} {body}",
+            )
+        )
+    return docs
+
+
+QUERIES = ["castle neckar", "university research law", "ai cyber valley"]
+
+
+def run_demo(n_docs: int = 64):
+    """Build the demo index, shard it over the GLOBAL mesh, rank the demo
+    queries; returns [[doc_id, score], ...] per query."""
+    from modern_search_engines_project_tpu.config import Config
+    from modern_search_engines_project_tpu.index import IndexBuilder
+    from modern_search_engines_project_tpu.models import HashingEncoder
+    from modern_search_engines_project_tpu.retrieval import SearchEngine
+
+    cfg = Config(
+        embedding_dim=32,
+        window_size=32,
+        step_size=25,
+        top_k_retrieval=32,
+        top_k_reranking=8,
+        max_query_terms=8,
+    )
+    enc = HashingEncoder(dim=32)
+    art = IndexBuilder(enc, cfg).build(demo_corpus(n_docs))
+    mesh = make_multihost_mesh()
+    engine = SearchEngine.sharded(art, enc, mesh, cfg)
+    out = []
+    for ranked in engine.search_batch(QUERIES, top_k=5):
+        out.append(
+            [[doc.doc_id, round(doc.similarity_score, 4)] for doc in ranked]
+        )
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", default="localhost:29500")
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--docs", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+
+    init_multihost(
+        args.coordinator,
+        args.num_processes,
+        args.process_id,
+        cpu_devices_per_process=args.devices_per_process,
+    )
+    results = run_demo(args.docs)
+    print(
+        json.dumps(
+            {
+                "process_id": args.process_id,
+                "process_count": jax.process_count(),
+                "global_devices": len(jax.devices()),
+                "local_devices": jax.local_device_count(),
+                "results": results,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

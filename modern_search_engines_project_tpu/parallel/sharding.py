@@ -566,11 +566,13 @@ class ShardedEngineBackend:
                     udedup=True, udedup_acc=plan == "acc"
                 )
             ranker = self._ranker_ud[plan]
+            q1_spec = P()
         else:
             B, (q1, q2, qvec) = self._pad_dp(
                 term_ids, np.asarray(qtf), np.asarray(qvec)
             )
             ranker = self._ranker
+            q1_spec = self._qspec
         out = ranker(
             s.indptr,
             s.post_docs,
@@ -581,11 +583,24 @@ class ShardedEngineBackend:
             s.bucket_emb,
             s.bucket_valid,
             s.bucket_start,
-            jnp.asarray(q1),
-            jnp.asarray(q2),
-            jnp.asarray(qvec),
+            self._put_q(q1, q1_spec),
+            self._put_q(q2, self._qspec),
+            self._put_q(qvec, self._qspec),
         )
         return tuple(x[:B] for x in out)
+
+    def _put_q(self, x, spec):
+        """Place a host query array for the global mesh.  Single-process:
+        plain device transfer.  Multi-process (multi-host DCN path,
+        parallel/multihost.py): every process holds the full batch, so
+        build the global array from process-local data explicitly —
+        uncommitted host arrays cannot be auto-resharded onto a mesh that
+        spans non-addressable devices."""
+        if jax.process_count() == 1:
+            return jnp.asarray(x)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self._mesh, spec), np.asarray(x)
+        )
 
     def dense_topk(self, qvec, k: int):
         """Sharded exact brute-force dense retrieval (ops.dense_rank role):

@@ -28,11 +28,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from modern_search_engines_project_tpu.retrieval.device_index import DeviceIndex
 
-_BIG = jnp.int32(2**31 - 1)
+# np (not jnp): a module-level jnp scalar initializes the XLA backend at
+# import time, which breaks jax.distributed.initialize (multihost.py)
+_BIG = np.int32(2**31 - 1)
 
 
 def bm25_score_batch(
