@@ -47,11 +47,16 @@ class SearchEngine:
         self.cfg = config or artifacts.config
         self.encoder = encoder
         self.analyzer = analyzer or Analyzer()
-        dtype = bank_dtype if bank_dtype is not None else jnp.float32
         # Pallas blocked BM25 kernel: the TPU fast path (bm25_pallas.py).
         # On CPU it runs in interpreter mode — correct but slow, so only
         # when explicitly requested (tests do, for parity coverage).
         backend = jax.default_backend()
+        # bf16 chunk bank on TPU (half the HBM, MXU-native matmul — the
+        # benchmarked serving config); f32 on CPU where the parity suite
+        # compares against the numpy oracle bit-for-bit
+        dtype = bank_dtype if bank_dtype is not None else (
+            jnp.bfloat16 if backend == "tpu" else jnp.float32
+        )
         self.use_pallas = (
             use_pallas if use_pallas is not None else backend == "tpu"
         )
@@ -453,11 +458,17 @@ class SearchEngine:
         self.cfg = config or artifacts.config
         self.encoder = encoder
         self.analyzer = analyzer or Analyzer()
+        import jax as _jax
+
         backend = ShardedEngineBackend(
             artifacts,
             mesh,
             self.cfg,
-            bank_dtype=bank_dtype if bank_dtype is not None else jnp.float32,
+            bank_dtype=bank_dtype if bank_dtype is not None else (
+                jnp.bfloat16
+                if _jax.default_backend() == "tpu"
+                else jnp.float32
+            ),
         )
         self.didx = backend.sidx  # for introspection
         self.k_ret = backend.k_ret

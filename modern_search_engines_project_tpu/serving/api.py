@@ -397,6 +397,52 @@ class SearchService:
             }
         )
 
+    async def profile(self, request: web.Request) -> web.Response:
+        """Capture a jax.profiler device trace around a real search batch
+        (SURVEY §5.1: the rebuild's tracer hook — the reference only has
+        wall-clock logs).  Body: {queries?: [...], out_dir?: str}.  The
+        perfetto/tensorboard trace lands in out_dir; response reports the
+        wall time and trace location."""
+        try:
+            data = await request.json()
+        except Exception:
+            data = {}
+        queries = data.get("queries") or ["profile probe tübingen"]
+        out_dir = data.get("out_dir") or "/tmp/msetpu_profile"
+        if not isinstance(queries, list) or not all(
+            isinstance(q, str) for q in queries
+        ):
+            return web.json_response(
+                {"error": "queries must be a list of strings"}, status=400
+            )
+        loop = asyncio.get_running_loop()
+        eng = self.engine
+
+        def run():
+            import jax
+
+            t0 = time.time()
+            with jax.profiler.trace(out_dir):
+                eng.search_batch(queries[:64])
+            return time.time() - t0
+
+        try:
+            wall = await loop.run_in_executor(self._pool, run)
+        except Exception as exc:
+            log.exception("profile capture failed")
+            return web.json_response(
+                {"error": f"profiling failed: {exc}"}, status=500
+            )
+        return web.json_response(
+            {
+                "trace_dir": out_dir,
+                "queries": len(queries[:64]),
+                "wall_seconds": round(wall, 4),
+                "view": "tensorboard --logdir <trace_dir> (profile plugin) "
+                        "or load the .perfetto-trace in ui.perfetto.dev",
+            }
+        )
+
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response(
             {"status": "healthy", "search_engine_ready": self.engine is not None}
@@ -462,6 +508,7 @@ class SearchService:
         app.router.add_post("/rerank", self.rerank)  # reference sidecar path
         app.router.add_post("/api/rerank", self.rerank)
         app.router.add_post("/api/reload", self.reload_index)
+        app.router.add_post("/api/profile", self.profile)
         app.router.add_get("/api/health", self.health)
         app.router.add_get("/api/stats", self.stats)
         app.router.add_get("/api/config", self.config_view)

@@ -1,6 +1,7 @@
 """HTTP serving surface tests: endpoint schema parity with the reference."""
 
 import asyncio
+from pathlib import Path
 
 import pytest
 from aiohttp.test_utils import TestClient, TestServer
@@ -313,6 +314,33 @@ class TestReloadAndWarmup:
                 await client.post("/api/search", json={"query": q})
             assert len(svc._query_cache) == 2
             assert ("a law", 10) not in svc._query_cache
+
+        with_client(svc, body)
+
+    def test_profile_endpoint_captures_trace(self, tmp_path):
+        svc = SearchService(self._build(20))
+        out = str(tmp_path / "trace")
+
+        async def body(client):
+            r = await client.post(
+                "/api/profile",
+                json={"queries": ["research law"], "out_dir": out},
+            )
+            assert r.status == 200
+            data = await r.json()
+            assert data["trace_dir"] == out and data["wall_seconds"] > 0
+            # a plugins/profile/<ts>/ dir with at least one trace artifact
+            found = list(Path(out).rglob("*"))
+            assert any(p.is_file() for p in found), found
+
+        with_client(svc, body)
+
+    def test_profile_endpoint_rejects_bad_queries(self):
+        svc = SearchService(self._build(20))
+
+        async def body(client):
+            r = await client.post("/api/profile", json={"queries": [1, 2]})
+            assert r.status == 400
 
         with_client(svc, body)
 
