@@ -112,10 +112,13 @@ class TestServingIsolation:
 
             times = None
 
-            def search_batch(self, queries, top_k=10):
+            def rank_batch(self, queries, augment=True):
                 Engine.calls += 1
                 if Engine.calls == 1:
                     raise RuntimeError("transient device failure")
+                return queries
+
+            def finish_batch(self, raw, queries, top_k=10):
                 return [[] for _ in queries]
 
         service = SearchService(Engine())
