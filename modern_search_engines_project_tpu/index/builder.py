@@ -273,12 +273,15 @@ class IndexBuilder:
     def _build_dense(self, docs: Sequence[Document]):
         cfg = self.config
         window_texts: List[str] = []
+        window_ids: List[np.ndarray] = []
         chunk_doc: List[int] = []
         doc_chunk_start = np.zeros(len(docs), dtype=np.int32)
         doc_n_chunks = np.zeros(len(docs), dtype=np.int32)
+        _EMPTY = np.zeros(0, dtype=np.int64)
         for d, doc in enumerate(docs):
             full = f"{doc.title} {doc.text}" if doc.title else doc.text
-            _ids, offsets = self.tokenizer.encode_with_offsets(full)
+            ids, offsets = self.tokenizer.encode_with_offsets(full)
+            ids = np.asarray(ids, dtype=np.int64)
             bounds = sliding_window_bounds(
                 len(offsets), cfg.window_size, cfg.step_size
             )[: cfg.max_chunks_per_doc]
@@ -288,23 +291,38 @@ class IndexBuilder:
                 if e > s:
                     c0, c1 = offsets[s][0], offsets[e - 1][1]
                     window_texts.append(full[c0:c1])
+                    window_ids.append(ids[s:e])
                 else:  # empty doc: one empty window keeps shapes consistent
                     window_texts.append("")
+                    window_ids.append(_EMPTY)
                 chunk_doc.append(d)
             if not bounds:  # fully empty document still gets one chunk
                 window_texts.append("")
+                window_ids.append(_EMPTY)
                 chunk_doc.append(d)
                 doc_n_chunks[d] = 1
 
+        # pre-tokenized fast path: window spans start/end on token
+        # boundaries, so re-tokenizing the span text reproduces ids[s:e]
+        # exactly — skip the text round-trip when the encoder tokenizes
+        # with the same hash vocab (HashingEncoder; the trained JaxEncoder
+        # has its own tokenizer and takes the text path)
+        use_ids = (
+            hasattr(self.encoder, "encode_id_batch")
+            and getattr(
+                getattr(self.encoder, "tokenizer", None), "vocab_size", None
+            )
+            == self.tokenizer.vocab_size
+        )
         embs = []
         bs = cfg.embedding_batch_size
         for i in range(0, len(window_texts), bs):
-            embs.append(
-                np.asarray(
-                    self.encoder.encode_batch(window_texts[i : i + bs]),
-                    dtype=np.float32,
-                )
+            batch = (
+                self.encoder.encode_id_batch(window_ids[i : i + bs])
+                if use_ids
+                else self.encoder.encode_batch(window_texts[i : i + bs])
             )
+            embs.append(np.asarray(batch, dtype=np.float32))
         chunk_emb = (
             np.concatenate(embs, axis=0)
             if embs

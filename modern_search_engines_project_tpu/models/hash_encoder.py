@@ -67,11 +67,19 @@ class HashingEncoder:
         (the python per-text loop was the host build bottleneck after the
         native tokenizer landed).
         """
-        n = len(texts)
-        out = np.zeros((n, self.dim), dtype=np.float32)
         ids_list = [
             np.asarray(self.tokenizer.encode(t), dtype=np.int64) for t in texts
         ]
+        return self.encode_id_batch(ids_list)
+
+    def encode_id_batch(self, ids_list: Sequence[np.ndarray]) -> np.ndarray:
+        """encode_batch over pre-tokenized id arrays.  The index builder
+        already tokenized each document once to cut its windows — the text
+        round-trip (decode span -> re-tokenize) was ~40% of dense build
+        time at corpus shapes, and re-tokenizing a window span reproduces
+        exactly these ids (spans start/end on token boundaries)."""
+        n = len(ids_list)
+        out = np.zeros((n, self.dim), dtype=np.float32)
         lens = np.array([x.size for x in ids_list], dtype=np.int64)
         if lens.sum() == 0:
             out[:, 0] = 1.0

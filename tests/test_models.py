@@ -243,3 +243,42 @@ class TestCrossEncoder:
         scores = [r.similarity_score for r in res]
         assert scores == sorted(scores, reverse=True)
         assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+class TestHashingEncoderIdPath:
+    def test_builder_id_fast_path_matches_text_path(self):
+        """The dense build's pre-tokenized fast path must produce
+        BIT-IDENTICAL embeddings to re-tokenizing each window's text
+        (window spans start/end on token boundaries, so ids[s:e] must
+        round-trip exactly)."""
+        import numpy as np
+
+        from corpus_util import make_corpus
+        from modern_search_engines_project_tpu.config import Config
+        from modern_search_engines_project_tpu.index import IndexBuilder
+        from modern_search_engines_project_tpu.models import HashingEncoder
+
+        docs = make_corpus(n_docs=80, seed=9, min_len=40, max_len=300)
+        # adversarial extras: unicode whitespace, umlauts, empty doc
+        docs[0].text = "Tübingen castle  straße tour " * 30
+        docs[1].text = ""
+        cfg = Config(embedding_dim=48, window_size=16, step_size=12)
+
+        class TextOnly:
+            """Same encoder, fast path hidden -> text round-trip."""
+
+            def __init__(self):
+                self._e = HashingEncoder(dim=48)
+                self.tokenizer = self._e.tokenizer
+
+            def describe(self):
+                return self._e.describe()
+
+            def encode_batch(self, texts):
+                return self._e.encode_batch(texts)
+
+        fast = IndexBuilder(HashingEncoder(dim=48), cfg).build(docs)
+        slow = IndexBuilder(TextOnly(), cfg).build(docs)
+        assert fast.n_chunks == slow.n_chunks
+        np.testing.assert_array_equal(fast.chunk_emb, slow.chunk_emb)
+        assert fast.window_texts == slow.window_texts
