@@ -283,15 +283,11 @@ std::string lemmatize(const std::string& w) {
   return strip_verbal(s);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns a newline-joined token list (malloc'd); caller frees.
-char* msetpu_analyze(const char* text, size_t len) {
+// Shared analyze scan: tokenizes/normalizes/lemmatizes and calls
+// emit(lemma) for every surviving token, in document order.
+template <typename F>
+static void analyze_stream(const char* text, size_t len, F&& emit) {
   const unsigned char* s = reinterpret_cast<const unsigned char*>(text);
-  std::string out;
-  out.reserve(len / 4);
   std::string tok;
   size_t i = 0;
   const auto& stops = stopwords();
@@ -302,8 +298,7 @@ char* msetpu_analyze(const char* text, size_t len) {
     if (cp_length(t) >= 2 && !stops.count(t)) {
       std::string lemma = lemmatize(t);
       if (cp_length(lemma) >= 2 && !stops.count(lemma)) {
-        out += lemma;
-        out.push_back('\n');
+        emit(lemma);
       }
     }
     tok.clear();
@@ -327,7 +322,42 @@ char* msetpu_analyze(const char* text, size_t len) {
     }
   }
   flush();
+}
 
+}  // namespace
+
+extern "C" {
+
+// Returns a newline-joined token list (malloc'd); caller frees.
+char* msetpu_analyze(const char* text, size_t len) {
+  std::string out;
+  out.reserve(len / 4);
+  analyze_stream(text, len, [&](const std::string& lemma) {
+    out += lemma;
+    out.push_back('\n');
+  });
+  char* ret = static_cast<char*>(std::malloc(out.size() + 1));
+  std::memcpy(ret, out.data(), out.size());
+  ret[out.size()] = '\0';
+  return ret;
+}
+
+// Aggregated per-term counts: "term\tcount\n" per DISTINCT term (malloc'd;
+// caller frees).  The BM25 build only needs counts, and shipping ~100
+// distinct pairs instead of ~10x that many token strings moves the
+// decode/split/Counter work out of Python (the doc-analysis hot loop).
+char* msetpu_analyze_counts(const char* text, size_t len) {
+  std::unordered_map<std::string, long long> counts;
+  analyze_stream(text, len,
+                 [&](const std::string& lemma) { ++counts[lemma]; });
+  std::string out;
+  out.reserve(counts.size() * 12);
+  for (const auto& kv : counts) {
+    out += kv.first;
+    out.push_back('\t');
+    out += std::to_string(kv.second);
+    out.push_back('\n');
+  }
   char* ret = static_cast<char*>(std::malloc(out.size() + 1));
   std::memcpy(ret, out.data(), out.size());
   ret[out.size()] = '\0';

@@ -43,6 +43,15 @@ class NativeAnalyzer:
             ctypes.c_longlong,
         ]
         lib.msetpu_hash_tokenize.restype = ctypes.POINTER(ctypes.c_longlong)
+        try:  # older .so without the counts symbol: degrade gracefully
+            lib.msetpu_analyze_counts.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.msetpu_analyze_counts.restype = ctypes.c_void_p
+            self.has_counts = True
+        except AttributeError:
+            self.has_counts = False
 
     def analyze(self, text: str) -> List[str]:
         data = text.encode("utf-8")
@@ -55,6 +64,24 @@ class NativeAnalyzer:
             self._lib.msetpu_free(ptr)
         out = raw.decode("utf-8")
         return out.split("\n")[:-1] if out else []
+
+    def analyze_counts(self, text: str) -> dict:
+        """term -> count aggregated in C ("term\\tcount" lines): the BM25
+        build only needs counts, and ~100 distinct pairs ship across the
+        boundary instead of every token occurrence."""
+        data = text.encode("utf-8")
+        ptr = self._lib.msetpu_analyze_counts(data, len(data))
+        if not ptr:
+            return {}
+        try:
+            raw = ctypes.cast(ptr, ctypes.c_char_p).value or b""
+        finally:
+            self._lib.msetpu_free(ptr)
+        out = {}
+        for line in raw.decode("utf-8").splitlines():
+            term, _, cnt = line.rpartition("\t")
+            out[term] = int(cnt)
+        return out
 
     def hash_tokenize(self, text: str, vocab_size: int):
         """(ids, offsets[(start_cp, end_cp)]) — encoder tokenization fast

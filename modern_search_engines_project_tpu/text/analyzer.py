@@ -194,6 +194,12 @@ class Analyzer:
     def count(self, text: str) -> Dict[str, int]:
         """Term -> frequency, as the reference's per-doc term counts
         (bm25_indexer.py:49-53)."""
+        if self._native is not None and getattr(
+            self._native, "has_counts", False
+        ):
+            if len(text) > MAX_DOC_CHARS:
+                text = text[:MAX_DOC_CHARS]
+            return self._native.analyze_counts(text)
         return dict(Counter(self.tokens(text)))
 
     def analyze_batch(self, texts: Iterable[str]) -> List[Dict[str, int]]:

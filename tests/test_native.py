@@ -136,3 +136,26 @@ class TestNativeHashTokenize:
         ids, offs = cc.encode_with_offsets(text)
         wt = window_texts(text, offs, window_size=20, step_size=15)
         assert wt[0].startswith("tok0") and wt[1].startswith("tok15")
+
+
+class TestNativeAnalyzeCounts:
+    @pytest.mark.parametrize("text", SAMPLES)
+    def test_counts_match_python(self, text):
+        assert NATIVE.analyze_counts(text) == PY.count(text)
+
+    def test_counts_on_corpus_and_noise(self):
+        docs = make_corpus(n_docs=12, seed=23, min_len=50, max_len=200)
+        for d in docs:
+            full = f"{d.title} {d.text}"
+            assert NATIVE.analyze_counts(full) == PY.count(full)
+        rng = random.Random(5)
+        chars = "abcdefghijklmnopqrstuvwxyz ÄÖÜäöüß .,-!?0123456789 "
+        for _ in range(20):
+            text = "".join(rng.choice(chars) for _ in range(500))
+            assert NATIVE.analyze_counts(text) == PY.count(text)
+
+    def test_analyzer_count_routes_to_native(self):
+        an = Analyzer(use_native=True)
+        assert getattr(an._native, "has_counts", False)
+        text = "students were running running running through Tübingen"
+        assert an.count(text) == PY.count(text)
