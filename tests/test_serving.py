@@ -351,3 +351,58 @@ class TestReloadAndWarmup:
         assert n == 5
         # warmed engine still answers correctly
         assert isinstance(eng.search("research law", top_k=5), list)
+
+
+class TestReloadUnderLoad:
+    def test_soak_search_with_concurrent_reloads(self):
+        """200 concurrent searches with 5 index reloads mid-flight: every
+        response must be 200 and well-formed — in-flight batches finish on
+        the engine they started on (the batcher pins it per batch)."""
+        import itertools
+
+        sizes = itertools.cycle([30, 40, 50])
+        docs = make_corpus(n_docs=30, seed=3, min_len=40, max_len=120)
+        cfg = Config(
+            embedding_dim=32, window_size=32, step_size=25,
+            top_k_retrieval=20, top_k_reranking=10, max_query_terms=8,
+        )
+
+        def factory():
+            enc = HashingEncoder(dim=32)
+            corpus = make_corpus(
+                n_docs=next(sizes), seed=3, min_len=40, max_len=120
+            )
+            return SearchEngine(IndexBuilder(enc, cfg).build(corpus), enc, cfg)
+
+        svc = SearchService(factory(), engine_factory=factory,
+                            query_cache_size=0)
+
+        async def body(client):
+            queries = [f"research law {i % 7}" for i in range(200)]
+
+            async def one(q):
+                r = await client.post("/api/search", json={"query": q})
+                assert r.status == 200, await r.text()
+                data = await r.json()
+                assert "documents" in data
+                return len(data["documents"])
+
+            async def reloader():
+                for _ in range(5):
+                    await asyncio.sleep(0.05)
+                    r = await client.post("/api/reload")
+                    assert r.status == 200
+
+            sem = asyncio.Semaphore(32)
+
+            async def guarded(q):
+                async with sem:
+                    return await one(q)
+
+            results, _ = await asyncio.gather(
+                asyncio.gather(*(guarded(q) for q in queries)),
+                reloader(),
+            )
+            assert all(n >= 1 for n in results)
+
+        with_client(svc, body)
