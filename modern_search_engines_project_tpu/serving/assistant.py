@@ -58,9 +58,24 @@ class ExtractiveSummarizer:
                 words = {w.lower() for w in _WORD_RE.findall(sent)}
                 overlap = len(words & q_terms)
                 # earlier windows come from higher-ranked documents
-                scored.append((overlap - 0.1 * wi, sent))
+                scored.append((overlap - 0.1 * wi, sent, words))
         scored.sort(key=lambda x: -x[0])
-        picked = [s for score, s in scored[: self.max_sentences] if score > 0]
+        # greedy pick with a redundancy gate: overlapping windows repeat
+        # near-identical sentences under different prefixes, which the
+        # exact-key dedup above cannot catch
+        picked, picked_words = [], []
+        for score, sent, words in scored:
+            if score <= 0 and picked:
+                break
+            if any(
+                len(words & pw) > 0.7 * max(1, min(len(words), len(pw)))
+                for pw in picked_words
+            ):
+                continue
+            picked.append(sent)
+            picked_words.append(words)
+            if len(picked) >= self.max_sentences:
+                break
         if not picked and scored:
             picked = [scored[0][1]]
         out = " ".join(picked)

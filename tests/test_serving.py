@@ -406,3 +406,26 @@ class TestReloadUnderLoad:
             assert all(n >= 1 for n in results)
 
         with_client(svc, body)
+
+
+class TestSummarizerRedundancy:
+    def test_near_duplicate_sentences_not_repeated(self):
+        """Overlapping windows repeat the same sentence under different
+        prefixes; the summary must not contain it twice."""
+        s = ExtractiveSummarizer()
+        core = "The castle of Tuebingen overlooks the Neckar river and the old town."
+        windows = [
+            f"Hohentuebingen Castle {core} The museum is inside the walls.",
+            f"{core} Visitors climb up from the market square every day.",
+        ]
+        out = s.generate_summary("castle neckar", windows)
+        assert out.count("overlooks the Neckar river") == 1, out
+
+    def test_distinct_sentences_still_picked(self):
+        s = ExtractiveSummarizer()
+        windows = [
+            "The castle hosts the museum of ancient cultures upstairs. "
+            "The Neckar river flows below the castle hill all year round.",
+        ]
+        out = s.generate_summary("castle neckar museum", windows)
+        assert "museum" in out and "Neckar river flows" in out
