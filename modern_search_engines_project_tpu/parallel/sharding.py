@@ -57,6 +57,32 @@ from modern_search_engines_project_tpu.retrieval import ops
 from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
 
 
+def _put_bank(e, bank_dtype, put, spec):
+    """Place one stacked per-shard bucket bank [S, R, dim].  With
+    bank_dtype="int8" it becomes the (q8, inv_scale) pair consumed by
+    ops._bucket_sims (per-row symmetric quantization)."""
+    if bank_dtype == "int8":
+        from modern_search_engines_project_tpu.retrieval.device_index import (
+            quantize_bank_int8,
+        )
+
+        S, R, D = e.shape
+        q8, inv = quantize_bank_int8(np.asarray(e).reshape(S * R, D))
+        return (
+            put(q8.reshape(S, R, D), spec),
+            put(inv.reshape(S, R), spec),
+        )
+    return put(e.astype(bank_dtype), spec)
+
+
+def _strip_shard_axis(e):
+    """Drop the leading size-1 shard axis of a local bank block (plain
+    array or int8 (q8, inv_scale) pair)."""
+    if isinstance(e, tuple):
+        return (e[0][0], e[1][0])
+    return e[0]
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -268,7 +294,7 @@ class ShardedDeviceIndex:
                 (int(n), int(c)) for n, c in zip(distinct, cnt_pads)
             ),
             bucket_emb=tuple(
-                put(e.astype(bank_dtype), sh) for e in bucket_emb_l
+                _put_bank(e, bank_dtype, put, sh) for e in bucket_emb_l
             ),
             bucket_valid=tuple(put(v, sh) for v in bucket_valid_l),
             bucket_start=tuple(put(b, sh) for b in bucket_start_l),
@@ -324,7 +350,7 @@ def _sharded_hybrid_fn(
         indptr, post_docs, post_impact = indptr[0], post_docs[0], post_impact[0]
         slot_terms = tuple(t[0] for t in slot_terms)
         slot_impact = tuple(t[0] for t in slot_impact)
-        bucket_emb = tuple(e[0] for e in bucket_emb)
+        bucket_emb = tuple(_strip_shard_axis(e) for e in bucket_emb)
         bucket_valid = tuple(v[0] for v in bucket_valid)
         bucket_start = tuple(b[0] for b in bucket_start)
 
@@ -615,7 +641,7 @@ class ShardedEngineBackend:
         buckets = s.buckets
 
         def fn(bemb, bval, bstart, qv):
-            bemb = tuple(e[0] for e in bemb)
+            bemb = tuple(_strip_shard_axis(e) for e in bemb)
             bval = tuple(v[0] for v in bval)
             bstart = tuple(b[0] for b in bstart)
             Bq = qv.shape[0]

@@ -24,6 +24,22 @@ from modern_search_engines_project_tpu.config import Config
 from modern_search_engines_project_tpu.index.builder import IndexArtifacts
 
 
+def quantize_bank_int8(emb: np.ndarray):
+    """Symmetric per-row int8 quantization of an embedding bank:
+    returns (q [n, dim] int8, inv_scale [n] f32) with
+    ``emb ~= q * inv_scale[:, None]``.  Rows are L2-normalized, but max
+    components vary ~20x across rows — the per-row scale keeps relative
+    quantization error ~0.4% where a per-tensor scale would lose ~4 bits.
+    Opt-in via bank_dtype="int8": halves HBM vs bf16 and runs the dense
+    matmul on the MXU's s8 path (2x bf16 rate)."""
+    m = np.abs(emb).max(axis=1)
+    m = np.where(m > 0, m, 1.0).astype(np.float32)
+    q = np.clip(
+        np.round(emb / m[:, None] * 127.0), -127, 127
+    ).astype(np.int8)
+    return q, (m / 127.0).astype(np.float32)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -342,7 +358,13 @@ class DeviceIndex:
                     valid[:cnt] = True
                     bstart[:cnt] = starts_all[idxs]
                 buckets.append((int(n), int(cnt_pad)))
-                bucket_emb_l.append(jnp.asarray(emb, bank_dtype))
+                if bank_dtype == "int8":
+                    q8, inv = quantize_bank_int8(emb)
+                    bucket_emb_l.append(
+                        (jnp.asarray(q8), jnp.asarray(inv))
+                    )
+                else:
+                    bucket_emb_l.append(jnp.asarray(emb, bank_dtype))
                 bucket_valid_l.append(jnp.asarray(valid))
                 bucket_start_l.append(jnp.asarray(bstart))
                 pp = np.full(cnt_pad, -1, np.int64)
@@ -414,7 +436,10 @@ class DeviceIndex:
             slot_impact=slot_impact,
             col_unperm=col_unperm,
             chunk_emb=(
-                jnp.asarray(chunk_emb, bank_dtype)
+                jnp.asarray(
+                    chunk_emb,
+                    jnp.float32 if bank_dtype == "int8" else bank_dtype,
+                )
                 if packed_device
                 else chunk_emb.astype(np.float32)
             ),

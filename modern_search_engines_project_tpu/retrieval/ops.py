@@ -390,7 +390,21 @@ def dense_rank(
 
 
 def _bucket_sims(qvec, emb, cnt: int, n: int):
+    """Query x bucket-bank similarities.  ``emb`` is either a dense
+    [cnt*n, dim] bank, or an int8 pair (q8, inv_scale) from
+    device_index.quantize_bank_int8 — then the query is symmetrically
+    quantized per row and the dot runs s8 x s8 -> s32 on the MXU."""
     B = qvec.shape[0]
+    if isinstance(emb, tuple):
+        q8, inv = emb
+        qm = jnp.max(jnp.abs(qvec), axis=1, keepdims=True)
+        qm = jnp.where(qm > 0, qm, 1.0)
+        qi = jnp.clip(
+            jnp.round(qvec / qm * 127.0), -127, 127
+        ).astype(jnp.int8)
+        raw = jnp.dot(qi, q8.T, preferred_element_type=jnp.int32)
+        sims = raw.astype(jnp.float32) * (qm / 127.0) * inv[None, :]
+        return sims.reshape(B, cnt, n)
     return jnp.dot(
         qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
     ).reshape(B, cnt, n)

@@ -154,6 +154,10 @@ def main():
     parser.add_argument("--force-encoder", action="store_true",
                         help="serve even if the encoder does not match the "
                              "index's embedding provenance")
+    parser.add_argument("--int8-bank", action="store_true",
+                        help="serve the dense chunk bank int8-quantized "
+                             "(half the HBM of bf16, s8 MXU matmul; "
+                             "~0.4%% score quantization error)")
     parser.add_argument("--query-cache", type=int, default=1024,
                         help="LRU size for (query, top_k) result caching "
                              "(0 disables; cleared on /api/reload)")
@@ -179,6 +183,7 @@ def main():
             cfg = DEFAULT_CONFIG
             art, enc = _demo_artifacts(cfg)
 
+        bank = "int8" if args.int8_bank else None
         if args.mesh:
             from modern_search_engines_project_tpu.parallel.sharding import (
                 make_mesh_2d,
@@ -186,13 +191,15 @@ def main():
 
             dp, shard = (int(x) for x in args.mesh.split(","))
             return SearchEngine.sharded(
-                art, enc, make_mesh_2d(dp, shard), cfg
+                art, enc, make_mesh_2d(dp, shard), cfg, bank_dtype=bank
             )
         if args.sharded:
             from modern_search_engines_project_tpu.parallel import make_mesh
 
-            return SearchEngine.sharded(art, enc, make_mesh(), cfg)
-        return SearchEngine(art, enc, cfg)
+            return SearchEngine.sharded(
+                art, enc, make_mesh(), cfg, bank_dtype=bank
+            )
+        return SearchEngine(art, enc, cfg, bank_dtype=bank)
 
     engine = build_engine()
     if args.warmup:
