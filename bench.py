@@ -122,6 +122,9 @@ def main():
     from modern_search_engines_project_tpu.retrieval import ops
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    # optional argv[2]: chunk-bank dtype ("bf16" default | "int8" — the
+    # HBM-capacity lever, e.g. 2M docs on one v5e chip)
+    bank_arg = sys.argv[2] if len(sys.argv) > 2 else "bf16"
     B = 64
     T = 8  # term-axis bucket for 2-6-term queries (engine.prepare_queries)
     dim = 768
@@ -139,6 +142,7 @@ def main():
         avg_chunks=3.0,
         dim=dim,
         nnz_target=80 * n_docs,  # ~80 postings/doc (realistic analyzed page)
+        bank_dtype="int8" if bank_arg == "int8" else None,
     )
     print(
         f"index built in {time.time() - t0:.1f}s: nnz={didx.nnz} "
@@ -399,6 +403,7 @@ def main():
             avg_chunks=3.0,
             dim=dim,
             nnz_target=80 * n_docs // 8,
+            bank_dtype="int8" if bank_arg == "int8" else None,
         )
         shard_b64_ms = scan_measure(
             didx8, cfg8, dfs8, B, 16, "per-shard (1/8 corpus) batch-64"
@@ -416,6 +421,7 @@ def main():
             avg_chunks=3.0,
             dim=dim,
             nnz_target=80 * n_docs // 2,
+            bank_dtype="int8" if bank_arg == "int8" else None,
         )
         half_b1_ms = scan_measure(
             didx2, cfg2, dfs2, 1, 64, "per-shard-of-2 (deployment) batch-1"
