@@ -108,6 +108,37 @@ def bm25_score_batch(
     return jnp.where(matched & (scores >= 0.0), scores, -1.0)
 
 
+def exact_topk(scores: jnp.ndarray, k: int):
+    """Exact top-k over the doc axis, two-stage for LARGE axes.
+
+    Single-stage ``lax.top_k`` over [64, 1M] k=1000 dominates the 1M
+    device profile; the blocked scheme (per-8000-block top-k, then a merge
+    top-k over the nb*k candidates) measured 126 -> 65 ms/batch-64 on v5e
+    at that shape (keyed-score distribution; 100k: 12.2 -> 10.8 at
+    L=4000).  Below the gate the single stage wins (round-1 measurement),
+    so small/medium axes are unchanged.  Values are EXACT; only ties at
+    the k-th value may resolve to different (equal-scoring) docs than
+    single-stage lax.top_k.  Pad blocks fill with -inf, which the keyed
+    admissibility contract (valid iff >= 0) filters downstream.
+    """
+    B, N = scores.shape
+    L = 8000
+    if N <= 131072 or k > L:
+        return lax.top_k(scores, k)
+    pad = (-N) % L
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+    nb = (N + pad) // L
+    x = scores.reshape(B, nb, L)
+    bv, bi = lax.top_k(x, k)
+    gi = bi + (jnp.arange(nb, dtype=jnp.int32) * L)[None, :, None]
+    v, sel = lax.top_k(bv.reshape(B, -1), k)
+    i = jnp.take_along_axis(gi.reshape(B, -1), sel, axis=1)
+    return v, i
+
+
 def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     """Batched sorted-segment reduction: data [B, C] -> [B, num_segments]."""
     return op(
@@ -331,7 +362,7 @@ def bm25_topk_blocked(index, term_ids, qtf, k: int, interpret: bool = False):
         n_docs_pad=index.n_docs_pad,
         interpret=interpret,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -348,7 +379,7 @@ def bm25_topk(
         n_docs_pad=index.n_docs_pad,
         posting_cap=index.posting_cap,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -565,7 +596,7 @@ def _hybrid_tail_buckets(
         top_vals, top_idx = lax.approx_max_k(bm[:, :Dp], k_ret)
         top_idx = top_idx.astype(jnp.int32)
     else:
-        top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
+        top_vals, top_idx = exact_topk(bm[:, :Dp], k_ret)
     valid_c = top_vals >= 0.0
 
     lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
@@ -827,5 +858,5 @@ def bm25_topk_slots(index, term_ids, qtf, k: int, interpret: bool = False):
         jnp.asarray(qtf),
         interpret=interpret,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
     return idx, vals

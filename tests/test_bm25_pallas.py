@@ -303,3 +303,55 @@ class TestSlotLayout:
                 assert a.doc_id == b.doc_id or abs(
                     a.similarity_score - b.similarity_score
                 ) < 1e-4, q
+
+
+class TestExactTopkBlocked:
+    def test_matches_lax_topk_distinct_values(self):
+        """Above the blocked-scheme gate, values AND indices must match
+        single-stage lax.top_k when scores are distinct."""
+        import numpy as np
+        import jax.numpy as jnp
+        from jax import lax
+
+        from modern_search_engines_project_tpu.retrieval.ops import exact_topk
+
+        rng = np.random.default_rng(4)
+        # > 131072 gate, NOT a multiple of the 8000 block (pad path)
+        scores = rng.permutation(200_001).astype(np.float32)[None, :]
+        scores = np.concatenate([scores, scores[:, ::-1]], axis=0)
+        v1, i1 = lax.top_k(jnp.asarray(scores), 1000)
+        v2, i2 = exact_topk(jnp.asarray(scores), 1000)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_small_axis_uses_single_stage(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from jax import lax
+
+        from modern_search_engines_project_tpu.retrieval.ops import exact_topk
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 500)).astype(np.float32)
+        )
+        v1, i1 = lax.top_k(x, 10)
+        v2, i2 = exact_topk(x, 10)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_keyed_scores_values_exact_with_ties(self):
+        """With massive -1 ties (the keyed contract), the VALUE multiset
+        must still be exact."""
+        import numpy as np
+        import jax.numpy as jnp
+        from jax import lax
+
+        from modern_search_engines_project_tpu.retrieval.ops import exact_topk
+
+        rng = np.random.default_rng(7)
+        scores = np.full((2, 160_000), -1.0, np.float32)
+        pos = rng.choice(160_000, size=500, replace=False)
+        scores[0, pos] = rng.gamma(2.0, 2.0, size=500).astype(np.float32)
+        scores[1, pos[:300]] = rng.gamma(2.0, 2.0, size=300).astype(np.float32)
+        v1, _ = lax.top_k(jnp.asarray(scores), 1000)
+        v2, _ = exact_topk(jnp.asarray(scores), 1000)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
