@@ -394,7 +394,7 @@ def _sharded_hybrid_fn(
                 n_docs_pad=d_loc,
                 posting_cap=posting_cap,
             )
-        lvals, lidx = ops.exact_topk(bm[:, :d_loc], k_loc)
+        lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
         gidx = lidx + s_id * d_loc
 
         all_vals = lax.all_gather(lvals, axis)  # [n_shards, B, k_loc]
@@ -648,7 +648,7 @@ class ShardedEngineBackend:
             doc_best, win = ops.bucket_dense_best(
                 buckets, bemb, bval, bstart, qv
             )  # [B, d_loc] each (shared with the single-chip path)
-            lvals, lidx = ops.exact_topk(doc_best, k_loc)
+            lvals, lidx = lax.top_k(doc_best, k_loc)
             lwin = jnp.take_along_axis(win, lidx, axis=1)
             gidx = lidx + lax.axis_index("shard") * d_loc
             av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
@@ -707,7 +707,7 @@ class ShardedEngineBackend:
                 n_docs_pad=d_loc,
                 posting_cap=cap,
             )
-            lvals, lidx = ops.exact_topk(bm[:, :d_loc], k_loc)
+            lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
             gidx = lidx + lax.axis_index("shard") * d_loc
             av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
                 lvals.shape[0], -1

@@ -109,17 +109,16 @@ def bm25_score_batch(
 
 
 def exact_topk(scores: jnp.ndarray, k: int):
-    """Exact top-k over the doc axis, two-stage for LARGE axes.
+    """Two-stage blocked exact top-k for large doc axes.
 
-    Single-stage ``lax.top_k`` over [64, 1M] k=1000 dominates the 1M
-    device profile; the blocked scheme (per-8000-block top-k, then a merge
-    top-k over the nb*k candidates) measured 126 -> 65 ms/batch-64 on v5e
-    at that shape (keyed-score distribution; 100k: 12.2 -> 10.8 at
-    L=4000).  Below the gate the single stage wins (round-1 measurement),
-    so small/medium axes are unchanged.  Values are EXACT; only ties at
-    the k-th value may resolve to different (equal-scoring) docs than
-    single-stage lax.top_k.  Pad blocks fill with -inf, which the keyed
-    admissibility contract (valid iff >= 0) filters downstream.
+    NOT on the hot path — measured end-to-end NEUTRAL inside the fused
+    pipeline (1M scan b64 197.0 vs 196.3 ms; 500k deployment 99.7 vs
+    98.9), although STANDALONE it beats single-stage lax.top_k 126 -> 65
+    ms at [64, 1M] k=1000 on v5e: under jit XLA already overlaps the
+    single-stage top-k with surrounding work, so the hot path keeps
+    ``lax.top_k`` (also preserving its exact tie-ordering semantics).
+    Kept for standalone/top-k-dominated uses; values are EXACT, ties at
+    the k-th value may resolve to different equal-scoring docs.
     """
     B, N = scores.shape
     L = 8000
@@ -362,7 +361,7 @@ def bm25_topk_blocked(index, term_ids, qtf, k: int, interpret: bool = False):
         n_docs_pad=index.n_docs_pad,
         interpret=interpret,
     )
-    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -379,7 +378,7 @@ def bm25_topk(
         n_docs_pad=index.n_docs_pad,
         posting_cap=index.posting_cap,
     )
-    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -596,7 +595,7 @@ def _hybrid_tail_buckets(
         top_vals, top_idx = lax.approx_max_k(bm[:, :Dp], k_ret)
         top_idx = top_idx.astype(jnp.int32)
     else:
-        top_vals, top_idx = exact_topk(bm[:, :Dp], k_ret)
+        top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
     valid_c = top_vals >= 0.0
 
     lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
@@ -858,5 +857,5 @@ def bm25_topk_slots(index, term_ids, qtf, k: int, interpret: bool = False):
         jnp.asarray(qtf),
         interpret=interpret,
     )
-    vals, idx = exact_topk(bm[:, : index.n_docs_pad], k)
+    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
     return idx, vals
