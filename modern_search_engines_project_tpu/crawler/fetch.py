@@ -74,9 +74,15 @@ class Fetcher:
             if domain and not self._robots_seen.get(domain):
                 self._robots_seen[domain] = True
                 try:
-                    scheme = url.split("://", 1)[0]
+                    # robots.txt must come from the URL's full netloc —
+                    # ``domain`` strips :port (reference getDomain regex,
+                    # helpers.py), and fetching port 80 for a site on a
+                    # non-default port fails silently, which would DROP the
+                    # robots rules (caught by tests/test_crawl_live_http.py)
+                    scheme, rest = url.split("://", 1)
+                    netloc = rest.split("/", 1)[0]
                     code, _h, body = await transport.get(
-                        f"{scheme}://{domain}/robots.txt"
+                        f"{scheme}://{netloc}/robots.txt"
                     )
                     robots_text = body if 200 <= code < 300 else ""
                 except Exception:
