@@ -455,6 +455,45 @@ class SearchService:
         payload = art.index_stats() if art is not None else {}
         return web.json_response(payload)
 
+    async def term_stats(self, request: web.Request) -> web.Response:
+        """Per-term stats over HTTP (BM25.get_term_stats parity,
+        bm25_indexer.py:516-531; the reference only had it as a library
+        call — its /database/* endpoints crashed on missing methods)."""
+        term = request.match_info["term"]
+        art = getattr(self.engine, "art", None)
+        stats = art.get_term_stats(term) if art is not None else None
+        if stats is None:
+            return web.json_response(
+                {"error": f"term {term!r} not in the index"}, status=404
+            )
+        return web.json_response(stats)
+
+    async def document_terms(self, request: web.Request) -> web.Response:
+        """Highest-impact terms of one document
+        (BM25.get_document_terms parity, bm25_indexer.py:533-544)."""
+        try:
+            doc_id = int(request.match_info["doc_id"])
+        except ValueError:
+            return web.json_response(
+                {"error": "doc_id must be an integer"}, status=400
+            )
+        try:
+            top_n = min(100, int(request.query.get("top_n", 20)))
+        except ValueError:
+            return web.json_response(
+                {"error": "top_n must be an integer"}, status=400
+            )
+        art = getattr(self.engine, "art", None)
+        loop = asyncio.get_running_loop()
+        terms = await loop.run_in_executor(
+            None, lambda: art.get_document_terms(doc_id, top_n=top_n)
+        )
+        if not terms:
+            return web.json_response(
+                {"error": f"document {doc_id} not in the index"}, status=404
+            )
+        return web.json_response({"doc_id": doc_id, "terms": terms})
+
     async def config_view(self, request: web.Request) -> web.Response:
         """Serving config with nothing secret to redact (reference /config
         redacts api keys, reranker_api.py:518-526)."""
@@ -511,6 +550,10 @@ class SearchService:
         app.router.add_post("/api/profile", self.profile)
         app.router.add_get("/api/health", self.health)
         app.router.add_get("/api/stats", self.stats)
+        app.router.add_get("/api/terms/{term}", self.term_stats)
+        app.router.add_get(
+            "/api/document/{doc_id}/terms", self.document_terms
+        )
         app.router.add_get("/api/config", self.config_view)
         app.router.add_get("/api/rate-limit-status", self.rate_limit_status)
         app.router.add_get("/api/timings", self.timings)

@@ -429,3 +429,40 @@ class TestSummarizerRedundancy:
         ]
         out = s.generate_summary("castle neckar museum", windows)
         assert "museum" in out and "Neckar river flows" in out
+
+
+class TestIntrospectionEndpoints:
+    def test_term_stats(self, service):
+        async def body(client):
+            # pick a term that's definitely indexed
+            art = service.engine.art
+            term = next(iter(art.vocab.term_to_id))
+            r = await client.get(f"/api/terms/{term}")
+            assert r.status == 200
+            data = await r.json()
+            assert data["term"] == term
+            assert data["doc_freq"] >= 1 and "idf" in data
+
+            r404 = await client.get("/api/terms/zzzznotaterm")
+            assert r404.status == 404
+
+        with_client(service, body)
+
+    def test_document_terms(self, service):
+        async def body(client):
+            doc_id = service.engine.art.doc_ids[0]
+            r = await client.get(f"/api/document/{doc_id}/terms?top_n=5")
+            assert r.status == 200
+            data = await r.json()
+            assert data["doc_id"] == doc_id
+            assert 1 <= len(data["terms"]) <= 5
+            assert {"term", "impact"} <= set(data["terms"][0])
+
+            assert (
+                await client.get("/api/document/99999999/terms")
+            ).status == 404
+            assert (
+                await client.get("/api/document/notanint/terms")
+            ).status == 400
+
+        with_client(service, body)
