@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import urllib.parse
 from typing import Callable, Dict, List, Optional
 
 from modern_search_engines_project_tpu.crawler.helpers import get_domain
@@ -78,11 +79,14 @@ class Fetcher:
                     # ``domain`` strips :port (reference getDomain regex,
                     # helpers.py), and fetching port 80 for a site on a
                     # non-default port fails silently, which would DROP the
-                    # robots rules (caught by tests/test_crawl_live_http.py)
-                    scheme, rest = url.split("://", 1)
-                    netloc = rest.split("/", 1)[0]
+                    # robots rules (caught by tests/test_crawl_live_http.py).
+                    # urlsplit (not string slicing) so path-less URLs with a
+                    # query/fragment don't leak it into the robots URL;
+                    # userinfo is stripped.
+                    parts = urllib.parse.urlsplit(url)
+                    netloc = parts.netloc.rsplit("@", 1)[-1]
                     code, _h, body = await transport.get(
-                        f"{scheme}://{netloc}/robots.txt"
+                        f"{parts.scheme}://{netloc}/robots.txt"
                     )
                     robots_text = body if 200 <= code < 300 else ""
                 except Exception:

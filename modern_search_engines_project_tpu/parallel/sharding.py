@@ -577,7 +577,9 @@ class ShardedEngineBackend:
             u_pad = u_pad_for(
                 int(np.unique(term_ids[term_ids >= 0]).size)
             )
-            plan = udedup_plan(u_pad, Bq)
+            # each dp replica scores only Bq/dp queries, so the plain-kernel
+            # cost the gate weighs against is the per-replica batch
+            plan = udedup_plan(u_pad, max(1, Bq // self.dp))
             if self.cfg.bm25_udedup == "always" and plan is None:
                 plan = "acc"
             if plan is not None:

@@ -165,6 +165,13 @@ def main():
                         help="compile the hot query shapes before serving "
                              "(first-request compiles take tens of seconds "
                              "on a cold TPU)")
+    parser.add_argument("--admin-token", default=None,
+                        help="require X-Admin-Token on /api/reload and "
+                             "/api/profile (default: open, like the "
+                             "reference's unauthenticated sidecars)")
+    parser.add_argument("--trace-root", default="/tmp/msetpu_profile",
+                        help="directory jax profiler traces land under "
+                             "(clients pick a label, never a path)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -218,6 +225,8 @@ def main():
         # reload re-reads the index dir; the demo corpus is deterministic,
         # so reloading it is harmless (and keeps the endpoint testable)
         engine_factory=build_engine,
+        trace_root=args.trace_root,
+        admin_token=args.admin_token,
     )
     service.run(host=args.host, port=args.port)
 

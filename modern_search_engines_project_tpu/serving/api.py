@@ -29,6 +29,7 @@ import asyncio
 import functools
 import json
 import logging
+import math
 import re
 import time
 import uuid
@@ -83,6 +84,8 @@ class SearchService:
         rate_limiter: Optional[RateLimiter] = None,
         engine_factory=None,
         query_cache_size: int = 1024,
+        trace_root: str = "/tmp/msetpu_profile",
+        admin_token: Optional[str] = None,
     ):
         self.engine = engine
         # zero-downtime index refresh: POST /api/reload rebuilds an engine
@@ -96,6 +99,16 @@ class SearchService:
         self.results_path = Path(results_path)
         # disabled by default, like the reference reranker config
         self.rate_limiter = rate_limiter or RateLimiter(enabled=False)
+        # profiler traces only ever land under this root; clients pick a
+        # label, never a path (an open HTTP surface must not write to
+        # arbitrary directories)
+        self.trace_root = Path(trace_root)
+        # when set, the mutating admin endpoints (/api/reload,
+        # /api/profile) require the X-Admin-Token header to match
+        self.admin_token = admin_token
+        # bumped by /api/reload: a cache-miss search that raced a reload
+        # must not insert results from the old engine into the new cache
+        self._generation = 0
         # one worker: device calls serialize, host work stays async
         self._pool = ThreadPoolExecutor(max_workers=1)
         # pre-escaped JSON fragments for the static per-result fields
@@ -138,6 +151,7 @@ class SearchService:
 
         loop = asyncio.get_running_loop()
         cache_key = (query, top_k)
+        generation = self._generation
         cached = self._query_cache.get(cache_key)
         if cached is not None:
             self._cache_hits += 1
@@ -173,9 +187,13 @@ class SearchService:
                 if len(self._doc_json) > 500_000:
                     self._doc_json.clear()
                 self._doc_json[(doc.doc_id, doc.window_index)] = static
+            score = float(doc.similarity_score)
+            if not math.isfinite(score):
+                # repr(nan/inf) is not valid JSON and would break clients
+                score = 0.0
             frags.append(
                 f'{{"query_id": {qid_json}, "rank": {i}, {static[0]}, '
-                f'"score": {float(doc.similarity_score)!r}, {static[1]}}}'
+                f'"score": {score!r}, {static[1]}}}'
             )
         windows = [d.window_text for d in ranked[:10] if d.window_text]
         llm_response = summary or ""
@@ -183,7 +201,11 @@ class SearchService:
             llm_response = await loop.run_in_executor(
                 None, lambda: self.summarizer.generate_summary(query, windows)
             )
-        if cached is None and self._query_cache_size:
+        if (
+            cached is None
+            and self._query_cache_size
+            and generation == self._generation
+        ):
             if len(self._query_cache) >= self._query_cache_size:
                 self._query_cache.pop(next(iter(self._query_cache)))
             self._query_cache[cache_key] = (ranked, llm_response)
@@ -366,6 +388,9 @@ class SearchService:
         and swap it in atomically — serving never stops.  In-flight device
         batches finish on the old engine; the swap happens on the event
         loop between batches (single-threaded, no lock needed)."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
         if self.engine_factory is None:
             return web.json_response(
                 {"error": "serving was started without a reloadable index"},
@@ -384,7 +409,11 @@ class SearchService:
             )
         self.engine = new_engine
         self.batcher.engine = new_engine
-        # window indices / snippets / rankings may differ in the new index
+        # window indices / snippets / rankings may differ in the new index.
+        # Bump the generation FIRST: any in-flight cache-miss search holds
+        # the old generation and will decline to insert old-engine results
+        # into the cleared cache.
+        self._generation += 1
         self._doc_json.clear()
         self._query_cache.clear()
         art = getattr(new_engine, "art", None)
@@ -397,18 +426,33 @@ class SearchService:
             }
         )
 
+    def _check_admin(self, request: web.Request) -> Optional[web.Response]:
+        """403 unless the request carries the configured admin token (no-op
+        when serving was started without one)."""
+        if self.admin_token is None:
+            return None
+        if request.headers.get("X-Admin-Token") == self.admin_token:
+            return None
+        return web.json_response({"error": "admin token required"}, status=403)
+
     async def profile(self, request: web.Request) -> web.Response:
         """Capture a jax.profiler device trace around a real search batch
         (SURVEY §5.1: the rebuild's tracer hook — the reference only has
-        wall-clock logs).  Body: {queries?: [...], out_dir?: str}.  The
-        perfetto/tensorboard trace lands in out_dir; response reports the
-        wall time and trace location."""
+        wall-clock logs).  Body: {queries?: [...], label?: str}.  The
+        perfetto/tensorboard trace lands under the server-configured
+        ``trace_root`` (client-supplied paths are never honored — an open
+        HTTP surface must not write to arbitrary directories); response
+        reports the wall time and trace location."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
         try:
             data = await request.json()
         except Exception:
             data = {}
         queries = data.get("queries") or ["profile probe tübingen"]
-        out_dir = data.get("out_dir") or "/tmp/msetpu_profile"
+        label = re.sub(r"[^A-Za-z0-9_-]", "", str(data.get("label") or ""))
+        out_dir = str(self.trace_root / label[:64] if label else self.trace_root)
         if not isinstance(queries, list) or not all(
             isinstance(q, str) for q in queries
         ):

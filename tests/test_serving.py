@@ -318,13 +318,19 @@ class TestReloadAndWarmup:
         with_client(svc, body)
 
     def test_profile_endpoint_captures_trace(self, tmp_path):
-        svc = SearchService(self._build(20))
+        svc = SearchService(self._build(20), trace_root=str(tmp_path))
         out = str(tmp_path / "trace")
 
         async def body(client):
+            # client-supplied paths are ignored; only the sanitized label
+            # picks a subdirectory under the server's trace_root
             r = await client.post(
                 "/api/profile",
-                json={"queries": ["research law"], "out_dir": out},
+                json={
+                    "queries": ["research law"],
+                    "label": "trace",
+                    "out_dir": "/definitely/not/honored",
+                },
             )
             assert r.status == 200
             data = await r.json()
@@ -332,6 +338,22 @@ class TestReloadAndWarmup:
             # a plugins/profile/<ts>/ dir with at least one trace artifact
             found = list(Path(out).rglob("*"))
             assert any(p.is_file() for p in found), found
+
+        with_client(svc, body)
+
+    def test_admin_token_gates_profile_and_reload(self):
+        svc = SearchService(self._build(20), admin_token="s3cret")
+
+        async def body(client):
+            r = await client.post("/api/profile", json={})
+            assert r.status == 403
+            r = await client.post("/api/reload")
+            assert r.status == 403
+            # with the token, reload reaches its normal no-factory 409
+            r = await client.post(
+                "/api/reload", headers={"X-Admin-Token": "s3cret"}
+            )
+            assert r.status == 409
 
         with_client(svc, body)
 
