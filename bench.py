@@ -10,10 +10,32 @@ is >= 10,000 q/s on a v5e-8 at p50 < 5 ms; this bench runs on however many
 devices are visible (one chip on the dev box) and also reports p50 batch-1
 latency plus stage timings on stderr.
 
+The HEADLINE value is the device-only lax.scan throughput at batch 64 —
+n batches generated and scored in ONE dispatch, so neither the dev-box
+tunnel nor host Python is in the measured region.  Tunnel-inclusive and
+pipelined-dispatch numbers are in extras.
+
+SELF-VALIDATION (round-2 post-mortem: an unattended capture once recorded
+a 20x-off number and nothing caught it).  Every timed section now:
+  * repeats >=3 times and reports min + spread,
+  * cross-checks the min against an analytic roofline lower bound for the
+    exact index shape (HBM stream bytes / MXU flops / VPU compare ops vs
+    v5e peaks) — a measurement below the bound is physically impossible
+    (caching bug), one far above it is chip/tunnel contention,
+  * compares against the best previous run persisted in
+    ~/.cache/msetpu/bench_history.json,
+  * re-measures automatically while any check fails (bounded retries) and
+    emits a per-section status + the full validation record in extras.
+
 The index is synthetic but realistically shaped (Zipf document frequencies,
 ~3 chunks/doc, 768-d bf16 bank) so the measured path is exactly the
-production one: ops.hybrid_rank — CSR gather/scatter BM25, full-bank
+production one: ops.hybrid_rank_slots — slot-layout Pallas BM25, full-bank
 matmul, segment top-2, fusion, final top-k.
+
+Multi-chip projections carry an ANALYTIC ICI term (documented in
+README.md): the per-step all-gather of per-shard top-k candidates moves
+B*k*8 bytes/shard over the ring; its cost is added to the per-shard device
+time instead of being assumed zero.
 """
 
 import json
@@ -27,6 +49,19 @@ import numpy as np
 # high-variance); cache them across bench runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+HISTORY_PATH = os.path.expanduser("~/.cache/msetpu/bench_history.json")
+
+# TPU v5e (v5 lite) public peaks (jax-ml.github.io/scaling-book: HBM
+# 8.1e11 B/s, 1.97e14 bf16 FLOP/s, 3.94e14 int8, ICI 4.5e10 B/s per link
+# one-way).  VPU peak is ~4 int-vector-ops/cycle x 8x128 lanes @ 940 MHz.
+V5E = {
+    "hbm_Bps": 8.1e11,
+    "bf16_flops": 1.97e14,
+    "int8_flops": 3.94e14,
+    "vpu_ops": 3.9e12,
+    "ici_Bps_link": 4.5e10,
+}
 
 
 def make_synthetic_index(
@@ -115,8 +150,171 @@ def sample_queries(rng, n_terms, dfs, B, T, dim):
     return term_ids, qtf, qvec
 
 
+# ---- self-validation machinery --------------------------------------------
+
+
+def load_history() -> dict:
+    try:
+        with open(HISTORY_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def save_history(hist: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
+        with open(HISTORY_PATH, "w") as f:
+            json.dump(hist, f, indent=1, sort_keys=True)
+    except Exception as exc:  # never fail the bench over bookkeeping
+        print(f"history save failed: {exc}", file=sys.stderr)
+
+
+def roofline_bound(didx, B, T, dim, int8: bool) -> dict:
+    """Analytic per-batch lower bound (ms) for hybrid_rank_slots at this
+    exact index shape: max over the HBM-stream, MXU and VPU terms.
+
+    Streamed bytes/batch: the full slot posting stream (terms + impacts),
+    the full chunk bank, and the [B, n_docs_pad] score accumulator
+    (written by the kernel, re-read by top_k).  MXU: the dense q x bank
+    matmul.  VPU: the match loop compares every posting slot against T
+    query-term slots per query.
+    """
+    import jax
+
+    def leaf_bytes(x):
+        return int(np.prod(x.shape)) * x.dtype.itemsize
+
+    slot_leaves = jax.tree_util.tree_leaves(
+        (didx.slot_terms, didx.slot_impact)
+    )
+    bank_leaves = jax.tree_util.tree_leaves(didx.bucket_emb)
+    stream_bytes = sum(leaf_bytes(x) for x in slot_leaves)
+    bank_bytes = sum(leaf_bytes(x) for x in bank_leaves)
+    slots_pad = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(didx.slot_terms)
+    )
+    score_bytes = 2 * B * didx.n_docs_pad * 4
+    n_chunks = getattr(didx, "n_chunks_pad", None) or sum(
+        int(x.shape[0]) for x in bank_leaves
+    )
+    dense_flops = 2.0 * B * dim * n_chunks
+    vpu_ops = 1.0 * B * slots_pad * max(T, 1)
+
+    t_hbm = (stream_bytes + bank_bytes + score_bytes) / V5E["hbm_Bps"]
+    t_mxu = dense_flops / (V5E["int8_flops"] if int8 else V5E["bf16_flops"])
+    t_vpu = vpu_ops / V5E["vpu_ops"]
+    bound_ms = max(t_hbm, t_mxu, t_vpu) * 1e3
+    return {
+        "bound_ms": bound_ms,
+        "hbm_bytes": stream_bytes + bank_bytes + score_bytes,
+        "dense_flops": dense_flops,
+        "t_hbm_ms": t_hbm * 1e3,
+        "t_mxu_ms": t_mxu * 1e3,
+        "t_vpu_ms": t_vpu * 1e3,
+    }
+
+
+def ici_merge_ms(B: int, k: int, n_shards: int) -> float:
+    """Analytic cost of the sharded backend's result merge (README
+    "projection formula"): each step all-gathers per-shard top-k
+    candidate (score f32, doc id i32) pairs — B*k*8 bytes per shard —
+    around the ICI ring (bidirectional, 2 links), then re-top-ks on
+    every chip (HBM-trivial: B*S*k*8 bytes).  Per-hop latency ~1 us."""
+    if n_shards <= 1:
+        return 0.0
+    payload = B * k * 8
+    total = payload * n_shards
+    t = total * (n_shards - 1) / n_shards / (2 * V5E["ici_Bps_link"])
+    t += (n_shards - 1) * 1e-6  # hop latency
+    t += total / V5E["hbm_Bps"]  # re-top-k read of the gathered pool
+    return t * 1e3
+
+
+class Validated:
+    """Record of one repeated, cross-checked measurement."""
+
+    def __init__(self, label, times_ms, bound_ms, hist_best, retries):
+        self.label = label
+        self.times = times_ms
+        self.best = min(times_ms)
+        self.spread = max(times_ms) / self.best if self.best > 0 else 1.0
+        self.bound_ms = bound_ms
+        self.hist_best = hist_best
+        self.retries = retries
+        self.status = self.classify(self.best)
+
+    # fixed per-batch cost outside the streamed/flop terms (dispatch,
+    # exact top_k's sort passes, tail reductions): the contention check
+    # adds this floor so small per-shard shapes — where measured/bound is
+    # legitimately ~40x — don't false-positive (their absolute ms is tiny)
+    DISPATCH_FLOOR_MS = 0.5
+
+    def classify(self, ms):
+        if self.bound_ms and ms < 0.9 * self.bound_ms:
+            return "below_roofline"  # physically impossible => bad timing
+        if self.bound_ms and ms > 30 * (
+            self.bound_ms + self.DISPATCH_FLOOR_MS
+        ):
+            return "contention"
+        if self.hist_best and ms > 3 * self.hist_best:
+            return "regression_vs_history"
+        return "ok"
+
+    def record(self):
+        return {
+            "ms": round(self.best, 3),
+            "spread": round(self.spread, 3),
+            "n_runs": len(self.times),
+            "retries": self.retries,
+            "roofline_bound_ms": round(self.bound_ms, 4)
+            if self.bound_ms
+            else None,
+            "history_best_ms": round(self.hist_best, 3)
+            if self.hist_best
+            else None,
+            "status": self.status,
+        }
+
+
+def measure_validated(
+    once, label, bound_ms, history, hist_key, repeats=3, max_extra=4
+):
+    """Run ``once()`` (returns ms) ``repeats`` times; while the min fails
+    the roofline/history checks, keep re-measuring up to ``max_extra``
+    more times.  Persists the new best to the history file."""
+    hist_best = history.get(hist_key)
+    times = [once(i) for i in range(repeats)]
+    retries = 0
+    while retries < max_extra:
+        v = Validated(label, times, bound_ms, hist_best, retries)
+        if v.status == "ok":
+            break
+        print(
+            f"{label}: min {v.best:.3f} ms flagged {v.status} "
+            f"(bound {bound_ms:.3f}, history "
+            f"{hist_best if hist_best else '-'}) — re-measuring",
+            file=sys.stderr,
+        )
+        retries += 1
+        times.append(once(repeats + retries))
+    v = Validated(label, times, bound_ms, hist_best, retries)
+    if v.status != "below_roofline":
+        history[hist_key] = (
+            min(hist_best, v.best) if hist_best else v.best
+        )
+    return v
+
+
 def main():
     import jax
+
+    if os.environ.get("MSETPU_FORCE_CPU"):
+        # the dev box force-registers the TPU tunnel platform ("axon"),
+        # which ignores JAX_PLATFORMS; only jax.config reliably overrides
+        # it (same trick as tests/conftest.py).  CPU smoke runs only.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from modern_search_engines_project_tpu.retrieval import ops
@@ -125,16 +323,27 @@ def main():
     # optional argv[2]: chunk-bank dtype ("bf16" default | "int8" — the
     # HBM-capacity lever, e.g. 2M docs on one v5e chip)
     bank_arg = sys.argv[2] if len(sys.argv) > 2 else "bf16"
+    int8 = bank_arg == "int8"
     B = 64
     T = 8  # term-axis bucket for 2-6-term queries (engine.prepare_queries)
     dim = 768
     k_ret = 1000
+
+    history = load_history()
+    validation = {}
+    backend = None  # set after jax import below; prefixes history keys
+    # MSETPU_BENCH_FAST=1: correctness smoke (tiny iteration counts) —
+    # for CPU CI runs; never use its numbers
+    fast = bool(os.environ.get("MSETPU_BENCH_FAST"))
+    repeats = 1 if fast else 3
 
     print(
         f"devices={jax.devices()} n_docs={n_docs}", file=sys.stderr
     )
     # Pallas kernels need interpret mode off-TPU (CPU smoke runs)
     interpret = jax.default_backend() == "cpu"
+    on_tpu = not interpret
+    backend = jax.default_backend()
     t0 = time.time()
     didx, cfg, dfs = make_synthetic_index(
         n_docs=n_docs,
@@ -142,7 +351,7 @@ def main():
         avg_chunks=3.0,
         dim=dim,
         nnz_target=80 * n_docs,  # ~80 postings/doc (realistic analyzed page)
-        bank_dtype="int8" if bank_arg == "int8" else None,
+        bank_dtype="int8" if int8 else None,
     )
     print(
         f"index built in {time.time() - t0:.1f}s: nnz={didx.nnz} "
@@ -181,30 +390,57 @@ def main():
     _ = np.asarray(out[0])
     print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # throughput: fresh DISTINCT batches (defeats any result caching in the
-    # device tunnel), pipelined submission, host materialization as the
-    # final sync point.  On a tunneled dev box this is a conservative
-    # tunnel-inclusive lower bound on device throughput.
-    n_iters = 16
-    batches = [
-        sample_queries(rng, n_terms_eff, dfs, B, T, dim)
-        for _ in range(n_iters)
-    ]
-    t0 = time.time()
-    for b in batches:
-        out = run(*b)
-    _ = np.asarray(out[0])
-    dt = time.time() - t0
-    qps = n_iters * B / dt
-    print(f"throughput: {qps:.1f} q/s ({dt / n_iters * 1e3:.2f} ms/batch of {B})",
-          file=sys.stderr)
+    # roofline for the b64 whole-corpus shape (the validation yardstick;
+    # only meaningful on the real chip)
+    roof = roofline_bound(didx, B, T, dim, int8) if on_tpu else None
+    if roof:
+        print(
+            f"roofline bound: {roof['bound_ms']:.3f} ms/batch-{B} "
+            f"(hbm {roof['t_hbm_ms']:.3f} / mxu {roof['t_mxu_ms']:.3f} / "
+            f"vpu {roof['t_vpu_ms']:.3f})",
+            file=sys.stderr,
+        )
 
-    # ---- device-input timing (VERDICT r1 #2) -------------------------------
+    # tunnel-inclusive throughput: fresh DISTINCT batches (defeats any
+    # result caching in the device tunnel), pipelined submission, host
+    # materialization as the final sync point.  On a tunneled dev box this
+    # is a conservative lower bound on device throughput — reported in
+    # extras, NOT the headline.
+    n_iters = 2 if fast else 16
+
+    def tunnel_once(seed):
+        r = np.random.default_rng(1000 + seed)
+        batches = [
+            sample_queries(r, n_terms_eff, dfs, B, T, dim)
+            for _ in range(n_iters)
+        ]
+        t0 = time.time()
+        for b in batches:
+            out = run(*b)
+        _ = np.asarray(out[0])
+        return (time.time() - t0) / n_iters * 1e3
+
+    v_tunnel = measure_validated(
+        tunnel_once,
+        "tunnel-inclusive",
+        roof["bound_ms"] if roof else 0.0,
+        history,
+        f"{backend}:tunnel:{n_docs}:{bank_arg}",
+        repeats=repeats,
+    )
+    validation["tunnel_inclusive"] = v_tunnel.record()
+    qps = B / v_tunnel.best * 1e3
+    print(
+        f"tunnel-inclusive throughput: {qps:.1f} q/s "
+        f"({v_tunnel.best:.2f} ms/batch of {B}, spread "
+        f"{v_tunnel.spread:.2f}x, {v_tunnel.status})",
+        file=sys.stderr,
+    )
+
+    # ---- device-input timing ----------------------------------------------
     # The tunnel adds ~40 ms RTT per *synchronous* round trip and a
-    # per-batch host->device input transfer, so the numbers above are
-    # tunnel-inclusive lower bounds.  Here: pre-generate DEVICE-RESIDENT
-    # query batches with a tiny jitted generator (no big new compile — a
-    # lax.scan around the kernel broke the remote-compile tunnel), then
+    # per-batch host->device input transfer.  Here: pre-generate
+    # DEVICE-RESIDENT query batches with a tiny jitted generator, then
     # pipeline n dispatches of the ALREADY-compiled kernel with no host
     # input transfer, syncing once at the end.  Device execution on one
     # chip is in-order, so materializing the final output bounds the whole
@@ -228,6 +464,8 @@ def main():
             qvec = qvec / jnp.linalg.norm(qvec, axis=1, keepdims=True)
             return term_ids, qtf, qvec
 
+        if fast:
+            n_iters_d = min(n_iters_d, 4)
         dev_batches = [gen(jnp.int32(i)) for i in range(n_iters_d)]
         # force input materialization BEFORE timing (host sync via a tiny
         # readback; block_until_ready is unreliable over the tunnel)
@@ -260,7 +498,7 @@ def main():
     out = run(*args1)
     _ = np.asarray(out[0])
     lats = []
-    for _ in range(20):
+    for _ in range(3 if fast else 20):
         a = sample_queries(rng, n_terms_eff, dfs, 1, T, dim)
         t0 = time.time()
         out = run(*a)
@@ -296,8 +534,10 @@ def main():
     # so a wedged tunnel cannot lose earlier results.
     import functools
 
-    def scan_measure(idx_, cfg_, dfs_, batch, n_scan, label):
-        """True device time: n_scan batches under ONE lax.scan dispatch.
+    def scan_measure(idx_, cfg_, dfs_, batch, n_scan, label, bound_key=None):
+        """True device time: n_scan batches under ONE lax.scan dispatch,
+        min over repeated dispatches, validated against the roofline bound
+        for idx_'s shape and the persisted history.
 
         Mirrors the engine's BM25 front-end gate: batches whose distinct
         query-term count fits the measured U-dedup crossover take the
@@ -373,17 +613,49 @@ def main():
         t0 = time.time()
         _ = int(np.asarray(scan_loop(*sargs, jnp.int32(0), buckets=idx_.buckets)))
         comp = time.time() - t0
-        t0 = time.time()
-        _ = int(np.asarray(scan_loop(*sargs, jnp.int32(n_scan), buckets=idx_.buckets)))
-        ms = (time.time() - t0) / n_scan * 1e3
+
+        def once(seed):
+            t0 = time.time()
+            _ = int(
+                np.asarray(
+                    scan_loop(
+                        *sargs,
+                        jnp.int32((seed + 1) * n_scan),
+                        buckets=idx_.buckets,
+                    )
+                )
+            )
+            return (time.time() - t0) / n_scan * 1e3
+
+        r = roofline_bound(idx_, batch, T, dim, int8) if on_tpu else None
+        v = measure_validated(
+            once,
+            label,
+            r["bound_ms"] if r else 0.0,
+            history,
+            bound_key or f"{backend}:{label}:{n_docs}:{bank_arg}",
+            repeats=repeats,
+        )
+        validation[label] = v.record()
+        if r:
+            validation[label]["achieved_hbm_GBps"] = round(
+                r["hbm_bytes"] / (v.best / 1e3) / 1e9, 1
+            )
+            validation[label]["dense_mfu_pct"] = round(
+                100
+                * r["dense_flops"]
+                / (v.best / 1e3)
+                / (V5E["int8_flops"] if int8 else V5E["bf16_flops"]),
+                2,
+            )
         front = f"udedup-{plan} U={u_pad}" if use_udedup else "plain"
         print(
-            f"{label}: {ms:.3f} ms/batch of {batch} "
-            f"({batch / ms * 1e3:.0f} q/s on-device; {front}; "
-            f"compile {comp:.0f}s)",
+            f"{label}: {v.best:.3f} ms/batch of {batch} "
+            f"({batch / v.best * 1e3:.0f} q/s on-device; {front}; spread "
+            f"{v.spread:.2f}x; {v.status}; compile {comp:.0f}s)",
             file=sys.stderr,
         )
-        return ms
+        return v.best
 
     scan_ms = None
     shard_b1_ms = None
@@ -391,46 +663,49 @@ def main():
     half_b1_ms = None
     half_b64_ms = None
     try:
+        n_scan = 2 if fast else 16
         scan_ms = scan_measure(
-            didx, cfg, dfs, B, 16, "device-only (lax.scan)"
+            didx, cfg, dfs, B, n_scan, "device-only (lax.scan)"
         )
-        # v5e-8 extrapolation: a doc-sharded mesh gives each chip 1/8 of the
-        # corpus; measure THAT workload's device time on the one real chip
-        # (the allgather merge adds O(B x k) over ICI, microseconds).
+        # v5e-8 extrapolation: a doc-sharded mesh gives each chip 1/8 of
+        # the corpus; measure THAT workload's device time on the one real
+        # chip and ADD the analytic ICI merge term (ici_merge_ms).
         didx8, cfg8, dfs8 = make_synthetic_index(
             n_docs=max(n_docs // 8, 1024),
             n_terms=max(50_000, n_docs // 2),
             avg_chunks=3.0,
             dim=dim,
             nnz_target=80 * n_docs // 8,
-            bank_dtype="int8" if bank_arg == "int8" else None,
+            bank_dtype="int8" if int8 else None,
         )
         shard_b64_ms = scan_measure(
-            didx8, cfg8, dfs8, B, 16, "per-shard (1/8 corpus) batch-64"
+            didx8, cfg8, dfs8, B, n_scan, "per-shard (1/8 corpus) batch-64"
         )
         shard_b1_ms = scan_measure(
-            didx8, cfg8, dfs8, 1, 64, "per-shard (1/8 corpus) batch-1"
+            didx8, cfg8, dfs8, 1, 4 * n_scan, "per-shard (1/8 corpus) batch-1"
         )
         # the BOTH-targets deployment shape: 2-way doc shard x 4-way
         # replica on a v5e-8 — each chip holds HALF the corpus; p50 is the
-        # per-shard batch-1 time + an O(B x k) ICI merge, throughput is
-        # 4 replica groups x (B / per-shard batch time)
+        # per-shard batch-1 time + the ICI merge, throughput is 4 replica
+        # groups x (B / (per-shard batch time + merge))
         didx2, cfg2, dfs2 = make_synthetic_index(
             n_docs=max(n_docs // 2, 1024),
             n_terms=max(50_000, n_docs // 2),
             avg_chunks=3.0,
             dim=dim,
             nnz_target=80 * n_docs // 2,
-            bank_dtype="int8" if bank_arg == "int8" else None,
+            bank_dtype="int8" if int8 else None,
         )
         half_b1_ms = scan_measure(
-            didx2, cfg2, dfs2, 1, 64, "per-shard-of-2 (deployment) batch-1"
+            didx2, cfg2, dfs2, 1, 4 * n_scan, "per-shard-of-2 (deployment) batch-1"
         )
         half_b64_ms = scan_measure(
-            didx2, cfg2, dfs2, B, 16, "per-shard-of-2 (deployment) batch-64"
+            didx2, cfg2, dfs2, B, n_scan, "per-shard-of-2 (deployment) batch-64"
         )
     except Exception as exc:  # tunnel/compile-service variance
         print(f"scan device bench unavailable: {exc}", file=sys.stderr)
+
+    save_history(history)
 
     baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
     extras_scan = {}
@@ -439,24 +714,44 @@ def main():
         extras_scan["device_scan_qps"] = round(B / scan_ms * 1e3, 1)
     if shard_b64_ms is not None:
         # v5e-8 projection: whole-corpus batch latency ~= per-shard time +
-        # ICI merge; throughput ~= B / per-shard time
+        # ICI merge (analytic, README "projection formula"); throughput ~=
+        # B / that total
+        m8_b64 = ici_merge_ms(B, min(1000, k_ret), 8)
         extras_scan["v5e8_per_shard_ms_b64"] = round(shard_b64_ms, 3)
-        extras_scan["v5e8_projected_qps"] = round(B / shard_b64_ms * 1e3, 1)
+        extras_scan["v5e8_ici_merge_ms_b64"] = round(m8_b64, 4)
+        extras_scan["v5e8_projected_qps"] = round(
+            B / (shard_b64_ms + m8_b64) * 1e3, 1
+        )
     if shard_b1_ms is not None:
+        m8_b1 = ici_merge_ms(1, min(1000, k_ret), 8)
         extras_scan["v5e8_per_shard_ms_b1"] = round(shard_b1_ms, 3)
+        extras_scan["v5e8_projected_p50_ms"] = round(shard_b1_ms + m8_b1, 3)
     if half_b1_ms is not None and half_b64_ms is not None:
         # 2-shard x 4-replica v5e-8: p50 and throughput targets together
-        extras_scan["v5e8_2x4_p50_ms"] = round(half_b1_ms, 3)
-        extras_scan["v5e8_2x4_qps"] = round(4 * B / half_b64_ms * 1e3, 1)
+        m2_b1 = ici_merge_ms(1, min(1000, k_ret), 2)
+        m2_b64 = ici_merge_ms(B, min(1000, k_ret), 2)
+        extras_scan["v5e8_2x4_p50_ms"] = round(half_b1_ms + m2_b1, 3)
+        extras_scan["v5e8_2x4_ici_merge_ms_b64"] = round(m2_b64, 4)
+        extras_scan["v5e8_2x4_qps"] = round(
+            4 * B / (half_b64_ms + m2_b64) * 1e3, 1
+        )
+
+    # headline: device-only scan throughput at b64 (the production number —
+    # serving does not run through a dev tunnel); falls back to the
+    # tunnel-inclusive loop if the scan path was unavailable.
+    headline = (
+        B / scan_ms * 1e3 if scan_ms is not None else qps
+    )
     print(
         json.dumps(
             {
                 "metric": "hybrid_qps",
-                "value": round(qps, 1),
+                "value": round(headline, 1),
                 "unit": "queries/sec",
-                "vs_baseline": round(qps / baseline_qps, 1),
+                "vs_baseline": round(headline / baseline_qps, 1),
                 "extras": {
                     **extras_scan,
+                    "tunnel_inclusive_qps": round(qps, 1),
                     "p50_ms_batch1": round(p50, 2),
                     # device-input numbers: device-resident query batches,
                     # pipelined dispatch, single end sync — excludes
@@ -468,6 +763,11 @@ def main():
                     "batch": B,
                     "k_ret": k_ret,
                     "build_docs_per_s": round(build_rate, 1),
+                    "validation": validation,
+                    "roofline": {
+                        k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in (roof or {}).items()
+                    },
                 },
             }
         )

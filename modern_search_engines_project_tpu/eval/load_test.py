@@ -134,12 +134,93 @@ async def run_load(
     }
 
 
+def run_native(args) -> dict:
+    """Load-test the C++ data plane (native/http_server.cpp).
+
+    Modes: ``stub`` ranks inside C++ (pure host-path ceiling), ``pycb``
+    ranks via a canned Python callback (adds the ctypes boundary), and
+    ``engine`` runs the real device path.  The epoll load generator runs
+    in a separate PROCESS so client and server don't share an interpreter.
+    """
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from modern_search_engines_project_tpu.serving.fastpath import (
+        attach_engine,
+        attach_stub,
+        build_fragments,
+        make_server,
+    )
+
+    service, vocab = build_service(args.docs, summarize=False)
+    engine = service.engine
+    srv = make_server(args.port, n_threads=args.server_threads,
+                      default_top_k=args.top_k)
+    frags = build_fragments(engine.art)
+    srv.load_fragments(frags)
+    if args.native == "stub":
+        attach_stub(srv, len(frags), k=args.top_k)
+    elif args.native == "pycb":
+        canned = [
+            [(i, 1.0 - i / 1000.0) for i in range(args.top_k)]
+        ]
+
+        def rank(queries, top_k):
+            return canned * len(queries)
+
+        srv.set_rank_fn(rank)
+    else:  # engine
+        attach_engine(srv, engine)
+        # compile the hot batch shapes up front
+        engine.warmup(batch_sizes=(1, 64))
+    srv.start()
+    _time.sleep(0.2)
+    body = json.dumps({"query": "law research tübingen", "top_k": args.top_k})
+    code = (
+        "import sys, json; sys.path.insert(0, %r); "
+        "from modern_search_engines_project_tpu.native.native_http "
+        "import client_bench; "
+        "print(json.dumps(client_bench(%d, n_conns=%d, total_requests=%d, "
+        "body=%r, timeout_s=%d)))"
+        % (
+            str(__import__("pathlib").Path(__file__).resolve().parents[2]),
+            args.port, args.concurrency, args.requests, body, 300,
+        )
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True
+    )
+    try:
+        client = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        raise SystemExit(
+            f"client bench failed: {out.stdout[-400:]} {out.stderr[-400:]}"
+        )
+    stats = srv.stats()
+    srv.stop()
+    return {
+        "mode": f"native-{args.native}",
+        "docs": args.docs,
+        "top_k": args.top_k,
+        "client": client,
+        "server": stats,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--docs", type=int, default=20000)
     p.add_argument("--requests", type=int, default=512)
     p.add_argument("--concurrency", type=int, default=64)
     p.add_argument("--no-summarize", action="store_true")
+    p.add_argument("--native", choices=["stub", "pycb", "engine"],
+                   default=None,
+                   help="load-test the C++ data plane instead of the "
+                        "aiohttp app (see run_native)")
+    p.add_argument("--port", type=int, default=5177)
+    p.add_argument("--top-k", type=int, default=100)
+    p.add_argument("--server-threads", type=int, default=1)
     p.add_argument("--stub-device", action="store_true",
                    help="measure the host-path ceiling: device outputs are "
                         "cached per batch shape and returned instantly")
@@ -150,6 +231,20 @@ def main(argv=None):
                         "at 100k docs), so the device/finishing overlap is "
                         "measurable without tunnel RTT noise")
     args = p.parse_args(argv)
+
+    import os
+
+    if os.environ.get("MSETPU_FORCE_CPU"):
+        # the dev box force-registers a TPU tunnel platform that ignores
+        # JAX_PLATFORMS; only jax.config reliably overrides it
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.native:
+        out = run_native(args)
+        print(json.dumps(out))
+        return out
 
     service, vocab = build_service(args.docs, summarize=not args.no_summarize)
     if args.stub_device or args.stub_device_ms > 0:

@@ -396,6 +396,52 @@ class SearchEngine:
         fmt_timer.__exit__(None, None, None)
         return out
 
+    def search_batch_indices(
+        self,
+        queries: Sequence[str],
+        top_k: Optional[int] = None,
+        augment: bool = True,
+    ) -> List[List[tuple]]:
+        """``search_batch`` for the native fast path: full device rank +
+        host finishing, but returns per-query ``(window_idx, score)`` pairs
+        instead of materializing RankedDoc objects — the C++ serving core
+        (native/http_server.cpp) splices pre-escaped per-window JSON
+        fragments by index, so building Python row objects would be pure
+        overhead."""
+        top_k = top_k or self.cfg.top_k_reranking
+        raw = self.rank_batch(queries, augment=augment)
+        doc, vals, old, win, valid = raw
+        perm = getattr(self, "_result_perm", None)
+        if perm is not None:
+            doc = np.where(valid, perm[np.clip(doc, 0, len(perm) - 1)], doc)
+        n_valid = valid.sum(axis=1).tolist()
+        n_docs_real = len(self.art.doc_ids)
+        n_wins = len(self.art.window_texts)
+        start = self.art.doc_chunk_start
+        out: List[List[tuple]] = []
+        for b in range(len(queries)):
+            nv = n_valid[b]
+            db = doc[b, :nv]
+            ok = (db >= 0) & (db < n_docs_real)
+            pos0 = np.nonzero(ok)[0]
+            db = db[pos0]
+            sel, sc = finish_positions(
+                vals[b, :nv][pos0],
+                self._domain_codes[db],
+                self._base_codes[db],
+                top_k,
+                relevance_threshold=self.cfg.diversification_threshold,
+                diversification=self.cfg.diversification,
+            )
+            d_sel = db[sel]
+            w_sel = win[b, :nv][pos0][sel]
+            # out-of-range window -> the doc's first chunk (fragments are
+            # per chunk, always valid)
+            bad = (w_sel < 0) | (w_sel >= n_wins)
+            w_sel = np.where(bad, start[d_sel], w_sel)
+            out.append(list(zip(w_sel.tolist(), sc.tolist())))
+        return out
+
     def search(self, query: str, top_k: Optional[int] = None) -> List[RankedDoc]:
         return self.search_batch([query], top_k=top_k)[0]
 

@@ -136,6 +136,41 @@ def resolve_encoder(art, ckpt=None, force=False):
     )
 
 
+def build_engine_from_args(args):
+    """Engine factory shared by the in-line server and multiproc workers
+    (must be module-level: worker processes import it after spawn)."""
+    from modern_search_engines_project_tpu.config import DEFAULT_CONFIG
+    from modern_search_engines_project_tpu.retrieval import SearchEngine
+
+    if args.index:
+        from modern_search_engines_project_tpu.index import load_artifacts
+
+        art = load_artifacts(args.index)
+        enc = resolve_encoder(art, args.encoder_ckpt, args.force_encoder)
+        cfg = art.config
+    else:
+        cfg = DEFAULT_CONFIG
+        art, enc = _demo_artifacts(cfg)
+
+    bank = "int8" if args.int8_bank else None
+    if args.mesh:
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            make_mesh_2d,
+        )
+
+        dp, shard = (int(x) for x in args.mesh.split(","))
+        return SearchEngine.sharded(
+            art, enc, make_mesh_2d(dp, shard), cfg, bank_dtype=bank
+        )
+    if args.sharded:
+        from modern_search_engines_project_tpu.parallel import make_mesh
+
+        return SearchEngine.sharded(
+            art, enc, make_mesh(), cfg, bank_dtype=bank
+        )
+    return SearchEngine(art, enc, cfg, bank_dtype=bank)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--index", default=None, help="artifacts directory")
@@ -172,41 +207,32 @@ def main():
     parser.add_argument("--trace-root", default="/tmp/msetpu_profile",
                         help="directory jax profiler traces land under "
                              "(clients pick a label, never a path)")
+    parser.add_argument("--fastpath-port", type=int, default=None,
+                        help="also serve POST /api/search + /api/health on "
+                             "this port via the C++ epoll data plane "
+                             "(native/http_server.cpp; ~50us host work per "
+                             "request vs ~2ms through the Python app)")
+    parser.add_argument("--fastpath-threads", type=int, default=1,
+                        help="event-loop threads for the native data plane")
+    parser.add_argument("--workers", type=int, default=0,
+                        help="run N aiohttp worker processes sharing the "
+                             "port via SO_REUSEPORT (serving/multiproc.py); "
+                             "0 = single process in-line")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    from modern_search_engines_project_tpu.config import DEFAULT_CONFIG
-    from modern_search_engines_project_tpu.retrieval import SearchEngine
     from modern_search_engines_project_tpu.serving.api import SearchService
 
     def build_engine():
-        if args.index:
-            from modern_search_engines_project_tpu.index import load_artifacts
+        return build_engine_from_args(args)
 
-            art = load_artifacts(args.index)
-            enc = resolve_encoder(art, args.encoder_ckpt, args.force_encoder)
-            cfg = art.config
-        else:
-            cfg = DEFAULT_CONFIG
-            art, enc = _demo_artifacts(cfg)
+    if args.workers > 0:
+        from modern_search_engines_project_tpu.serving.multiproc import (
+            serve_workers,
+        )
 
-        bank = "int8" if args.int8_bank else None
-        if args.mesh:
-            from modern_search_engines_project_tpu.parallel.sharding import (
-                make_mesh_2d,
-            )
-
-            dp, shard = (int(x) for x in args.mesh.split(","))
-            return SearchEngine.sharded(
-                art, enc, make_mesh_2d(dp, shard), cfg, bank_dtype=bank
-            )
-        if args.sharded:
-            from modern_search_engines_project_tpu.parallel import make_mesh
-
-            return SearchEngine.sharded(
-                art, enc, make_mesh(), cfg, bank_dtype=bank
-            )
-        return SearchEngine(art, enc, cfg, bank_dtype=bank)
+        serve_workers(args)
+        return
 
     engine = build_engine()
     if args.warmup:
@@ -228,7 +254,20 @@ def main():
         trace_root=args.trace_root,
         admin_token=args.admin_token,
     )
-    service.run(host=args.host, port=args.port)
+    fast = None
+    if args.fastpath_port:
+        from modern_search_engines_project_tpu.serving.fastpath import (
+            serve_fastpath,
+        )
+
+        fast = serve_fastpath(
+            engine, args.fastpath_port, n_threads=args.fastpath_threads
+        )
+    try:
+        service.run(host=args.host, port=args.port)
+    finally:
+        if fast is not None:
+            fast.stop()
 
 
 if __name__ == "__main__":

@@ -278,3 +278,37 @@ class TestShardedPallas:
         same = out_p[0] == out_s[0]
         close = np.abs(out_p[1] - out_s[1]) < 1e-4
         assert np.all(same | close)
+
+
+class TestCollectiveAccounting:
+    def test_collective_ops_in_compiled_program(self, engines):
+        """The merge cost in bench.py's v5e-8 projection is analytic
+        (README "Multi-chip projection formula"); this pins the compiled
+        sharded program's actual collectives on the virtual 8-device mesh:
+        the per-shard top-k merge must lower to all-gather ops (candidate
+        ids + scores ride ICI), and their count is small and fixed — no
+        hidden per-shard chatter."""
+        single, sharded = engines
+        backend = sharded._backend
+        captured = {}
+        orig = backend._ranker
+
+        def capture(*a, **k):
+            captured["args"] = a
+            return orig(*a, **k)
+
+        backend._ranker = capture
+        try:
+            sharded.search_batch(["research law"], top_k=5)
+        finally:
+            backend._ranker = orig
+        hlo = orig.lower(*captured["args"]).compile().as_text()
+        n_all_gather = hlo.count("all-gather(") + hlo.count(
+            "all-gather-start("
+        )
+        assert n_all_gather >= 1, "top-k merge must use all-gather"
+        # bounded: the merge gathers a handful of candidate arrays (ids,
+        # scores, windows, aux) once per step, not per bucket/chunk
+        assert n_all_gather <= 16, f"unexpected collective count: {n_all_gather}"
+        # nothing routes through host transfers
+        assert "outfeed" not in hlo and "infeed" not in hlo
