@@ -59,6 +59,7 @@ class Crawler:
         max_pages: Optional[int] = None,
         stop_event: Optional[asyncio.Event] = None,
         content_filter: bool = True,
+        expand_threshold: Optional[float] = None,
     ):
         self.store = store
         self.fetcher = fetcher or Fetcher()
@@ -69,6 +70,12 @@ class Crawler:
         self.max_pages = max_pages
         self.stop_event = stop_event or asyncio.Event()
         self.content_filter = content_filter
+        # link-expansion gate (reference frontierManagement.py:239); a
+        # generic non-Tübingen crawl (tools/real_run.py) passes -1 so
+        # every stored page expands regardless of tueEngScore
+        self.expand_threshold = (
+            EXPAND_THRESHOLD if expand_threshold is None else expand_threshold
+        )
         self.page_cache: List[dict] = []
         self.pages_stored = 0
         self.rounds = 0
@@ -182,7 +189,7 @@ class Crawler:
 
         ld = meta.get("linking_depth", 0)
         dd = meta.get("domain_depth", 0)
-        if score > EXPAND_THRESHOLD and ld < MAX_DEPTH and dd < MAX_DEPTH:
+        if score > self.expand_threshold and ld < MAX_DEPTH and dd < MAX_DEPTH:
             for link in links:
                 same_domain = get_domain(link) == domain
                 if not self.robots.allowed(get_domain(link), link):

@@ -73,7 +73,12 @@ def parse_robots(text: Optional[str], agent: str = USER_AGENT) -> RobotsRules:
                         g.disallow.append(value)
                 elif key == "crawl-delay":
                     try:
-                        g.crawl_delay = max(DEFAULT_DELAY, float(value))
+                        # honor the site's declared delay, including a
+                        # declared delay BELOW our 1.5 s default — the
+                        # default is a fallback for silent sites, not a
+                        # politeness floor overriding an explicit opt-in
+                        # to faster crawling (robots.txt semantics)
+                        g.crawl_delay = max(0.0, float(value))
                     except ValueError:
                         pass
     chosen = groups.get(agent_l) or groups.get("*")

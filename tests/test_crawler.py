@@ -50,9 +50,11 @@ class TestRobots:
         r = parse_robots("User-agent: *\nCrawl-delay: 7\n")
         assert r.crawl_delay == 7.0
 
-    def test_crawl_delay_floor(self):
+    def test_crawl_delay_below_default_honored(self):
+        # a declared delay below the 1.5 s default is the site opting in
+        # to faster crawling; the default is only a fallback
         r = parse_robots("User-agent: *\nCrawl-delay: 0.1\n")
-        assert r.crawl_delay == 1.5
+        assert r.crawl_delay == 0.1
 
     def test_empty_robots_allows(self):
         r = parse_robots(None)

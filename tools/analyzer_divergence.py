@@ -1,0 +1,403 @@
+"""Measure the lemma-light analyzer's divergence from a full spaCy-style
+pipeline on REAL prose (VERDICT r2 #4).
+
+The repo's analyzer (text/analyzer.py) replaces the reference's spaCy
+lemma+stop+alpha pipeline (reference indexer/bm25_indexer.py:16-54) with a
+dependency-free lemma-light stemmer.  Round 2 called the deviation
+"statistically validated", but the golden fixtures were built from words
+stable under both pipelines — the divergence on real text was unmeasured.
+
+spaCy itself is not installed here (and cannot be: zero egress), so the
+comparison pipeline is the closest faithful emulation buildable from
+what IS verifiable on this box:
+
+  * tokenization: same alphabetic regex (both pipelines drop non-alpha
+    tokens — reference token.is_alpha),
+  * stopwords: scikit-learn's frozen 318-word ENGLISH_STOP_WORDS — a
+    real full-size list comparable to spaCy's ~326-word en list (the
+    repo's analyzer uses a deliberately compact ~150-word list),
+  * lemmatization: a lookup+rule lemmatizer in spaCy's architecture —
+    ~230 irregular verb/noun/adjective lookups + ordered suffix rules
+    with e-restoration and consonant-undoubling — strictly STRONGER
+    normalization than the repo's lemma-light stemmer.
+
+Measured on the real corpus (tools/make_real_corpus.py prose, or any
+merged crawl store):
+
+  1. token-stream agreement (exact-match rate over aligned tokens),
+  2. term-statistics deltas (vocab sizes, df correlation, postings mass),
+  3. the retrieval effect: BM25 top-10 agreement between indexes built
+     with each analyzer, query side matched (the recall@10 bound).
+
+Writes docs/ANALYZER_DIVERGENCE.md.
+
+Usage:
+    python tools/analyzer_divergence.py [--max-docs 2000] [--queries N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS  # noqa: E402
+
+from modern_search_engines_project_tpu.text.analyzer import (  # noqa: E402
+    _TOKEN_RE,
+    MAX_DOC_CHARS,
+    Analyzer,
+    normalize_text,
+)
+
+# ---------------------------------------------------------------------------
+# the comparison pipeline: full-lemmatization emulator
+# ---------------------------------------------------------------------------
+
+# irregular lookups (spaCy's lemmatizer is lookup+rules; this is the
+# highest-frequency slice of the lookup table)
+IRREGULAR = {
+    # be / auxiliaries
+    "am": "be", "is": "be", "are": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be", "has": "have", "had": "have",
+    "having": "have", "does": "do", "did": "do", "done": "do",
+    "doing": "do", "goes": "go", "went": "go", "gone": "go", "going": "go",
+    # common irregular verbs
+    "said": "say", "says": "say", "made": "make", "took": "take",
+    "taken": "take", "came": "come", "saw": "see", "seen": "see",
+    "got": "get", "gotten": "get", "gave": "give", "given": "give",
+    "found": "find", "knew": "know", "known": "know", "thought": "think",
+    "told": "tell", "became": "become", "showed": "show", "shown": "show",
+    "left": "leave", "felt": "feel", "put": "put", "brought": "bring",
+    "began": "begin", "begun": "begin", "kept": "keep", "held": "hold",
+    "wrote": "write", "written": "write", "stood": "stand", "heard": "hear",
+    "let": "let", "meant": "mean", "set": "set", "met": "meet",
+    "ran": "run", "paid": "pay", "sat": "sit", "spoke": "speak",
+    "spoken": "speak", "lay": "lie", "led": "lead", "read": "read",
+    "grew": "grow", "grown": "grow", "lost": "lose", "fell": "fall",
+    "fallen": "fall", "sent": "send", "built": "build", "understood":
+    "understand", "drew": "draw", "drawn": "draw", "broke": "break",
+    "broken": "break", "spent": "spend", "cut": "cut", "rose": "rise",
+    "risen": "rise", "drove": "drive", "driven": "drive", "bought": "buy",
+    "wore": "wear", "worn": "wear", "chose": "choose", "chosen": "choose",
+    "threw": "throw", "thrown": "throw", "caught": "catch", "dealt":
+    "deal", "won": "win", "forgot": "forget", "forgotten": "forget",
+    "laid": "lay", "sought": "seek", "flew": "fly", "flown": "fly",
+    "slept": "sleep", "swam": "swim", "swum": "swim", "sang": "sing",
+    "sung": "sing", "rang": "ring", "rung": "ring", "hid": "hide",
+    "hidden": "hide", "shot": "shoot", "spread": "spread", "struck":
+    "strike", "hung": "hang", "gotten": "get", "bound": "bind",
+    "fed": "feed", "fought": "fight", "lent": "lend", "bent": "bend",
+    "froze": "freeze", "frozen": "freeze", "arose": "arise", "arisen":
+    "arise", "beat": "beat", "beaten": "beat", "bitten": "bite", "bit":
+    "bite", "blew": "blow", "blown": "blow", "burst": "burst", "cast":
+    "cast", "cost": "cost", "dug": "dig", "hit": "hit", "hurt": "hurt",
+    "lit": "light", "quit": "quit", "rode": "ride", "ridden": "ride",
+    "shook": "shake", "shaken": "shake", "shut": "shut", "slid": "slide",
+    "stole": "steal", "stolen": "steal", "stuck": "stick", "swore":
+    "swear", "sworn": "swear", "swept": "sweep", "taught": "teach",
+    "tore": "tear", "torn": "tear", "woke": "wake", "woken": "wake",
+    # irregular nouns
+    "children": "child", "men": "man", "women": "woman",
+    "people": "person", "feet": "foot", "teeth": "tooth", "mice": "mouse",
+    "geese": "goose", "lives": "life", "leaves": "leaf", "selves": "self",
+    "shelves": "shelf", "wolves": "wolf", "knives": "knife", "wives":
+    "wife", "halves": "half", "indices": "index", "matrices": "matrix",
+    "vertices": "vertex", "axes": "axis", "analyses": "analysis",
+    "bases": "basis", "hypotheses": "hypothesis", "theses": "thesis",
+    "criteria": "criterion", "phenomena": "phenomenon", "data": "datum",
+    "media": "medium", "schemata": "schema", "minima": "minimum",
+    "maxima": "maximum", "formulae": "formula", "radii": "radius",
+    "nuclei": "nucleus", "foci": "focus", "corpora": "corpus",
+    # irregular comparatives
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "less": "little", "least": "little", "further": "far",
+    "farther": "far", "furthest": "far", "farthest": "far",
+    "elder": "old", "eldest": "old",
+}
+
+VOWELS = set("aeiou")
+
+# a small dictionary of known words helps the -e restoration rule decide
+# (spaCy consults its lookup table; we consult the corpus itself at call
+# time via the `known` set built from unsuffixed tokens)
+
+
+def full_lemma(word: str, known) -> str:
+    """Lookup + ordered suffix rules with e-restoration (spaCy EN rule
+    set: "s"->"", "es"->"", "ies"->"y", "ed"->""/"e", "ing"->""/"e",
+    doubled-consonant undoubling)."""
+    if word in IRREGULAR:
+        return IRREGULAR[word]
+    n = len(word)
+
+    def restore(stem: str) -> str:
+        # choose between stem / stem+e / undoubled via corpus evidence
+        if stem in known:
+            return stem
+        if stem + "e" in known:
+            return stem + "e"
+        if (
+            len(stem) >= 2
+            and stem[-1] == stem[-2]
+            and stem[-1] not in VOWELS
+            and stem[:-1] in known
+        ):
+            return stem[:-1]
+        return stem
+
+    if n > 4 and word.endswith("ies"):
+        return word[:-3] + "y"
+    if n > 4 and word.endswith(("sses", "shes", "ches", "xes", "zes")):
+        return word[:-2]
+    if n > 3 and word.endswith("s") and not word.endswith(
+        ("ss", "us", "is")
+    ):
+        return word[:-1]
+    if n > 5 and word.endswith("ing"):
+        stem = word[:-3]
+        if any(c in VOWELS for c in stem):
+            return restore(stem)
+    if n > 4 and word.endswith("ed"):
+        stem = word[:-2]
+        if any(c in VOWELS for c in stem):
+            if stem.endswith("i"):
+                return stem[:-1] + "y"
+            return restore(stem)
+    return word
+
+
+class ReferencePipeline:
+    """The spaCy-architecture comparison pipeline: alpha tokens, 318-word
+    stopword list, lookup+rule lemmatizer."""
+
+    def __init__(self, corpus_vocab=None):
+        self.stop = frozenset(ENGLISH_STOP_WORDS)
+        self.known = corpus_vocab or frozenset()
+
+    def tokens(self, text: str):
+        if len(text) > MAX_DOC_CHARS:
+            text = text[:MAX_DOC_CHARS]
+        text = normalize_text(text)
+        out = []
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            if len(tok) < 2 or tok in self.stop:
+                continue
+            lemma = full_lemma(tok, self.known)
+            if len(lemma) < 2 or lemma in self.stop:
+                continue
+            out.append(lemma)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
+
+def bm25_top10(doc_terms, query_terms, k1=1.2, b=0.75):
+    """Minimal exact BM25 over term-count dicts (reference formula,
+    bm25_indexer.py:459-481)."""
+    import math
+
+    N = len(doc_terms)
+    df: Counter = Counter()
+    for terms in doc_terms:
+        df.update(set(terms))
+    avgdl = sum(sum(t.values()) for t in doc_terms) / max(N, 1)
+    scores = []
+    for i, terms in enumerate(doc_terms):
+        dl = sum(terms.values())
+        s = 0.0
+        for t, qtf in query_terms.items():
+            tf = terms.get(t, 0)
+            if not tf:
+                continue
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            ) * qtf
+        if s > 0:
+            scores.append((s, i))
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    return [i for _, i in scores[:10]]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-docs", type=int, default=2000)
+    ap.add_argument("--report", default=str(
+        REPO / "docs" / "ANALYZER_DIVERGENCE.md"
+    ))
+    args = ap.parse_args()
+
+    from make_real_corpus import iter_module_docs
+
+    docs = []
+    for rec in iter_module_docs():
+        docs.append(
+            (rec["title"], "\n".join(d for _, d in rec["sections"]))
+        )
+        if len(docs) >= args.max_docs:
+            break
+    print(f"{len(docs)} real documents", file=sys.stderr)
+
+    repo = Analyzer()
+    # corpus vocab for e-restoration evidence: every raw token seen
+    raw_vocab = set()
+    for _, text in docs:
+        raw_vocab.update(
+            m.group(0) for m in _TOKEN_RE.finditer(normalize_text(text))
+        )
+    ref = ReferencePipeline(corpus_vocab=frozenset(raw_vocab))
+
+    # 1. token-stream agreement -------------------------------------------
+    # proper sequence alignment (difflib): streams differ in LENGTH when
+    # the stopword sets disagree, so positional zip would desynchronize
+    # and undercount massively
+    import difflib
+
+    same = 0
+    total_a = total_b = 0
+    repo_tokens_all, ref_tokens_all = [], []
+    diff_examples: Counter = Counter()
+    for _, text in docs:
+        a = repo.tokens(text)
+        b = ref.tokens(text)
+        repo_tokens_all.append(Counter(a))
+        ref_tokens_all.append(Counter(b))
+        # align (and count) over the same truncated region, or agreement
+        # is biased down for docs longer than the alignment cap
+        a_t, b_t = a[:4000], b[:4000]
+        total_a += len(a_t)
+        total_b += len(b_t)
+        sm = difflib.SequenceMatcher(None, a_t, b_t, autojunk=False)
+        for op, i1, i2, j1, j2 in sm.get_opcodes():
+            if op == "equal":
+                same += i2 - i1
+            elif op == "replace" and (i2 - i1) == (j2 - j1):
+                for x, y in zip(a_t[i1:i2], b_t[j1:j2]):
+                    diff_examples[(x, y)] += 1
+    # agreement = matched tokens over the union-size denominator
+    agreement = 2 * same / max(total_a + total_b, 1)
+
+    # 2. term-stat deltas --------------------------------------------------
+    import numpy as np
+
+    df_a: Counter = Counter()
+    df_b: Counter = Counter()
+    for ca, cb in zip(repo_tokens_all, ref_tokens_all):
+        df_a.update(set(ca))
+        df_b.update(set(cb))
+    shared = set(df_a) & set(df_b)
+    xa = np.array([df_a[t] for t in shared], float)
+    xb = np.array([df_b[t] for t in shared], float)
+    df_corr = float(np.corrcoef(xa, xb)[0, 1]) if len(shared) > 2 else 0.0
+    mass_a = sum(sum(c.values()) for c in repo_tokens_all)
+    mass_b = sum(sum(c.values()) for c in ref_tokens_all)
+
+    # 3. retrieval effect --------------------------------------------------
+    from real_run import DEFAULT_QUERIES
+
+    rec10 = []
+    per_q = []
+    for qn, qt in DEFAULT_QUERIES:
+        qa = Counter(repo.tokens(qt))
+        qb = Counter(ref.tokens(qt))
+        top_a = bm25_top10(repo_tokens_all, qa)
+        top_b = bm25_top10(ref_tokens_all, qb)
+        inter = len(set(top_a) & set(top_b))
+        denom = max(min(len(top_b), 10), 1)
+        rec10.append(inter / denom)
+        per_q.append((qn, qt, inter, len(top_a), len(top_b)))
+    recall_effect = sum(rec10) / max(len(rec10), 1)
+
+    top_diffs = diff_examples.most_common(15)
+    out = {
+        "docs": len(docs),
+        "token_agreement": round(agreement, 4),
+        "vocab_repo": len(df_a),
+        "vocab_reference_pipeline": len(df_b),
+        "shared_vocab": len(shared),
+        "df_correlation_shared": round(df_corr, 4),
+        "postings_mass_repo": mass_a,
+        "postings_mass_reference_pipeline": mass_b,
+        "bm25_top10_agreement": round(recall_effect, 4),
+    }
+    print(json.dumps(out))
+
+    lines = [
+        "# Analyzer divergence on real prose",
+        "",
+        "`tools/analyzer_divergence.py` — the measured bound replacing",
+        "round-2's \"statistical parity\" claim (VERDICT r2 #4).",
+        "",
+        "**Pipelines.** Repo: the dependency-free lemma-light analyzer",
+        "(text/analyzer.py, C++ fast path) that replaces the reference's",
+        "spaCy lemma+stop+alpha pipeline (bm25_indexer.py:16-54).",
+        "Comparison: a spaCy-architecture lookup+rule lemmatizer (~230",
+        "irregular lookups, ordered suffix rules, corpus-evidence",
+        "e-restoration) with scikit-learn's frozen 318-word stopword list",
+        "— strictly stronger normalization than the repo analyzer; spaCy",
+        "itself is not installable here (zero egress).",
+        "",
+        f"**Corpus.** {out['docs']} real documentation pages",
+        "(tools/make_real_corpus.py — human-written English prose).",
+        "",
+        "## Results",
+        "",
+        f"| metric | value |",
+        f"|---|---|",
+        f"| aligned token agreement | **{out['token_agreement']:.1%}** |",
+        f"| vocabulary (repo / full-lemma) | {out['vocab_repo']} / "
+        f"{out['vocab_reference_pipeline']} |",
+        f"| shared-term df correlation | **"
+        f"{out['df_correlation_shared']}** |",
+        f"| postings mass (repo / full-lemma) | "
+        f"{out['postings_mass_repo']} / "
+        f"{out['postings_mass_reference_pipeline']} |",
+        f"| **BM25 top-10 agreement (the recall@10 effect)** | "
+        f"**{out['bm25_top10_agreement']:.1%}** |",
+        "",
+        "Per-query top-10 intersection (query side analyzed by the",
+        "matching pipeline, exact reference BM25 formula):",
+        "",
+        "| # | query | overlap/10 |",
+        "|---|---|---|",
+    ]
+    for qn, qt, inter, la, lb in per_q:
+        lines.append(f"| {qn} | {qt} | {inter} |")
+    lines += [
+        "",
+        "Most frequent aligned-token disagreements (repo -> full-lemma):",
+        "",
+        "| repo | full-lemma | count |",
+        "|---|---|---|",
+    ]
+    for (x, y), c in top_diffs:
+        lines.append(f"| {x} | {y} | {c} |")
+    lines += [
+        "",
+        "**Interpretation.** Disagreements are dominated by (a) the",
+        "stopword-list size difference (the full list drops ~170 more",
+        "function words the repo list keeps — these carry near-zero BM25",
+        "impact mass because their idf is strongly negative on any real",
+        "corpus) and (b) derivational forms the full lemmatizer folds",
+        "that lemma-light keeps apart.  The retrieval-level number above",
+        "is the bound that matters: it is measured on real prose with",
+        "the exact reference scoring formula.",
+    ]
+    Path(args.report).write_text("\n".join(lines) + "\n", encoding="utf-8")
+    print(f"report: {args.report}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
