@@ -358,6 +358,13 @@ def main():
         f"chunks={didx.n_chunks_pad} posting_cap={didx.posting_cap}",
         file=sys.stderr,
     )
+    # quality-gated candidate selection: same "auto" gate the engine uses
+    # (config.resolve_approx) — no manual flags at 1M docs (VERDICT r2 #6)
+    from modern_search_engines_project_tpu.config import resolve_approx
+
+    approx = resolve_approx(cfg, didx.n_docs_pad)
+    print(f"approx_candidates: {approx} (auto gate at "
+          f"{cfg.approx_auto_min_docs} docs)", file=sys.stderr)
 
     rng = np.random.default_rng(1)
     n_terms_eff = max(50_000, n_docs // 2)
@@ -381,6 +388,7 @@ def main():
             smoothing=cfg.smoothing,
             buckets=didx.buckets,
             interpret=interpret,
+            approx=approx,
         )
 
     # warmup / compile
@@ -389,6 +397,39 @@ def main():
     out = run(*args)
     _ = np.asarray(out[0])
     print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # approx-candidates quality guardrail (measured, not assumed): when
+    # the auto gate enabled approx_max_k, compare one batch against the
+    # exact path — candidate recall@k and final top-10 overlap
+    approx_quality = {}
+    if approx:
+        def run_exact(term_ids, qtf, qvec):
+            return ops.hybrid_rank_slots(
+                didx.slot_terms, didx.slot_impact, didx.col_unperm,
+                didx.bucket_emb, didx.bucket_valid, didx.bucket_start,
+                jnp.asarray(term_ids), jnp.asarray(qtf), jnp.asarray(qvec),
+                n_docs_pad=didx.n_docs_pad, k_ret=k_ret,
+                smoothing=cfg.smoothing, buckets=didx.buckets,
+                interpret=interpret, approx=False,
+            )
+
+        oa = [np.asarray(x) for x in run(*args)]
+        oe = [np.asarray(x) for x in run_exact(*args)]
+        rec = []
+        top10 = []
+        for b in range(B):
+            ia = set(oa[0][b].tolist())
+            ie = set(oe[0][b].tolist())
+            rec.append(len(ia & ie) / max(len(ie), 1))
+            top10.append(
+                len(set(oa[0][b][:10].tolist())
+                    & set(oe[0][b][:10].tolist())) / 10.0
+            )
+        approx_quality = {
+            "approx_candidate_recall": round(float(np.mean(rec)), 4),
+            "approx_top10_overlap": round(float(np.mean(top10)), 4),
+        }
+        print(f"approx quality: {approx_quality}", file=sys.stderr)
 
     # roofline for the b64 whole-corpus shape (the validation yardstick;
     # only meaningful on the real chip)
@@ -535,6 +576,7 @@ def main():
     import functools
 
     def scan_measure(idx_, cfg_, dfs_, batch, n_scan, label, bound_key=None):
+        approx_ = resolve_approx(cfg_, idx_.n_docs_pad)
         """True device time: n_scan batches under ONE lax.scan dispatch,
         min over repeated dispatches, validated against the roofline bound
         for idx_'s shape and the persisted history.
@@ -591,13 +633,14 @@ def main():
                         n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
                         smoothing=cfg_.smoothing, buckets=buckets,
                         interpret=interpret, acc=plan == "acc",
+                        approx=approx_,
                     )
                 else:
                     o = ops.hybrid_rank_slots(
                         st, si, cu, bemb, bval, bstart, tid, qw, qv,
                         n_docs_pad=idx_.n_docs_pad, k_ret=k_eff,
                         smoothing=cfg_.smoothing, buckets=buckets,
-                        interpret=interpret,
+                        interpret=interpret, approx=approx_,
                     )
                 return carry + jnp.sum(o[0][:, 0]), None
 
@@ -763,6 +806,8 @@ def main():
                     "batch": B,
                     "k_ret": k_ret,
                     "build_docs_per_s": round(build_rate, 1),
+                    "approx_candidates": approx,
+                    **approx_quality,
                     "validation": validation,
                     "roofline": {
                         k: round(v, 4) if isinstance(v, float) else v

@@ -39,10 +39,19 @@ class Config:
     max_doc_chars: int = 1_000_000  # bm25_indexer.py:33 spaCy-limit analog
     # --- retrieval ---
     top_k_retrieval: int = 1000  # stage-1 BM25 candidates
-    # opt-in: TPU-native approximate candidate selection (lax.approx_max_k,
-    # ~98% recall, ~3x faster select).  Off by default for exact reference
-    # parity.
-    approx_candidates: bool = False
+    # TPU-native approximate candidate selection (lax.approx_max_k,
+    # measured candidate recall@1000 = 0.984, top-10 overlap 0.986 on the
+    # bench shape; 61 -> 6.5 ms at 1M docs).  "auto" (default) enables it
+    # only when the chip-local corpus reaches approx_auto_min_docs — small
+    # corpora keep exact reference parity for free, and the out-of-box
+    # config meets the p50 target at 1M docs (VERDICT r2 #6).  True/False
+    # pin it.  The sharded backend gates on the PER-SHARD doc count (its
+    # per-shard exact top-k is already under budget at 1M/8).
+    approx_candidates: object = "auto"
+    # corpus size where exact lax.top_k(1000) starts to dominate the
+    # latency budget (measured: exact 7.9 ms at 100k pads the 22 ms batch;
+    # 61 ms at 1M blows the 5 ms p50 alone)
+    approx_auto_min_docs: int = 500_000
     # U-dedup BM25 kernel: match postings against the batch's DISTINCT
     # query terms (exact scores).  True = auto (measured crossover gate in
     # engine._device_rank), "always" = pin the path, False = off.
@@ -82,6 +91,14 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_approx(cfg: "Config", n_docs: int) -> bool:
+    """Resolve the approx-candidates setting for a given chip-local
+    corpus size ("auto" -> size gate; booleans pass through)."""
+    if cfg.approx_candidates == "auto":
+        return int(n_docs) >= int(cfg.approx_auto_min_docs)
+    return bool(cfg.approx_candidates)
 
 
 DEFAULT_CONFIG = Config()

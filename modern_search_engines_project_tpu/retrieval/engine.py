@@ -71,6 +71,11 @@ class SearchEngine:
             bm25_layout=getattr(self.cfg, "bm25_layout", "slots"),
         )
         self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
+        # quality-gated candidate selection: "auto" turns approx_max_k on
+        # only at corpus sizes where exact top_k dominates latency
+        from modern_search_engines_project_tpu.config import resolve_approx
+
+        self._approx = resolve_approx(self.cfg, self.didx.n_docs_pad)
         self._pallas_interpret = backend != "tpu"
         self.times = StageTimes()
         # optional stage-3: joint query x window scoring over the final list
@@ -178,7 +183,7 @@ class SearchEngine:
                     smoothing=self.cfg.smoothing,
                     buckets=d.buckets,
                     interpret=self._pallas_interpret,
-                    approx=self.cfg.approx_candidates,
+                    approx=self._approx,
                     acc=plan == "acc",
                 )
         if use_slots:
@@ -197,7 +202,7 @@ class SearchEngine:
                 smoothing=self.cfg.smoothing,
                 buckets=d.buckets,
                 interpret=self._pallas_interpret,
-                approx=self.cfg.approx_candidates,
+                approx=self._approx,
             )
         if self.use_pallas and d.buckets and self.cfg.bm25_udedup:
             from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
@@ -230,7 +235,7 @@ class SearchEngine:
                     smoothing=self.cfg.smoothing,
                     buckets=d.buckets,
                     interpret=self._pallas_interpret,
-                    approx=self.cfg.approx_candidates,
+                    approx=self._approx,
                 )
         if self.use_pallas and d.buckets:
             return ops.hybrid_rank_buckets(
@@ -248,7 +253,7 @@ class SearchEngine:
                 smoothing=self.cfg.smoothing,
                 buckets=d.buckets,
                 interpret=self._pallas_interpret,
-                approx=self.cfg.approx_candidates,
+                approx=self._approx,
             )
         if self.use_pallas:
             return ops.hybrid_rank_blocked(
