@@ -67,19 +67,33 @@ def mine_hard_negatives(
     """
     q = np.asarray(encoder.encode_batch(list(queries)), np.float32)
     p = np.asarray(encoder.encode_batch(list(pool)), np.float32)
-    sims = q @ p.T  # one device matmul; the TPU-native FAISS
     triples: List[Tuple[str, str, float]] = []
-    for i, (query, pos) in enumerate(zip(queries, positives)):
-        triples.append((query, pos, 1.0))
-        order = np.argsort(-sims[i])
-        negs = 0
-        for j in order:
-            if pool[j] == pos:
-                continue
-            triples.append((query, pool[j], 0.0))
-            negs += 1
-            if negs >= k:
-                break
+    # chunked scoring: the full [n_queries, n_pool] similarity matrix is
+    # ~100 GB at the 160k-pair real-corpus scale — score a query chunk per
+    # device matmul and keep only a small top slice per row
+    chunk = 4096
+    top = k + 8  # headroom to skip the positive (and dup texts)
+    for c0 in range(0, len(queries), chunk):
+        c1 = min(c0 + chunk, len(queries))
+        sims = q[c0:c1] @ p.T  # the TPU-native FAISS
+        idx = np.argpartition(-sims, min(top, sims.shape[1] - 1), axis=1)[
+            :, :top
+        ]
+        row_scores = np.take_along_axis(sims, idx, axis=1)
+        order = np.argsort(-row_scores, axis=1)
+        idx = np.take_along_axis(idx, order, axis=1)
+        for r in range(c1 - c0):
+            i = c0 + r
+            query, pos = queries[i], positives[i]
+            triples.append((query, pos, 1.0))
+            negs = 0
+            for j in idx[r]:
+                if pool[j] == pos:
+                    continue
+                triples.append((query, pool[j], 0.0))
+                negs += 1
+                if negs >= k:
+                    break
     return triples
 
 
