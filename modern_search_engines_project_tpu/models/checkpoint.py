@@ -19,7 +19,20 @@ from flax import serialization
 from modern_search_engines_project_tpu.models.encoder import EncoderConfig
 
 
-def save_encoder(params, enc_cfg: EncoderConfig, path: str) -> None:
+def save_encoder(
+    params, enc_cfg: EncoderConfig, path: str, dtype: Optional[str] = None
+) -> None:
+    """``dtype="float16"`` halves the on-disk checkpoint (the flagship
+    12L/768d is ~500 MB in f32 — too heavy to version); load_encoder
+    restores to f32.  Evaluate the RELOADED encoder when publishing
+    numbers so they describe the committed artifact."""
+    if dtype is not None:
+        import jax
+        import numpy as np
+
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).astype(dtype), params
+        )
     os.makedirs(path, exist_ok=True)
     blob = serialization.to_bytes(params)
     fd, tmp = tempfile.mkstemp(dir=path)
@@ -45,6 +58,16 @@ def load_encoder(path: str, template_params=None) -> Tuple[object, EncoderConfig
         template_params = model.init(jax.random.key(0), ids, mask)["params"]
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         params = serialization.from_bytes(template_params, f.read())
+    # half-precision checkpoints restore to f32 for serving math
+    import jax
+    import numpy as np
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(np.float32)
+        if getattr(x, "dtype", None) == np.float16
+        else x,
+        params,
+    )
     return params, enc_cfg
 
 

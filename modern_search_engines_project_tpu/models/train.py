@@ -232,13 +232,22 @@ class Trainer:
         rng = np.random.default_rng(self.cfg.seed)
         losses: List[float] = []
         order = np.arange(n)
+        # pre-tokenize the whole set once when it fits (~16 bytes/token):
+        # per-step host tokenization otherwise serializes with the device
+        # step and starves the chip at real-corpus scale
+        pre = None
+        if n * self.cfg.max_len * 16 < 6e9:
+            pre = self.encode_pairs(triples)
         for _ in range(epochs):
             rng.shuffle(order)
             for s in range(steps_per_epoch):
                 idx = order[s * bs : (s + 1) * bs]
                 if len(idx) < bs:  # static shapes: wrap around
                     idx = np.concatenate([idx, order[: bs - len(idx)]])
-                batch = self.encode_pairs([triples[i] for i in idx])
+                if pre is not None:
+                    batch = {k: v[idx] for k, v in pre.items()}
+                else:
+                    batch = self.encode_pairs([triples[i] for i in idx])
                 self.params, self.opt_state, loss = self._step_fn(
                     self.params, self.opt_state, batch
                 )

@@ -161,9 +161,12 @@ def main():
         ),
     }
     print(f"trained {record['train']}", file=sys.stderr)
-    save_encoder(trainer.params, enc_cfg, args.out)
-
-    trained = trainer.to_encoder(batch_size=256)
+    # f16 checkpoint (halves the committed artifact); evaluate the
+    # RELOADED encoder so the published numbers describe the committed file
+    save_encoder(trainer.params, enc_cfg, args.out, dtype="float16")
+    trained = JaxEncoder.from_checkpoint(
+        args.out, batch_size=256, max_len=args.max_len
+    )
     t0 = time.time()
     m_trained = retrieval_metrics(trained, held)
     m_hash = retrieval_metrics(
