@@ -1,0 +1,43 @@
+"""The real-text end-to-end pipeline (tools/real_run.py) as a CI check:
+site render -> real crawl over sockets -> merge -> build -> HTTP serve ->
+batch eval -> oracle comparison, at small scale on CPU.  The full-scale
+TPU record lives in docs/REAL_RUN.md."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+class TestRealPipeline:
+    def test_end_to_end_small(self, tmp_path):
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = str(REPO)
+        env["MSETPU_FORCE_CPU"] = "1"
+        report = tmp_path / "REAL_RUN.md"
+        record = tmp_path / "record.json"
+        out = subprocess.run(
+            [
+                sys.executable, str(REPO / "tools" / "real_run.py"),
+                "--workdir", str(tmp_path / "work"),
+                "--max-docs", "150", "--dim", "64",
+                "--report", str(report), "--record", str(record),
+            ],
+            capture_output=True, text=True, timeout=540, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        rec = json.loads(record.read_text())
+        # the crawl stored real pages and respected robots
+        assert rec["crawl"]["pages_stored"] > 50
+        assert rec["crawl"]["robots_disallowed_fetched"] == 0
+        # the index was built from them
+        assert rec["build"]["n_docs"] == rec["merge"]["kept"]
+        # the HTTP batch endpoint produced the course-format results
+        assert rec["serve"]["total_queries"] == 15
+        assert rec["serve"]["total_results"] > 0
+        # engine vs the numpy oracle on real text
+        assert rec["eval"]["engine_vs_oracle_recall@10"] >= 0.8
+        assert report.exists()
