@@ -148,6 +148,22 @@ def main():
     if which in ("all", "blocked_ud"):
         plan += [("blocked_udedup_b64", blk_args, blocked_ud_fn, 64, 16,
                   True)]
+    if which == "gate_fit":
+        # VERDICT r2 #10: measure every (B, U) cell the dispatch gate
+        # chooses between at THIS corpus size, then report whether
+        # udedup_plan picks the measured winner per cell.  Run at
+        # 20k / 100k / 1M to test the "ratios hold across nnz" claim.
+        for B in (1, 16, 64):
+            plan += [(f"plain_b{B}", slots_args, slots_fn, B,
+                      32 if B == 1 else 16, False)]
+        for U in (128, 256, 512, 1024):
+            for B in (16, 64):
+                plan += [
+                    (f"ud_matmul_b{B}_U{U}", slots_args, slots_ud_fn, B,
+                     16, U),
+                    (f"ud_acc_b{B}_U{U}", slots_args, slots_ud_acc_fn, B,
+                     16, U),
+                ]
     for label, args, fn, B, n, ud in plan:
         try:
             results[label] = round(
@@ -156,6 +172,33 @@ def main():
         except Exception as exc:
             print(f"{label} failed: {exc}", file=sys.stderr)
             results[label] = None
+    if which == "gate_fit":
+        gate = {}
+        for B in (16, 64):
+            plain = results.get(f"plain_b{B}")
+            for U in (128, 256, 512, 1024):
+                acc = results.get(f"ud_acc_b{B}_U{U}")
+                mm = results.get(f"ud_matmul_b{B}_U{U}")
+                if None in (plain, acc, mm):
+                    continue
+                meas = {"plain": plain, "acc": acc, "matmul": mm}
+                measured_winner = min(meas, key=meas.get)
+                gate_pick = bp.udedup_plan(U, B) or "plain"
+                # within-5% ties count as agreement (measurement noise)
+                agree = (
+                    meas[gate_pick] <= 1.05 * meas[measured_winner]
+                )
+                gate[f"B{B}_U{U}"] = {
+                    **meas,
+                    "measured_winner": measured_winner,
+                    "gate_pick": gate_pick,
+                    "agree": agree,
+                }
+        results["gate_fit"] = gate
+        n_cells = len(gate)
+        n_ok = sum(1 for v in gate.values() if v["agree"])
+        print(f"gate agreement: {n_ok}/{n_cells} cells (>=95% of winner)",
+              file=sys.stderr)
     print(json.dumps({"n_docs": n_docs, "nnz": didx_s.nnz, **results}))
 
 

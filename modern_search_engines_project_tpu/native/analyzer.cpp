@@ -186,8 +186,47 @@ const std::unordered_map<std::string, std::string>& irregular() {
     {"mice","mouse"},{"geese","goose"},
     {"better","good"},{"best","good"},{"worse","bad"},{"worst","bad"},
     {"cities","city"},{"universities","university"},{"studies","study"},
-    {"lives","life"},{"leaves","leaf"}};
+    {"lives","life"},{"leaves","leaf"},
+    // round-3 additions (docs/ANALYZER_DIVERGENCE.md) — keep identical
+    // to analyzer.py _IRREGULAR
+    {"built","build"},{"written","write"},{"wrote","write"},
+    {"sent","send"},{"meant","mean"},{"drawn","draw"},{"drew","draw"},
+    {"hidden","hide"},{"spent","spend"},{"kept","keep"},{"held","hold"},
+    {"brought","bring"},{"bought","buy"},{"taught","teach"},
+    {"caught","catch"},{"ran","run"},{"met","meet"},
+    {"vertices","vertex"},{"indices","index"},{"matrices","matrix"},
+    {"axes","axis"},{"analyses","analysis"},{"hypotheses","hypothesis"},
+    {"criteria","criterion"},{"maxima","maximum"},{"minima","minimum"},
+    {"radii","radius"},{"corpora","corpus"}};
   return M;
+}
+
+// Frozen e-restoration table ("provided" -> "provid" -> "provide");
+// keep identical to analyzer.py _E_RESTORE.
+const std::unordered_set<std::string>& e_restore() {
+  static const std::unordered_set<std::string> S = {
+    "provid","defin","encod","bas","creat","includ","enabl","requir",
+    "stor","pars","generat","distribut","shar","rais","introduc",
+    "comput","execut","associat","sampl","advanc","updat","handl",
+    "quantiz","chang","ignor","produc","compil","deprecat","reduc",
+    "assum","determin","disabl","indicat","relat","remov","normaliz",
+    "desir","declar","resolv","decod","initializ","clos","separat",
+    "sav","combin","replac","complet","issu","decorat","cach","deriv",
+    "invok","configur","receiv","captur","multisampl","rasteriz",
+    "textur","instanc","mak","tak","writ","com","giv","hav","mov",
+    "nam","cod","stat","liv","serv","styl","typ","siz","valu","scal",
+    "pag","fil","not","merg","manag","invalidat","iterat","forc",
+    "generaliz","overrid","notic","referenc","schedul","prun",
+    "validat","evaluat","acceler","interpolat","accumul","propagat",
+    "terminat","enumerat","instantiat","concatenat","serializ",
+    "restor","compar","imag","shap","slic","pip","lin","scop","trac",
+    "sourc","featur","measur","releas","packag","encourag","leverag",
+    "integrat","migrat","consolidat"};
+  return S;
+}
+
+std::string restore_e(const std::string& stem) {
+  return e_restore().count(stem) ? stem + "e" : stem;
 }
 
 bool ends_with(const std::string& w, const char* suf) {
@@ -248,26 +287,28 @@ std::string strip_verbal(const std::string& w) {
       char last = stem[stem.size() - 1];
       bool last_ascii = static_cast<unsigned char>(last) < 0x80;
       bool last_vowel = byte_is_vowel_end(stem, stem.size());
-      if (sn >= 2 && last_ascii && stem.size() >= 2 &&
+      // undouble only at stem length >= 4: "adding" -> "add", not "ad"
+      if (sn >= 4 && last_ascii && stem.size() >= 2 &&
           stem[stem.size() - 1] == stem[stem.size() - 2] && !last_vowel &&
           last != 'l' && last != 's')
         return stem.substr(0, stem.size() - 1);
-      bool prev_vowel =
-          stem.size() >= 2 && byte_is_vowel_end(stem, stem.size() - 1);
-      if (!last_vowel && prev_vowel && sn <= 4) return stem + "e";
-      return stem;
+      // dropped-e restoration by frozen table only (the old CVC guess
+      // mangled short stems: "reading" -> "reade")
+      return restore_e(stem);
     }
   }
   if (ends_with(w, "ed") && n >= 5) {
     std::string stem = w.substr(0, w.size() - 2);
+    size_t sn = cp_length(stem);
     if (any_vowel(stem)) {
       char last = stem[stem.size() - 1];
       bool last_vowel = byte_is_vowel_end(stem, stem.size());
-      if (stem.size() >= 2 && stem[stem.size() - 1] == stem[stem.size() - 2] &&
+      if (sn >= 4 && stem.size() >= 2 &&
+          stem[stem.size() - 1] == stem[stem.size() - 2] &&
           !last_vowel && last != 'l' && last != 's')
         return stem.substr(0, stem.size() - 1);
       if (last == 'i') return stem.substr(0, stem.size() - 1) + "y";
-      return stem;
+      return restore_e(stem);
     }
   }
   return w;

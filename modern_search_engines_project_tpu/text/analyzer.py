@@ -91,7 +91,44 @@ _IRREGULAR = {
     "better": "good", "best": "good", "worse": "bad", "worst": "bad",
     "cities": "city", "universities": "university", "studies": "study",
     "lives": "life", "leaves": "leaf",
+    # round-3 additions (real-prose divergence measurement,
+    # docs/ANALYZER_DIVERGENCE.md): high-frequency irregulars whose base
+    # form is unambiguous in retrieval ("bound"/"left"/"bit" stay as-is —
+    # in technical prose they are usually the noun, and folding them to
+    # bind/leave/bite would hurt)
+    "built": "build", "written": "write", "wrote": "write",
+    "sent": "send", "meant": "mean", "drawn": "draw", "drew": "draw",
+    "hidden": "hide", "spent": "spend", "kept": "keep", "held": "hold",
+    "brought": "bring", "bought": "buy", "taught": "teach",
+    "caught": "catch", "ran": "run", "met": "meet",
+    "vertices": "vertex", "indices": "index", "matrices": "matrix",
+    "axes": "axis", "analyses": "analysis", "hypotheses": "hypothesis",
+    "criteria": "criterion", "maxima": "maximum", "minima": "minimum",
+    "radii": "radius", "corpora": "corpus",
 }
+
+# Frozen e-restoration table: -ed/-ing stems that drop a final "e"
+# ("provided" -> "provid").  Derived from measured disagreements with a
+# full-lemmatization pipeline over real documentation prose
+# (tools/analyzer_divergence.py evidence run, count >= ~25), plus the
+# common short verbs the old heuristic guessed wrong ("reading" ->
+# "reade").  A frozen table keeps the analyzer deterministic and
+# dependency-free; it must match native/analyzer.cpp verbatim.
+_E_RESTORE = frozenset(
+    """provid defin encod bas creat includ enabl requir stor pars generat
+    distribut shar rais introduc comput execut associat sampl advanc updat
+    handl quantiz chang ignor produc compil deprecat reduc assum determin
+    disabl indicat relat remov normaliz desir declar resolv decod
+    initializ clos separat sav combin replac complet issu decorat cach
+    deriv invok configur receiv captur multisampl rasteriz textur instanc
+    mak tak writ com giv hav mov nam cod stat liv serv styl typ siz valu
+    scal pag fil not merg manag invalidat iterat forc generaliz
+    overrid notic referenc schedul prun validat evaluat acceler
+    interpolat accumul propagat terminat enumerat instantiat concatenat
+    serializ restor compar imag shap slic pip lin scop trac
+    sourc featur measur releas packag encourag leverag integrat migrat
+    consolidat""".split()
+)
 
 _VOWELS = set("aeiouäöü")
 
@@ -113,6 +150,11 @@ def _strip_suffix(w: str) -> str:
     return w
 
 
+def _restore_e(stem: str) -> str:
+    """Frozen-table e-restoration: provid -> provide (see _E_RESTORE)."""
+    return stem + "e" if stem in _E_RESTORE else stem
+
+
 def _strip_verbal(w: str) -> str:
     n = len(w)
     if n <= 4:
@@ -120,21 +162,22 @@ def _strip_verbal(w: str) -> str:
     if w.endswith("ing") and n >= 6:
         stem = w[:-3]
         if len(stem) >= 3 and any(c in _VOWELS for c in stem):
-            # doubled final consonant: running -> run
-            if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
+            # doubled final consonant: running -> run.  Guard len >= 4:
+            # "adding" -> "add" must NOT undouble to "ad"
+            if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
                 return stem[:-1]
-            # likely dropped 'e': making -> make
-            if stem[-1] not in _VOWELS and len(stem) >= 2 and stem[-2] in _VOWELS and len(stem) <= 4:
-                return stem + "e"
-            return stem
+            # dropped 'e': making -> make — by frozen evidence table only
+            # (the old CVC-length guess mangled short stems: reading ->
+            # "reade"; docs/ANALYZER_DIVERGENCE.md)
+            return _restore_e(stem)
     if w.endswith("ed") and n >= 5:
         stem = w[:-2]
         if any(c in _VOWELS for c in stem):
-            if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
+            if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
                 return stem[:-1]
             if stem.endswith("i"):
                 return stem[:-1] + "y"
-            return stem
+            return _restore_e(stem)
     return w
 
 

@@ -56,6 +56,36 @@ class TestAnalyzer:
         assert lemmatize("children") == "child"
         assert lemmatize("castles") == "castle"
 
+    def test_lemmatize_e_restoration(self):
+        """Frozen-table e-restoration (docs/ANALYZER_DIVERGENCE.md):
+        morphological variants of -e verbs must share one term."""
+        for w in ("provided", "providing", "provides", "provide"):
+            assert lemmatize(w) == "provide", w
+        assert lemmatize("encoded") == "encode"
+        assert lemmatize("making") == "make"
+        assert lemmatize("created") == "create"
+        # the removed CVC guess must not resurface: short stems stay bare
+        assert lemmatize("reading") == "read"
+        assert lemmatize("loading") == "load"
+        assert lemmatize("drawing") == "draw"
+
+    def test_lemmatize_undoubling_guard(self):
+        assert lemmatize("added") == "add"
+        assert lemmatize("adding") == "add"
+        assert lemmatize("running") == "run"
+        assert lemmatize("fitted") == "fit"
+
+    def test_lemmatize_technical_irregulars(self):
+        assert lemmatize("vertices") == "vertex"
+        assert lemmatize("indices") == "index"
+        assert lemmatize("matrices") == "matrix"
+        assert lemmatize("axes") == "axis"
+        assert lemmatize("built") == "build"
+        assert lemmatize("written") == "write"
+        # deliberately NOT folded: in technical prose these are the noun
+        assert lemmatize("bound") == "bound"
+        assert lemmatize("bit") == "bit"
+
 
 class TestChunker:
     """Window parity with reference embedder.py:65-87."""
