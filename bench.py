@@ -140,8 +140,14 @@ def sample_queries(rng, n_terms, dfs, B, T, dim):
     term_ids = np.full((B, T), -1, np.int32)
     qtf = np.zeros((B, T), np.float32)
     for b in range(B):
-        n_q = rng.integers(2, 7)
-        draws = rng.choice(n_terms, size=n_q, p=probs)
+        # every query shares the anchor term (the reference appends
+        # "tübingen" to EVERY query, search_api.py:163-164) + 1-5 drawn
+        # terms — this also sets the realistic distinct-term count the
+        # U-dedup gate sees per batch
+        n_q = rng.integers(1, 6)
+        draws = np.concatenate(
+            [[0], rng.choice(n_terms, size=n_q, p=probs)]
+        )
         uniq, counts = np.unique(draws, return_counts=True)
         term_ids[b, : len(uniq)] = uniq
         qtf[b, : len(uniq)] = counts
@@ -496,7 +502,8 @@ def main():
             term_ids = jax.random.categorical(
                 k1, dfs_logits, shape=(batch, T)
             ).astype(jnp.int32)
-            # realistic 2-6 terms/query (see sample_queries)
+            # shared anchor term + 1-5 drawn terms (see sample_queries)
+            term_ids = term_ids.at[:, 0].set(0)
             n_q = jax.random.randint(k3, (batch, 1), 2, 7)
             valid = jnp.arange(T)[None, :] < n_q
             term_ids = jnp.where(valid, term_ids, -1)
@@ -602,7 +609,8 @@ def main():
             tid = jax.random.categorical(
                 k1, logits, shape=(batch, T)
             ).astype(jnp.int32)
-            # realistic 2-6 terms/query (see sample_queries)
+            # shared anchor term + 1-5 drawn terms (see sample_queries)
+            tid = tid.at[:, 0].set(0)
             n_q = jax.random.randint(k3, (batch, 1), 2, 7)
             valid = jnp.arange(T)[None, :] < n_q
             tid = jnp.where(valid, tid, -1)
