@@ -42,6 +42,14 @@ class TrainConfig:
     max_len: int = 128
     weight_decay: float = 0.01
     seed: int = 0
+    # "cosine": reference CosineSimilarityLoss parity (train.py:93) — the
+    #   right objective when FINE-TUNING a pretrained backbone like the
+    #   reference does.  "infonce": symmetric in-batch contrastive — the
+    #   from-scratch recipe (no pretrained backbone exists air-gapped);
+    #   every other batch row is a negative, so the retrieval signal per
+    #   step is ~B x stronger than pairwise MSE.
+    loss: str = "cosine"
+    temperature: float = 0.05
 
 
 def cosine_loss(model: BiEncoder, params, batch) -> jnp.ndarray:
@@ -50,6 +58,30 @@ def cosine_loss(model: BiEncoder, params, batch) -> jnp.ndarray:
     e2 = model.apply({"params": params}, batch["ids2"], batch["mask2"])
     cos = jnp.sum(e1 * e2, axis=-1)
     return jnp.mean((cos - batch["label"]) ** 2)
+
+
+def infonce_loss(
+    model: BiEncoder, params, batch, temperature: float
+) -> jnp.ndarray:
+    """Symmetric in-batch contrastive loss over positive pairs.
+
+    Rows whose query/passage TEXT repeats elsewhere in the batch (real
+    docstring corpora repeat both: "Initialize self", shared bodies) are
+    masked out of the negative set via the qid/pid hashes — otherwise
+    they are false negatives and the objective fights itself."""
+    e1 = model.apply({"params": params}, batch["ids1"], batch["mask1"])
+    e2 = model.apply({"params": params}, batch["ids2"], batch["mask2"])
+    logits = (e1 @ e2.T) / temperature  # [B, B]
+    B = logits.shape[0]
+    eye = jnp.eye(B, dtype=bool)
+    dup_p = (batch["pid"][:, None] == batch["pid"][None, :]) & ~eye
+    dup_q = (batch["qid"][:, None] == batch["qid"][None, :]) & ~eye
+    diag = jnp.diagonal(logits)
+    l_qp = jnp.where(dup_p, -1e9, logits)
+    l_pq = jnp.where(dup_q, -1e9, logits.T)
+    loss_qp = jnp.mean(jax.nn.logsumexp(l_qp, axis=1) - diag)
+    loss_pq = jnp.mean(jax.nn.logsumexp(l_pq, axis=1) - diag)
+    return 0.5 * (loss_qp + loss_pq)
 
 
 def mine_hard_negatives(
@@ -170,11 +202,15 @@ class Trainer:
 
     def _build_step(self):
         model, tx = self.model, self.tx
+        use_infonce = self.cfg.loss == "infonce"
+        temp = self.cfg.temperature
 
         def step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(
-                lambda p: cosine_loss(model, p, batch)
-            )(params)
+            if use_infonce:
+                loss_fn = lambda p: infonce_loss(model, p, batch, temp)  # noqa: E731
+            else:
+                loss_fn = lambda p: cosine_loss(model, p, batch)  # noqa: E731
+            loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -184,7 +220,10 @@ class Trainer:
         pshard = self.param_shardings(self.params)
         dshard = NamedSharding(self.mesh, P(self.dp_axis))
         batch_shardings = {
-            k: dshard for k in ("ids1", "mask1", "ids2", "mask2", "label")
+            k: dshard
+            for k in (
+                "ids1", "mask1", "ids2", "mask2", "label", "qid", "pid",
+            )
         }
         # opt_state sharding is inherited from the (sharded) params it was
         # initialized from; jit keeps it via in_shardings=None passthrough
@@ -203,6 +242,8 @@ class Trainer:
         self, triples: Sequence[Tuple[str, str, float]]
     ) -> dict:
         L = self.cfg.max_len
+        import zlib
+
         t1 = [self.tokenizer.encode(a) for a, _, _ in triples]
         t2 = [self.tokenizer.encode(b) for _, b, _ in triples]
         ids1, mask1 = self.tokenizer.pad_batch(t1, L)
@@ -213,6 +254,13 @@ class Trainer:
             "ids2": np.asarray(ids2, np.int32),
             "mask2": np.asarray(mask2, np.int32),
             "label": np.asarray([l for _, _, l in triples], np.float32),
+            # text-identity hashes: infonce masks in-batch false negatives
+            "qid": np.asarray(
+                [zlib.crc32(a.encode()) for a, _, _ in triples], np.uint32
+            ),
+            "pid": np.asarray(
+                [zlib.crc32(b.encode()) for _, b, _ in triples], np.uint32
+            ),
         }
 
     def train(

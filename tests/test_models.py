@@ -282,3 +282,78 @@ class TestHashingEncoderIdPath:
         assert fast.n_chunks == slow.n_chunks
         np.testing.assert_array_equal(fast.chunk_emb, slow.chunk_emb)
         assert fast.window_texts == slow.window_texts
+
+
+class TestInfoNCE:
+    def test_learns_tiny_retrieval_from_scratch(self):
+        """The from-scratch recipe (TrainConfig.loss="infonce"): in-batch
+        contrastive must learn a small retrieval task where pairwise
+        cosine-MSE from random init barely moves (the round-3 finding
+        that motivated it: a 152M model trained 1828 steps at lr 2e-5
+        with cosine loss LOST to the hashing baseline on held-out real
+        pairs)."""
+        import numpy as np
+
+        from modern_search_engines_project_tpu.models.encoder import (
+            EncoderConfig,
+        )
+        from modern_search_engines_project_tpu.models.train import (
+            TrainConfig,
+            Trainer,
+        )
+
+        pairs = [
+            (f"query topic{t} variant{v}", f"passage about topic{t} item{v}")
+            for t in range(20)
+            for v in range(5)
+        ]
+        triples = [(q, p, 1.0) for q, p in pairs]
+        cfg = EncoderConfig(dim=32, n_layers=2, n_heads=2, max_len=24,
+                            vocab_size=2003)
+        tr = Trainer(
+            cfg,
+            TrainConfig(loss="infonce", learning_rate=2e-3, batch_size=25,
+                        epochs=6, max_len=24),
+        )
+        losses = tr.train(triples)
+        assert losses[0] > 2.0 and np.mean(losses[-4:]) < 0.5 * losses[0]
+        enc = tr.to_encoder(batch_size=32)
+        q = np.asarray(enc.encode_batch([p[0] for p in pairs]))
+        p = np.asarray(enc.encode_batch([p[1] for p in pairs]))
+        acc = float(np.mean((q @ p.T).argmax(1) == np.arange(len(pairs))))
+        assert acc > 0.6
+
+    def test_duplicate_texts_masked(self):
+        """Duplicate passages in a batch are false negatives; the qid/pid
+        masks must keep the loss finite and well-posed."""
+        import jax
+        import numpy as np
+
+        from modern_search_engines_project_tpu.models.encoder import (
+            EncoderConfig,
+        )
+        from modern_search_engines_project_tpu.models.train import (
+            Trainer,
+            TrainConfig,
+            infonce_loss,
+        )
+
+        cfg = EncoderConfig(dim=16, n_layers=1, n_heads=2, max_len=16,
+                            vocab_size=1009)
+        tr = Trainer(cfg, TrainConfig(loss="infonce", max_len=16))
+        tr.init(total_steps=4)
+        # two rows share the SAME passage text (and two share a query)
+        triples = [
+            ("alpha one", "shared body text", 1.0),
+            ("beta two", "shared body text", 1.0),
+            ("same query", "body aaa", 1.0),
+            ("same query", "body bbb", 1.0),
+        ]
+        batch = tr.encode_pairs(triples)
+        loss = infonce_loss(tr.model, tr.params, batch, 0.05)
+        assert np.isfinite(float(loss))
+        g = jax.grad(
+            lambda p: infonce_loss(tr.model, p, batch, 0.05)
+        )(tr.params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)

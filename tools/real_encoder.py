@@ -37,10 +37,26 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def holdout_split(pairs, every=40):
+def holdout_split(pairs, every=40, max_held=3000):
+    """Strict held-out: only pairs whose query AND passage text occur
+    exactly once in the whole set are eligible (docstring corpora repeat
+    both heavily — 'Initialize self' etc.; a 'held-out' text that also
+    appears in training would leak, and duplicated texts make the
+    retrieve-your-own-passage metric ill-defined)."""
+    from collections import Counter
+
+    qc = Counter(q for q, _ in pairs)
+    pc = Counter(p for _, p in pairs)
     train, held = [], []
-    for i, pr in enumerate(pairs):
-        (held if i % every == 0 else train).append(pr)
+    n_eligible = 0
+    for pr in pairs:
+        q, p = pr
+        if qc[q] == 1 and pc[p] == 1:
+            n_eligible += 1
+            if n_eligible % every == 0 and len(held) < max_held:
+                held.append(pr)
+                continue
+        train.append(pr)
     return train, held
 
 
@@ -84,7 +100,17 @@ def main():
     ap.add_argument("--max-len", type=int, default=128)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--layers", type=int, default=12)
-    ap.add_argument("--holdout-every", type=int, default=40)
+    ap.add_argument("--holdout-every", type=int, default=10)
+    ap.add_argument("--loss", choices=["cosine", "infonce"],
+                    default="infonce",
+                    help="cosine = reference CosineSimilarityLoss parity "
+                         "(for FINE-TUNING a pretrained backbone); "
+                         "infonce = from-scratch contrastive recipe "
+                         "(no pretrained backbone exists air-gapped)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 2e-5 for cosine (reference), 1e-3 for "
+                         "from-scratch infonce")
+    ap.add_argument("--temperature", type=float, default=0.05)
     args = ap.parse_args()
 
     from modern_search_engines_project_tpu.models.checkpoint import (
@@ -122,29 +148,42 @@ def main():
         n_heads=max(1, args.dim // 64),
         max_len=512,
     )
-    # mining with the untrained encoder (reference mines with a separate
-    # static model; the untrained tower plays that role air-gapped)
-    mining = JaxEncoder(enc_cfg, max_len=args.max_len, batch_size=256)
-    t0 = time.time()
-    queries = [q for q, _ in train_pairs]
-    positives = [p for _, p in train_pairs]
-    pool = list(dict.fromkeys(positives))
-    triples = mine_hard_negatives(
-        mining, queries, positives, pool, k=args.negatives
-    )
-    record["mining"] = {
-        "triples": len(triples),
-        "pool": len(pool),
-        "seconds": round(time.time() - t0, 1),
-    }
-    print(f"mined {record['mining']}", file=sys.stderr)
+    if args.loss == "infonce":
+        # contrastive recipe: every other batch row is a negative —
+        # mined negatives are unnecessary (and the untrained-encoder
+        # mining signal is noise when training from scratch)
+        triples = [(q, p, 1.0) for q, p in train_pairs]
+        record["mining"] = {"triples": len(triples), "skipped": True}
+    else:
+        # mining with the untrained encoder (reference mines with a
+        # separate static model; the untrained tower plays that role
+        # air-gapped)
+        mining = JaxEncoder(enc_cfg, max_len=args.max_len, batch_size=256)
+        t0 = time.time()
+        queries = [q for q, _ in train_pairs]
+        positives = [p for _, p in train_pairs]
+        pool = list(dict.fromkeys(positives))
+        triples = mine_hard_negatives(
+            mining, queries, positives, pool, k=args.negatives
+        )
+        record["mining"] = {
+            "triples": len(triples),
+            "pool": len(pool),
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(f"mined {record['mining']}", file=sys.stderr)
 
+    lr = args.lr or (1e-3 if args.loss == "infonce" else 2e-5)
     tcfg = TrainConfig(
+        learning_rate=lr,
         batch_size=args.batch_size,
         epochs=args.epochs,
         num_negatives=args.negatives,
         max_len=args.max_len,
+        loss=args.loss,
+        temperature=args.temperature,
     )
+    record["recipe"] = {"loss": args.loss, "lr": lr, "epochs": args.epochs}
     trainer = Trainer(enc_cfg, tcfg)
     t0 = time.time()
     losses = trainer.train(triples)
