@@ -36,14 +36,27 @@ import re
 import sys
 from typing import Dict, Iterator, List, Optional, Tuple
 
-SITE_PACKAGES = [
-    p
-    for p in (
+def _dedup_roots(paths):
+    # lib64 is a symlink to lib on this image: dedup by REALPATH or every
+    # document (and training pair) is emitted twice
+    seen, out = set(), []
+    for p in paths:
+        if not os.path.isdir(p):
+            continue
+        rp = os.path.realpath(p)
+        if rp in seen:
+            continue
+        seen.add(rp)
+        out.append(rp)
+    return out
+
+
+SITE_PACKAGES = _dedup_roots(
+    [
         "/opt/venv/lib/python3.12/site-packages",
         *[p for p in sys.path if p.endswith("site-packages")],
-    )
-    if os.path.isdir(p)
-]
+    ]
+)
 
 SKIP_DIRS = {"__pycache__", "tests", "test", "testing", "_vendor", "vendored"}
 
@@ -112,12 +125,13 @@ def iter_module_docs(
 
 
 def iter_pairs(
-    min_doc_chars: int = 150,
+    min_doc_chars: int = 100,
     roots: Optional[List[str]] = None,
 ) -> Iterator[Tuple[str, str]]:
     """(query, passage) pairs: summary line -> docstring body (only when
     the body continues past the summary — otherwise there is nothing to
-    retrieve)."""
+    retrieve).  Exact (query, passage) duplicates are dropped."""
+    seen = set()
     for rec in iter_module_docs(
         min_chars=min_doc_chars, min_doc_chars=min_doc_chars, roots=roots
     ):
@@ -125,9 +139,31 @@ def iter_pairs(
             parts = doc.split("\n", 1)
             head = parts[0].strip().rstrip(".")
             body = parts[1].strip() if len(parts) > 1 else ""
-            if len(head) < 15 or len(head) > 200 or len(body) < 80:
+            if len(head) < 12 or len(head) > 200 or len(body) < 50:
                 continue
-            yield head, _WS.sub(" ", body.replace("\n", " "))[:2000]
+            passage = _WS.sub(" ", body.replace("\n", " "))[:2000]
+            key = hash((head, passage))
+            if key in seen:
+                continue
+            seen.add(key)
+            yield head, passage
+            # ICT pairs (inverse cloze task, the standard retrieval
+            # pre-training construction): a paragraph's leading sentence
+            # is a pseudo-query for the REST of its paragraph.  Real
+            # sentences, real contexts; multiplies pair volume ~2x.
+            for para in body.split("\n\n"):
+                para = _WS.sub(" ", para.replace("\n", " ")).strip()
+                if len(para) < 170:
+                    continue
+                sent, _, rest = para.partition(". ")
+                rest = rest.strip()
+                if len(sent) < 20 or len(sent) > 200 or len(rest) < 80:
+                    continue
+                k2 = hash((sent, rest))
+                if k2 in seen:
+                    continue
+                seen.add(k2)
+                yield sent, rest[:2000]
 
 
 # ---------------------------------------------------------------------------
