@@ -85,3 +85,58 @@ class TestServingCli:
         finally:
             proc.terminate()
             proc.wait(timeout=15)
+
+
+class TestFastpathCli:
+    def test_dual_plane_boot(self):
+        """--fastpath-port runs the C++ data plane beside the aiohttp
+        control plane; both must answer, and the data plane's ranking
+        must come from the same engine."""
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = str(REPO)
+        env["JAX_PLATFORMS"] = "cpu"
+        port = _free_port()
+        fast_port = _free_port()
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m",
+                "modern_search_engines_project_tpu.serving",
+                "--port", str(port),
+                "--fastpath-port", str(fast_port),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        try:
+            _wait_health(port, proc)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{fast_port}/api/health", timeout=10
+            ) as r:
+                assert json.loads(r.read())["status"] == "healthy"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{fast_port}/api/search",
+                data=json.dumps(
+                    {"query": "castle neckar", "top_k": 3}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                fast = json.loads(r.read())
+            assert fast["documents"] and fast["documents"][0]["rank"] == 1
+            # same engine, same ranking through the Python plane
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/search",
+                data=json.dumps(
+                    {"query": "castle neckar", "top_k": 3}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                slow = json.loads(r.read())
+            assert [d["url"] for d in fast["documents"]] == [
+                d["url"] for d in slow["documents"]
+            ]
+        finally:
+            proc.terminate()
+            proc.wait(timeout=15)
