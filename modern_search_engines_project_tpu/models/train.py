@@ -276,7 +276,14 @@ class Trainer:
         n = len(triples)
         steps_per_epoch = max(1, n // bs)
         if self.params is None:
+            import sys as _sys
+            import time as _time
+
+            _t0 = _time.time()
+            print("trainer.init ...", file=_sys.stderr, flush=True)
             self.init(total_steps=steps_per_epoch * epochs)
+            print(f"trainer.init done in {_time.time() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
         rng = np.random.default_rng(self.cfg.seed)
         losses: List[float] = []
         order = np.arange(n)
@@ -285,7 +292,15 @@ class Trainer:
         # step and starves the chip at real-corpus scale
         pre = None
         if n * self.cfg.max_len * 16 < 6e9:
+            import sys as _sys
+            import time as _time
+
+            _t0 = _time.time()
+            print(f"pre-tokenizing {n} triples ...", file=_sys.stderr,
+                  flush=True)
             pre = self.encode_pairs(triples)
+            print(f"pre-tokenized in {_time.time() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
         for _ in range(epochs):
             rng.shuffle(order)
             for s in range(steps_per_epoch):

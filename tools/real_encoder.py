@@ -10,9 +10,13 @@ hard negatives are mined with the untrained encoder via the chunked
 device matmul (models/train.mine_hard_negatives).
 
 Protocol:
-  * deterministic split: every 40th pair is HELD OUT (never trained on);
-  * train on the rest with reference hyperparameters (CosineSimilarityLoss,
-    AdamW, lr 2e-5, 10% warmup, batch 256, 1 epoch);
+  * strict held-out split: only pairs whose query AND passage are unique
+    corpus-wide are eligible (docstring texts repeat heavily);
+  * train on the rest — default recipe is from-scratch InfoNCE
+    (see TrainConfig.loss; the reference's CosineSimilarityLoss recipe is
+    kept for fine-tuning a pretrained backbone and available via
+    --loss cosine — trained from scratch it LOSES to the hash baseline,
+    NOTES.md round 3);
   * evaluate retrieval on the held-out set: each held-out query must find
     its own passage inside the full held-out passage pool
     (recall@1/@10, MRR), trained encoder vs HashingEncoder;
@@ -26,6 +30,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import faulthandler
+import signal
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
 import json
 import sys
 import time
@@ -225,9 +233,10 @@ def main():
     row = (
         f"| **real pairs (flagship)** | {args.layers}L dim-{args.dim} "
         f"({record['train']['params_m']}M params) | "
-        f"{record['pairs']['train']} real (summary, body) pairs, "
-        f"{args.negatives} mined negatives, {record['train']['steps']} "
-        f"steps | held-out {record['pairs']['held']} queries vs "
+        f"{record['pairs']['train']} real pairs, "
+        f"{record['recipe']['loss']} lr={record['recipe']['lr']} "
+        f"x{args.epochs} epochs, {record['train']['steps']} "
+        f"steps | strict held-out {record['pairs']['held']} queries vs "
         f"{record['eval']['trained']['pool']}-passage pool | "
         f"recall@10 **{m_trained['recall@10']}** vs "
         f"{m_hash['recall@10']} (hash), MRR {m_trained['mrr']} vs "
