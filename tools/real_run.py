@@ -189,8 +189,18 @@ def phase_build(args, record, merged):
         Document(i + 1, d.url, d.title, d.text)
         for i, d in enumerate(merged.iter_documents(min_score=-1.0))
     ]
-    cfg = Config(embedding_dim=args.dim)
-    enc = HashingEncoder(dim=args.dim)
+    if args.encoder:
+        from modern_search_engines_project_tpu.models import JaxEncoder
+
+        enc = JaxEncoder.from_checkpoint(
+            args.encoder, batch_size=64, max_len=128
+        )
+        cfg = Config(embedding_dim=enc.cfg.dim)
+        record["encoder"] = {"ckpt": args.encoder, "kind": "jax_biencoder"}
+    else:
+        cfg = Config(embedding_dim=args.dim)
+        enc = HashingEncoder(dim=args.dim)
+        record["encoder"] = {"kind": "hashing", "dim": args.dim}
     t0 = time.time()
     art = IndexBuilder(enc, cfg).build(docs)
     wall = time.time() - t0
@@ -427,6 +437,10 @@ def main():
     ap.add_argument("--max-docs", type=int, default=0, help="0 = all")
     ap.add_argument("--max-pages", type=int, default=0, help="0 = no cap")
     ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--encoder", default=None,
+                    help="trained encoder checkpoint dir (embeds the real "
+                         "corpus with the flagship bi-encoder instead of "
+                         "the hashing baseline)")
     ap.add_argument("--site-port", type=int, default=0)
     ap.add_argument("--serve-port", type=int, default=0)
     ap.add_argument("--report", default=str(REPO / "docs" / "REAL_RUN.md"))
