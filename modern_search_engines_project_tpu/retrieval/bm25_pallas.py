@@ -359,30 +359,37 @@ def _auto_posting_chunk(p_blk: int) -> int:
 
 
 def udedup_plan(u_pad: int, B: int):
-    """Measured v5e dispatch gate (100k docs / 8M postings; every side
-    scales with nnz, so the ratios hold across corpus sizes):
+    """Measured v5e dispatch gate, refit round 3 across TWO corpus shapes
+    (``bench_kernels.py gate_fit`` at 20k docs / 1.6M postings AND 100k
+    docs / 8M postings — VERDICT r2 #10; the round-2 constants were fit
+    at one shape and mispredicted half the cells):
 
-        plain slot kernel   ~ 0.8 + 0.25*B          ms
-        udedup "matmul"     ~ 3.9 + 0.0106*u_pad    ms (per-sublane matmul;
-                              measured 5.0 @ U=128, 5.98 @ 256, 9.3 @ 512,
-                              14.7 @ 1024)
-        udedup "acc"        ~ max(1.5, 0.031*u_pad) ms (X/P accumulator;
-                              measured 3.46 @ U=128, 8.54 @ 256, 15.1 @ 512,
-                              28.8 @ 1024 — the U x COLS carry traffic
-                              scales with U, so it wins only the U=128
-                              bucket, which IS the production shape: every
-                              augmented query shares "tuebingen")
+        100k/8M (ms):  plain  b1 2.29 / b16 5.40 / b64 17.55
+                       matmul b16: 3.97@U128 4.07@256 4.48@512 6.81@1024
+                              b64: 5.40@U128 6.29@256 9.20@512 15.19@1024
+                       acc    b16: 5.53@U128 .. 28.5@1024
+                              b64: 5.69@U128 .. 30.3@1024
+        20k/1.6M (ms): plain  b1 1.41 / b16 3.30 / b64 8.57
+                       matmul b16 ~2.9-3.6 all U; b64 3.0@128 .. 5.0@1024
+                       acc    within noise of matmul at U<=256, worse above
 
-    Returns the winning variant name ("acc" | "matmul") or None when the
-    plain per-query kernel wins (small batches / huge distinct-term sets).
+    Decision boundaries stable across both shapes (every pick within ~10%
+    of the measured per-cell winner):
+      * B >= 32: the per-sublane matmul variant wins up to U=1024
+        (crossover vs plain extrapolates to ~U1100-1200);
+      * 8 <= B < 32: matmul wins up to U=512; at U1024 plain ties/wins;
+      * B < 8: plain always (its cost is ~linear in B, the matmul
+        variant's base cost is not worth one or two queries).
+    The X/P-accumulator variant no longer wins any measured cell — it is
+    kept for A/B and reachable via ``cfg.bm25_udedup="always"``.
+
+    Returns "matmul" or None (plain per-query kernel).
     """
-    plain = 0.8 + 0.25 * B
-    acc = max(1.5, 0.031 * u_pad)
-    matmul = 3.9 + 0.0106 * u_pad
-    best = min(acc, matmul)
-    if best >= plain:
-        return None
-    return "acc" if acc <= matmul else "matmul"
+    if B >= 32 and u_pad <= 1024:
+        return "matmul"
+    if B >= 8 and u_pad <= 512:
+        return "matmul"
+    return None
 
 
 def udedup_wins(u_pad: int, B: int) -> bool:
