@@ -73,6 +73,7 @@ def make_synthetic_index(
     seed: int = 0,
     bank_dtype=None,
     bm25_layout: str = "slots",
+    build_unused_layout: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -99,8 +100,17 @@ def make_synthetic_index(
     chunk_doc = np.repeat(np.arange(n_docs, dtype=np.int32), doc_n)
     doc_start = np.zeros(n_docs, np.int32)
     np.cumsum(doc_n[:-1], out=doc_start[1:])
-    bank = rng.standard_normal((n_chunks, dim), dtype=np.float32)
-    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    # Gaussian bank via base-resample: true ziggurat sampling is ~30 s per
+    # 600k chunks on the single-core dev host; drawing a 64k-row Gaussian
+    # base and gathering random rows keeps the score distribution (dense
+    # matmul timing is data-independent; approx-recall statistics only see
+    # CLT-Gaussian score sums) at ~10x less host time.  Row-normalize with
+    # einsum — np.linalg.norm is ~50x slower at this shape on this host.
+    n_base = min(n_chunks, 65536)
+    base = rng.standard_normal((n_base, dim), dtype=np.float32)
+    bank = base[rng.integers(0, n_base, size=n_chunks)]
+    del base
+    bank /= np.sqrt(np.einsum("ij,ij->i", bank, bank))[:, None]
 
     class _Art:
         pass
@@ -126,6 +136,7 @@ def make_synthetic_index(
     didx = DeviceIndex.from_artifacts(
         art, cfg, bank_dtype=dtype, packed_device=False,
         bm25_layout=bm25_layout,
+        build_unused_layout=build_unused_layout,
     )
     return didx, cfg, dfs
 

@@ -33,17 +33,23 @@ def main():
     interpret = jax.default_backend() == "cpu"
     n_terms = max(50_000, n_docs // 2)
 
+    # the blocked layout is host-construction-heavy; only build it for the
+    # modes that A/B it (gate_fit and the slots sweeps never touch it)
+    need_blocked = which in ("all", "blocked", "blocked_ud")
     t0 = time.time()
     didx_s, cfg, dfs = make_synthetic_index(
-        n_docs, n_terms, 3.0, DIM, 80 * n_docs, bm25_layout="slots"
+        n_docs, n_terms, 3.0, DIM, 80 * n_docs, bm25_layout="slots",
+        build_unused_layout=need_blocked,
     )
     print(f"index built in {time.time()-t0:.1f}s nnz={didx_s.nnz} "
           f"slot_classes={[t.shape for t in didx_s.slot_terms]}",
           file=sys.stderr)
     slot_pad = sum(int(np.prod(t.shape)) for t in didx_s.slot_terms)
-    blk_pad = int(np.prod(np.asarray(didx_s.blk_terms).shape))
-    print(f"padding: slots {slot_pad/didx_s.nnz:.2f}x "
-          f"blocked {blk_pad/didx_s.nnz:.2f}x of nnz", file=sys.stderr)
+    pad_msg = f"padding: slots {slot_pad/didx_s.nnz:.2f}x"
+    if need_blocked:
+        blk_pad = int(np.prod(np.asarray(didx_s.blk_terms).shape))
+        pad_msg += f" blocked {blk_pad/didx_s.nnz:.2f}x"
+    print(pad_msg + " of nnz", file=sys.stderr)
 
     logits = jnp.log(jnp.asarray(dfs, jnp.float32))
 
@@ -89,11 +95,13 @@ def main():
 
     results = {}
     slots_args = (didx_s.slot_terms, didx_s.slot_impact, didx_s.col_unperm)
-    blk_args = (
-        jnp.asarray(np.asarray(didx_s.blk_terms)),
-        jnp.asarray(np.asarray(didx_s.blk_impact)),
-        jnp.asarray(np.asarray(didx_s.blk_local)),
-    )
+    blk_args = None
+    if need_blocked:
+        blk_args = (
+            jnp.asarray(np.asarray(didx_s.blk_terms)),
+            jnp.asarray(np.asarray(didx_s.blk_impact)),
+            jnp.asarray(np.asarray(didx_s.blk_local)),
+        )
 
     def slots_fn(st, si, cu, tid, qw):
         return bp.bm25_score_slots(st, si, cu, tid, qw, interpret=interpret)

@@ -239,13 +239,15 @@ class DeviceIndex:
     indptr: jnp.ndarray  # int32 [V+1]
     post_docs: jnp.ndarray  # int32 [nnz]
     post_impact: jnp.ndarray  # float32 [nnz]
-    # BM25, doc-major blocked (Pallas kernel layout)
-    blk_terms: jnp.ndarray  # int32 [n_blocks, p_blk]
-    blk_impact: jnp.ndarray  # float32 [n_blocks, p_blk]
-    blk_local: jnp.ndarray  # int32 [n_blocks, p_blk]
-    # BM25, doc-slot layout (stride classes; see build_slot_postings)
-    slot_terms: tuple  # per class: int32 [n_g, S, SLOT_COLS]
-    slot_impact: tuple  # per class: float32 [n_g, S, SLOT_COLS]
+    # BM25, doc-major blocked (Pallas kernel layout); None when built with
+    # build_unused_layout=False and bm25_layout="slots"
+    blk_terms: Optional[jnp.ndarray]  # int32 [n_blocks, p_blk]
+    blk_impact: Optional[jnp.ndarray]  # float32 [n_blocks, p_blk]
+    blk_local: Optional[jnp.ndarray]  # int32 [n_blocks, p_blk]
+    # BM25, doc-slot layout (stride classes; see build_slot_postings);
+    # None when built with build_unused_layout=False and bm25_layout="blocked"
+    slot_terms: Optional[tuple]  # per class: int32 [n_g, S, SLOT_COLS]
+    slot_impact: Optional[tuple]  # per class: float32 [n_g, S, SLOT_COLS]
     col_unperm: Optional[jnp.ndarray]  # int32 [n_docs_pad]
     # dense (packed layout: contiguous per-doc segments)
     chunk_emb: jnp.ndarray  # bank_dtype [n_chunks_pad, dim]
@@ -281,6 +283,7 @@ class DeviceIndex:
         slot_layout: bool = True,
         packed_device: bool = True,
         bm25_layout: str = "slots",
+        build_unused_layout: bool = True,
     ) -> "DeviceIndex":
         """``packed_device=False`` keeps the packed chunk bank and the CSR
         posting copies as HOST numpy arrays: when the bucketed Pallas path
@@ -290,7 +293,11 @@ class DeviceIndex:
 
         ``bm25_layout`` picks which BM25 posting layout is device-resident
         ("slots" or "blocked"); the other stays host-side numpy so the two
-        never double HBM."""
+        never double HBM.  ``build_unused_layout=False`` skips building the
+        non-resident layout entirely (its fields are None) — the layouts
+        are host-construction-heavy (sorting + scattering every posting)
+        and the serving engine only ever drives the configured one; at 1M+
+        docs on the single-core dev host this halves index-load time."""
         cfg = config or art.config
         n_docs = art.n_docs
         n_docs_pad = max(_round_up(n_docs, 128), 128)
@@ -393,20 +400,29 @@ class DeviceIndex:
         post_docs_for_blocks = np.asarray(art.post_docs)
         if inv is not None:
             post_docs_for_blocks = inv[post_docs_for_blocks]
-        blk_terms, blk_impact, blk_local = build_blocked_postings(
-            np.asarray(art.indptr),
-            post_docs_for_blocks,
-            np.asarray(art.post_impact),
-            n_docs_pad,
-        )
-        slot_terms, slot_impact, col_unperm = build_slot_postings(
-            np.asarray(art.indptr),
-            post_docs_for_blocks,
-            np.asarray(art.post_impact),
-            n_docs_pad,
-        )
+        blk_terms = blk_impact = blk_local = None
+        slot_terms = slot_impact = col_unperm = None
+        # which layout will the engine actually drive?  The non-bucketed
+        # Pallas fallback (ops.hybrid_rank_blocked — empty corpus or
+        # slot_layout=False) only understands the blocked layout, so an
+        # index without dense buckets must always carry it.
+        resident_layout = bm25_layout if buckets else "blocked"
+        if resident_layout != "slots" or build_unused_layout:
+            blk_terms, blk_impact, blk_local = build_blocked_postings(
+                np.asarray(art.indptr),
+                post_docs_for_blocks,
+                np.asarray(art.post_impact),
+                n_docs_pad,
+            )
+        if resident_layout == "slots" or build_unused_layout:
+            slot_terms, slot_impact, col_unperm = build_slot_postings(
+                np.asarray(art.indptr),
+                post_docs_for_blocks,
+                np.asarray(art.post_impact),
+                n_docs_pad,
+            )
         # exactly one BM25 layout is device-resident (HBM); see docstring
-        if bm25_layout == "slots":
+        if resident_layout == "slots":
             slot_terms = tuple(jnp.asarray(x) for x in slot_terms)
             slot_impact = tuple(jnp.asarray(x) for x in slot_impact)
             col_unperm = jnp.asarray(col_unperm)

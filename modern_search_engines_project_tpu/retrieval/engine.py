@@ -69,6 +69,10 @@ class SearchEngine:
             # (duplicate HBM residency OOMs at 1M docs)
             packed_device=not self.use_pallas,
             bm25_layout=getattr(self.cfg, "bm25_layout", "slots"),
+            # the engine only ever drives the configured layout; skip the
+            # host-heavy construction of the other one (halves index-load
+            # time at 1M+ docs)
+            build_unused_layout=False,
         )
         self.k_ret = min(self.cfg.top_k_retrieval, self.didx.n_docs_pad)
         # quality-gated candidate selection: "auto" turns approx_max_k on
