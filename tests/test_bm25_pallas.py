@@ -355,3 +355,56 @@ class TestExactTopkBlocked:
         v1, _ = lax.top_k(jnp.asarray(scores), 1000)
         v2, _ = exact_topk(jnp.asarray(scores), 1000)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+class TestBuildUnusedLayout:
+    """build_unused_layout=False must skip exactly the non-resident BM25
+    layout (index-load cost halves at 1M+ docs) without changing results."""
+
+    def test_slots_resident_blocked_skipped(self, built):
+        art, _, cfg = built
+        d = DeviceIndex.from_artifacts(
+            art, cfg, bm25_layout="slots", build_unused_layout=False
+        )
+        assert d.blk_terms is None and d.blk_impact is None
+        assert d.blk_local is None
+        assert d.slot_terms is not None and d.col_unperm is not None
+
+    def test_blocked_resident_slots_skipped(self, built):
+        art, _, cfg = built
+        d = DeviceIndex.from_artifacts(
+            art, cfg, bm25_layout="blocked", build_unused_layout=False
+        )
+        assert d.slot_terms is None and d.slot_impact is None
+        assert d.col_unperm is None
+        assert d.blk_terms is not None
+
+    def test_no_buckets_always_carries_blocked(self, built):
+        """The non-bucketed fallback (slot_layout=False) only understands
+        the blocked layout, so it must be built even when bm25_layout
+        says slots."""
+        art, _, cfg = built
+        d = DeviceIndex.from_artifacts(
+            art, cfg, bm25_layout="slots", slot_layout=False,
+            build_unused_layout=False,
+        )
+        assert d.blk_terms is not None
+
+    def test_engine_results_unchanged(self, built):
+        """Both skip-built resident layouts (slots and blocked) must rank
+        identically — skipping the other layout corrupts neither."""
+        art, enc, cfg = built
+        eng_s = SearchEngine(art, enc, cfg, use_pallas=True)
+        assert eng_s.didx.blk_terms is None  # engine skipped the unused one
+        eng_b = SearchEngine(
+            art, enc, cfg.replace(bm25_layout="blocked"), use_pallas=True
+        )
+        assert eng_b.didx.slot_terms is None
+        for q in QUERIES[:2]:
+            r1 = eng_s.search(q, top_k=10)
+            r2 = eng_b.search(q, top_k=10)
+            assert len(r1) == len(r2) > 0
+            for a, b in zip(r1, r2):
+                assert a.doc_id == b.doc_id or abs(
+                    a.similarity_score - b.similarity_score
+                ) < 1e-4, q
