@@ -293,6 +293,8 @@ void conn_flush(EventThread* t, Conn* c) {
     } else if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
       break;
     } else {
+      // hard send error: nothing more can reach this peer
+      c->wbuf.clear();
       c->closing = true;
       return;
     }
@@ -430,7 +432,13 @@ void event_loop(EventThread* t) {
           c->awaiting_rank = false;
           c->wbuf += r.body;
           conn_flush(t, c);
-          if (c->closing || !conn_process(t, c)) conn_close(t, c);
+          // half-closed peers (closing set at EOF) still get their
+          // response: process any pipelined requests first, then close
+          // only once wbuf is drained (partial sends arm EPOLLOUT and
+          // finish there)
+          if (!conn_process(t, c) ||
+              (c->closing && !c->awaiting_rank && c->wbuf.empty()))
+            conn_close(t, c);
         }
         continue;
       }
@@ -443,7 +451,7 @@ void event_loop(EventThread* t) {
       }
       if (evs[i].events & EPOLLOUT) {
         conn_flush(t, c);
-        if (c->closing) { conn_close(t, c); continue; }
+        if (c->closing && c->wbuf.empty()) { conn_close(t, c); continue; }
       }
       if (evs[i].events & EPOLLIN) {
         char buf[16384];
@@ -462,11 +470,12 @@ void event_loop(EventThread* t) {
             break;
           }
         }
-        if (!conn_process(t, c) || (closed && !c->awaiting_rank)) {
+        if (!conn_process(t, c) ||
+            (closed && !c->awaiting_rank && c->wbuf.empty())) {
           conn_close(t, c);
           continue;
         }
-        if (closed) c->closing = true;  // respond, then close
+        if (closed) c->closing = true;  // respond/drain, then close
       }
     }
   }

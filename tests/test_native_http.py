@@ -137,6 +137,81 @@ class TestStubServer:
         stats = stub_server.stats()
         assert stats["served"] >= 80
 
+    def test_half_closed_client_gets_full_response(self, stub_server):
+        """A client that shuts down its write side after sending the
+        request (half-close: EOF arrives before/with the request) must
+        still receive the complete response before the server closes."""
+        s = socket.create_connection(
+            ("127.0.0.1", stub_server.port), timeout=10
+        )
+        payload = json.dumps({"query": "half", "top_k": 20}).encode()
+        s.sendall(
+            b"POST /api/search HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(payload)
+            + payload
+        )
+        s.shutdown(socket.SHUT_WR)  # EOF reaches the server early
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        s.close()
+        head, _, body = data.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        assert len(json.loads(body)["documents"]) == 20
+
+    def test_half_closed_slow_reader_large_body(self):
+        """Half-close + a body far larger than the kernel socket buffers,
+        read slowly: the server must keep the connection open until its
+        write buffer drains via EPOLLOUT.  Regression: the event loop
+        closed half-closed conns as soon as the rank result landed,
+        truncating partially-flushed bodies (and cleared-wbuf close on
+        the first EPOLLOUT)."""
+        import time
+
+        srv = FastHttpServer(free_port(), n_threads=1)
+        # ~64 KB per fragment x top_k 50 => ~3.2 MB response, far beyond
+        # any default send buffer.
+        big = "x" * 65536
+        srv.load_fragments(
+            [
+                f'"url": "u{i}", "doc_id": "{i}", "pad": "{big}"'.encode()
+                for i in range(50)
+            ]
+        )
+        srv.set_stub(list(range(50)), [1.0 - 0.01 * i for i in range(50)])
+        srv.start()
+        try:
+            s = socket.socket()
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+            s.connect(("127.0.0.1", srv.port))
+            s.settimeout(10)
+            payload = json.dumps({"query": "big", "top_k": 50}).encode()
+            s.sendall(
+                b"POST /api/search HTTP/1.1\r\n"
+                b"Host: x\r\nContent-Type: application/json\r\n"
+                + b"Content-Length: %d\r\n\r\n" % len(payload)
+                + payload
+            )
+            s.shutdown(socket.SHUT_WR)
+            time.sleep(0.2)  # let the server hit EAGAIN mid-body
+            data = b""
+            while True:
+                chunk = s.recv(8192)
+                if not chunk:
+                    break
+                data += chunk
+                time.sleep(0.001)  # stay slower than the server's writes
+            s.close()
+            head, _, body = data.partition(b"\r\n\r\n")
+            assert b"200" in head.split(b"\r\n")[0]
+            assert len(json.loads(body)["documents"]) == 50
+        finally:
+            srv.stop()
+
     def test_client_bench(self, stub_server):
         out = client_bench(
             stub_server.port, n_conns=8, total_requests=500,
