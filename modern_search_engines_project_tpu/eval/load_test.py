@@ -170,10 +170,33 @@ def run_native(args) -> dict:
             return canned * len(queries)
 
         srv.set_rank_fn(rank)
-    else:  # engine
+    bodies = None
+    if args.native == "engine":
         attach_engine(srv, engine)
-        # compile the hot batch shapes up front
-        engine.warmup(batch_sizes=(1, 64))
+        # compile EVERY power-of-two batch bucket up front — ramp-up
+        # coalesces intermediate sizes, and a mid-measurement XLA compile
+        # (tens of seconds on a cold TPU) would wreck the numbers
+        engine.warmup(batch_sizes=(1, 2, 4, 8, 16, 32, 64))
+        # varied queries: distinct queries per coalesced batch drive the
+        # batcher + U-dedup shapes honestly (a single repeated query
+        # makes every device batch degenerate to one distinct term set)
+        rng = random.Random(17)
+        bodies = [
+            json.dumps(
+                {
+                    "query": " ".join(rng.sample(vocab[:120],
+                                                 rng.randint(1, 3))),
+                    "top_k": args.top_k,
+                }
+            )
+            for _ in range(256)
+        ]
+        # warm the exact U-dedup buckets THIS query distribution lands in
+        # (warmup() covers the extremes; the pool's intermediate
+        # distinct-term counts are separate compiles)
+        pool = [json.loads(b)["query"] for b in bodies]
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            engine.search_batch_indices(pool[:b], top_k=args.top_k)
     srv.start()
     _time.sleep(0.2)
     body = json.dumps({"query": "law research tübingen", "top_k": args.top_k})
@@ -182,10 +205,10 @@ def run_native(args) -> dict:
         "from modern_search_engines_project_tpu.native.native_http "
         "import client_bench; "
         "print(json.dumps(client_bench(%d, n_conns=%d, total_requests=%d, "
-        "body=%r, timeout_s=%d)))"
+        "body=%r, timeout_s=%d, bodies=%r)))"
         % (
             str(__import__("pathlib").Path(__file__).resolve().parents[2]),
-            args.port, args.concurrency, args.requests, body, 300,
+            args.port, args.concurrency, args.requests, body, 300, bodies,
         )
     )
     out = subprocess.run(

@@ -746,18 +746,33 @@ void msetpu_http_free(void* p) { free(p); }
 // Returns a malloc'd JSON stats string; caller frees with msetpu_http_free.
 // ---------------------------------------------------------------------------
 
-char* msetpu_http_client_bench(int port, int n_conns, long total_requests,
-                               const char* body, int timeout_s) {
-  std::string payload = body ? body : "{\"query\": \"bench query\"}";
-  std::string req =
-      "POST /api/search HTTP/1.1\r\nHost: 127.0.0.1\r\n"
-      "Content-Type: application/json\r\nContent-Length: " +
-      std::to_string(payload.size()) + "\r\nConnection: keep-alive\r\n\r\n" +
-      payload;
+char* msetpu_http_client_bench_multi(int port, int n_conns,
+                                     long total_requests,
+                                     const char** bodies, int n_bodies,
+                                     int timeout_s) {
+  // pre-render one full request per distinct body; requests rotate over
+  // them so varied-query workloads (realistic batcher/U-dedup shapes)
+  // are measurable without per-request formatting cost
+  std::vector<std::string> reqs;
+  if (bodies == nullptr || n_bodies <= 0) {
+    static const char* kDefault = "{\"query\": \"bench query\"}";
+    bodies = &kDefault;
+    n_bodies = 1;
+  }
+  reqs.reserve((size_t)n_bodies);
+  for (int i = 0; i < n_bodies; i++) {
+    std::string payload = bodies[i] ? bodies[i] : "{}";
+    reqs.push_back(
+        "POST /api/search HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+        "Content-Type: application/json\r\nContent-Length: " +
+        std::to_string(payload.size()) +
+        "\r\nConnection: keep-alive\r\n\r\n" + payload);
+  }
 
   struct CConn {
     int fd;
     std::string rbuf;
+    const std::string* req = nullptr;
     size_t sent = 0;
     double t0 = 0;
     bool in_flight = false;
@@ -794,12 +809,13 @@ char* msetpu_http_client_bench(int port, int n_conns, long total_requests,
   auto kick = [&](CConn& c) {
     if (started >= total_requests || c.in_flight) return;
     c.in_flight = true;
+    c.req = &reqs[(size_t)(started % (long)reqs.size())];
     c.sent = 0;
     c.t0 = now_ms();
     started++;
     // send as much as possible now
-    while (c.sent < req.size()) {
-      ssize_t n = send(c.fd, req.data() + c.sent, req.size() - c.sent,
+    while (c.sent < c.req->size()) {
+      ssize_t n = send(c.fd, c.req->data() + c.sent, c.req->size() - c.sent,
                        MSG_NOSIGNAL);
       if (n > 0) c.sent += (size_t)n;
       else break;
@@ -813,9 +829,9 @@ char* msetpu_http_client_bench(int port, int n_conns, long total_requests,
       CConn& c = conns[evs[i].data.u32];
       if (!c.in_flight) continue;
       if (evs[i].events & EPOLLOUT) {
-        while (c.sent < req.size()) {
-          ssize_t k = send(c.fd, req.data() + c.sent, req.size() - c.sent,
-                           MSG_NOSIGNAL);
+        while (c.sent < c.req->size()) {
+          ssize_t k = send(c.fd, c.req->data() + c.sent,
+                           c.req->size() - c.sent, MSG_NOSIGNAL);
           if (k > 0) c.sent += (size_t)k;
           else break;
         }
@@ -873,6 +889,14 @@ char* msetpu_http_client_bench(int port, int n_conns, long total_requests,
            done, errors, wall_s, done / std::max(wall_s, 1e-9), pct(0.5),
            pct(0.95), pct(0.99), n_conns);
   return strdup(buf);
+}
+
+char* msetpu_http_client_bench(int port, int n_conns, long total_requests,
+                               const char* body, int timeout_s) {
+  const char* bodies[1] = {body};
+  return msetpu_http_client_bench_multi(port, n_conns, total_requests,
+                                        body ? bodies : nullptr,
+                                        body ? 1 : 0, timeout_s);
 }
 
 }  // extern "C"

@@ -95,6 +95,12 @@ def load_lib() -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_int,
             ]
             lib.msetpu_http_client_bench.restype = ctypes.c_void_p
+            lib.msetpu_http_client_bench_multi.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.msetpu_http_client_bench_multi.restype = ctypes.c_void_p
             _lib = lib
             return lib
         except Exception:
@@ -202,15 +208,27 @@ def client_bench(
     total_requests: int = 10000,
     body: Optional[str] = None,
     timeout_s: int = 120,
+    bodies: Optional[Sequence[str]] = None,
 ) -> dict:
     """Epoll load generator against 127.0.0.1:port (GIL released for the
-    duration — run in a separate process for honest numbers)."""
+    duration — run in a separate process for honest numbers).
+
+    ``bodies`` rotates requests over a pool of payloads (realistic
+    varied-query workloads — distinct queries per device batch drive the
+    batcher and U-dedup shapes honestly); ``body`` sends one payload."""
     lib = load_lib()
-    ptr = lib.msetpu_http_client_bench(
-        port,
-        n_conns,
-        total_requests,
-        (body or '{"query": "bench query tübingen"}').encode("utf-8"),
-        timeout_s,
-    )
+    if bodies:
+        enc = [b.encode("utf-8") for b in bodies]
+        arr = (ctypes.c_char_p * len(enc))(*enc)
+        ptr = lib.msetpu_http_client_bench_multi(
+            port, n_conns, total_requests, arr, len(enc), timeout_s
+        )
+    else:
+        ptr = lib.msetpu_http_client_bench(
+            port,
+            n_conns,
+            total_requests,
+            (body or '{"query": "bench query tübingen"}').encode("utf-8"),
+            timeout_s,
+        )
     return _take_json(lib, ptr)
