@@ -638,7 +638,7 @@ def main():
             for s in range(2 * n_scan)
         )
         u_pad = u_pad_for(max_distinct)
-        plan = udedup_plan(u_pad, batch)
+        plan = udedup_plan(u_pad, batch, nnz=idx_.nnz)
         use_udedup = plan is not None
 
         @functools.partial(jax.jit, static_argnames=("buckets",))

@@ -191,7 +191,7 @@ def main():
                     continue
                 meas = {"plain": plain, "acc": acc, "matmul": mm}
                 measured_winner = min(meas, key=meas.get)
-                gate_pick = bp.udedup_plan(U, B) or "plain"
+                gate_pick = bp.udedup_plan(U, B, nnz=didx_s.nnz) or "plain"
                 # within-5% ties count as agreement (measurement noise)
                 agree = (
                     meas[gate_pick] <= 1.05 * meas[measured_winner]

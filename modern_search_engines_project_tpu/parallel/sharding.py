@@ -578,8 +578,13 @@ class ShardedEngineBackend:
                 int(np.unique(term_ids[term_ids >= 0]).size)
             )
             # each dp replica scores only Bq/dp queries, so the plain-kernel
-            # cost the gate weighs against is the per-replica batch
-            plan = udedup_plan(u_pad, max(1, Bq // self.dp))
+            # cost the gate weighs against is the per-replica batch; the
+            # shape term is the per-shard posting count
+            plan = udedup_plan(
+                u_pad,
+                max(1, Bq // self.dp),
+                nnz=int(s.post_docs.shape[1]),
+            )
             if self.cfg.bm25_udedup == "always" and plan is None:
                 plan = "acc"
             if plan is not None:

@@ -358,7 +358,7 @@ def _auto_posting_chunk(p_blk: int) -> int:
     return best
 
 
-def udedup_plan(u_pad: int, B: int):
+def udedup_plan(u_pad: int, B: int, nnz=None):
     """Measured v5e dispatch gate, refit round 3 across TWO corpus shapes
     (``bench_kernels.py gate_fit`` at 20k docs / 1.6M postings AND 100k
     docs / 8M postings — VERDICT r2 #10; the round-2 constants were fit
@@ -373,27 +373,35 @@ def udedup_plan(u_pad: int, B: int):
                        matmul b16 ~2.9-3.6 all U; b64 3.0@128 .. 5.0@1024
                        acc    within noise of matmul at U<=256, worse above
 
-    Decision boundaries stable across both shapes (every pick within ~10%
-    of the measured per-cell winner):
+    Decision boundaries (every pick within ~10% of the measured per-cell
+    winner at BOTH shapes — enforced by tests/test_dispatch_gate.py
+    against the committed docs/gate_fit_*.json matrices):
       * B >= 32: the per-sublane matmul variant wins up to U=1024
         (crossover vs plain extrapolates to ~U1100-1200);
-      * 8 <= B < 32: matmul wins up to U=512; at U1024 plain ties/wins;
-      * B < 8: plain always (its cost is ~linear in B, the matmul
-        variant's base cost is not worth one or two queries).
-    The X/P-accumulator variant no longer wins any measured cell — it is
-    kept for A/B and reachable via ``cfg.bm25_udedup="always"``.
+      * 8 <= B < 32: matmul wins up to U=512; at U1024 plain ties/wins —
+        EXCEPT small corpora (nnz < ~4M postings) at U<=128 where the
+        X/P-accumulator variant wins (20k shape: acc 3.06 ms vs matmul
+        3.61 — matmul's (2B,U)@(U,pcL) weight-recovery cost doesn't
+        amortize when the streaming pass itself is short);
+      * B < 8: plain always (its cost is ~linear in B, neither U-dedup
+        variant's base cost is worth one or two queries).
+    ``nnz`` is the CHIP-LOCAL posting count (per-shard on meshes); the
+    one shape-dependent cell above is its only use, so callers without a
+    handy count may omit it and get the large-corpus boundary.
 
-    Returns "matmul" or None (plain per-query kernel).
+    Returns "matmul", "acc", or None (plain per-query kernel).
     """
     if B >= 32 and u_pad <= 1024:
         return "matmul"
     if B >= 8 and u_pad <= 512:
+        if u_pad <= 128 and nnz is not None and nnz < 4_000_000:
+            return "acc"
         return "matmul"
     return None
 
 
-def udedup_wins(u_pad: int, B: int) -> bool:
-    return udedup_plan(u_pad, B) is not None
+def udedup_wins(u_pad: int, B: int, nnz=None) -> bool:
+    return udedup_plan(u_pad, B, nnz) is not None
 
 
 def u_pad_for(n_distinct: int, u_buckets=(128, 256, 512, 1024)) -> int:

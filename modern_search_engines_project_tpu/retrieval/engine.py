@@ -167,7 +167,7 @@ class SearchEngine:
             # variant selection from the measured v5e cost model
             # (bm25_pallas.udedup_plan); bm25_udedup="always" pins the
             # U-dedup path (tests / unusual workloads).
-            plan = udedup_plan(u_pad, B)
+            plan = udedup_plan(u_pad, B, nnz=d.nnz)
             if self.cfg.bm25_udedup == "always" and plan is None:
                 plan = "acc"
             if plan is not None:
@@ -315,10 +315,18 @@ class SearchEngine:
         with stage_timer("query_encode", self.times):
             qvec = self.encode_queries(processed)
         with stage_timer("device_rank", self.times):
-            return tuple(
-                np.asarray(x)
-                for x in self._device_rank(term_ids, qtf, qvec)
-            )
+            outs = self._device_rank(term_ids, qtf, qvec)
+            # start all five device->host copies before blocking on any:
+            # serial np.asarray pays one transfer round trip PER array
+            # (5x the link latency on remote-attached chips); async copies
+            # overlap to ~one round trip
+            for x in outs:
+                if hasattr(x, "copy_to_host_async"):
+                    try:
+                        x.copy_to_host_async()
+                    except Exception:
+                        break  # backend without async copies: plain path
+            return tuple(np.asarray(x) for x in outs)
 
     def search_batch(
         self,

@@ -262,7 +262,7 @@ class TestShardedPallas:
             art, mesh, cfg, use_pallas=True
         )
         monkeypatch.setattr(
-            bm25_pallas, "udedup_plan", lambda u, b: variant
+            bm25_pallas, "udedup_plan", lambda u, b, nnz=None: variant
         )
         term_ids, qtf, processed = single.prepare_queries(QUERIES)
         qvec = single.encode_queries(processed)
