@@ -220,6 +220,38 @@ class TestStubServer:
         assert out["requests"] == 500 and out["errors"] == 0
         assert out["qps"] > 100
 
+    def test_client_bench_body_pool_rotates(self):
+        """The multi-body load generator must actually rotate the pool:
+        every distinct query reaches the rank callback (a single repeated
+        body would flatter U-dedup/batching numbers — the reason the pool
+        exists)."""
+        srv = FastHttpServer(free_port(), n_threads=1, batch_window_us=500)
+        srv.load_fragments(
+            [f'"url": "u{i}", "doc_id": "{i}"'.encode() for i in range(4)]
+        )
+        seen = set()
+        lock = threading.Lock()
+
+        def rank(queries, top_k):
+            with lock:
+                seen.update(queries)
+            return [[(0, 1.0)]] * len(queries)
+
+        srv.set_rank_fn(rank)
+        srv.start()
+        try:
+            bodies = [
+                json.dumps({"query": f"pool query {i}", "top_k": 2})
+                for i in range(7)
+            ]
+            out = client_bench(
+                srv.port, n_conns=4, total_requests=100, bodies=bodies,
+            )
+            assert out["requests"] == 100 and out["errors"] == 0
+            assert seen == {f"pool query {i}" for i in range(7)}
+        finally:
+            srv.stop()
+
 
 class TestPythonCallback:
     def test_rank_roundtrip_and_batching(self):
