@@ -201,12 +201,44 @@ def render_page(
     )
 
 
+def _split_sections(rec: dict, taken: set) -> List[dict]:
+    """Section-granularity page records for one module: the module hub
+    keeps the module docstring; every class/function docstring becomes its
+    own page (Sphinx-autodoc style, one page per API object) named
+    ``<module>.<object>``.  Collisions with real submodule names or
+    repeated object names get a numeric suffix."""
+    mod = rec["module"]
+    own = [(n, d) for n, d in rec["sections"] if n == mod]
+    others = [(n, d) for n, d in rec["sections"] if n != mod]
+    out = []
+    if own or not others:
+        out.append(dict(rec, sections=own or rec["sections"]))
+    for n, d in others:
+        name = f"{mod}.{n}"
+        i = 2
+        while name in taken:
+            name = f"{mod}.{n}.{i}"
+            i += 1
+        taken.add(name)
+        out.append(
+            {
+                "module": name,
+                "package": rec["package"],
+                "title": f"{name} — API documentation",
+                "sections": [(n, d)],
+                "chars": len(d),
+            }
+        )
+    return out
+
+
 def build_site(
     out_dir: str,
     max_docs: Optional[int] = None,
     private_every: int = 97,
     roots: Optional[List[str]] = None,
     base_urls: Optional[List[str]] = None,
+    granularity: str = "module",
 ) -> dict:
     """Write the HTML site + robots.txt + manifest.json; returns the
     manifest.
@@ -216,11 +248,33 @@ def build_site(
     package cluster is assigned a stable host and links are absolute, so
     the corpus spans multiple real domains (the crawler's distinct-domain
     batching and per-domain politeness then behave like a real web crawl,
-    reference frontierManagement.py:455-483)."""
+    reference frontierManagement.py:455-483).
+
+    ``granularity``: "module" (one page per module, the round-3 default)
+    or "section" (one page per documented API object — multiplies page
+    count ~10x, reaching the reference's "100K+ documents" scale,
+    reference README.md:292, with the same real prose)."""
+    assert granularity in ("module", "section")
     recs = []
-    for rec in iter_module_docs(roots=roots):
-        recs.append(rec)
+    taken: set = set()
+    # section mode admits shorter (but still real) docstrings — a one- or
+    # two-sentence API doc is a legitimate thin page; measured yield over
+    # this machine's site-packages: 104,140 pages from 11,957 modules
+    kw = (
+        dict(min_chars=200, min_doc_chars=64)
+        if granularity == "section"
+        else {}
+    )
+    for rec in iter_module_docs(roots=roots, **kw):
+        if granularity == "section":
+            if rec["module"] in taken:  # a section page took this name
+                rec = dict(rec, module=rec["module"] + ".module")
+            taken.add(rec["module"])
+            recs.extend(_split_sections(rec, taken))
+        else:
+            recs.append(rec)
         if max_docs and len(recs) >= max_docs:
+            recs = recs[:max_docs]
             break
     by_mod: Dict[str, dict] = {r["module"]: r for r in recs}
     bases = base_urls or [""]
@@ -305,6 +359,43 @@ def build_site(
             f.write(html_text)
         n_bytes += len(html_text)
 
+    # Paginated archive (the A-Z / archive index every real doc site has):
+    # guarantees every public page sits at link depth 2 from the root, so
+    # the crawler's depth-5 limit never strands pages at 100k+ scale (the
+    # 22k-page module-granularity crawl reached only 9,103 pages through
+    # hierarchy nav alone).  Named "archive", not "sitemap": *.xml sitemap
+    # URLs are excluded by crawl policy (helpers.is_sitemap_url, mirroring
+    # the reference's exclusion, crawler/helpers.py:39-53).
+    ARCHIVE_PER_PAGE = 200
+    public = [r for r in recs if r["module"] not in private]
+    n_arch = (len(public) + ARCHIVE_PER_PAGE - 1) // ARCHIVE_PER_PAGE
+    os.makedirs(os.path.join(out_dir, "archive"), exist_ok=True)
+    for i in range(n_arch):
+        chunk = public[i * ARCHIVE_PER_PAGE : (i + 1) * ARCHIVE_PER_PAGE]
+        items = "".join(
+            f'<li><a href="{url_for(r["module"])}">'
+            f"{html.escape(r['module'])}</a></li>"
+            for r in chunk
+        )
+        nav = [(bases[0] + "/", "index")]
+        if i > 0:
+            nav.append((f"{bases[0]}/archive/p{i-1}.html", "previous"))
+        if i + 1 < n_arch:
+            nav.append((f"{bases[0]}/archive/p{i+1}.html", "next"))
+        anchors = "".join(
+            f'<li><a href="{href}">{html.escape(text)}</a></li>'
+            for href, text in nav
+        )
+        with open(os.path.join(out_dir, f"archive/p{i}.html"), "w") as f:
+            f.write(
+                f"<html><head><title>Site archive — page {i + 1} of "
+                f"{n_arch}</title></head><body><main>"
+                f"<h1>All documentation pages ({i * ARCHIVE_PER_PAGE + 1}"
+                f"–{i * ARCHIVE_PER_PAGE + len(chunk)})</h1>"
+                f"<ul>{items}</ul></main>"
+                f"<nav><ul>{anchors}</ul></nav></body></html>"
+            )
+
     # root index: top-level package hubs
     top = sorted({r["package"] for r in recs})
     hub_links = []
@@ -317,13 +408,19 @@ def build_site(
                 f'<li><a href="{url_for(target)}">'
                 f"{html.escape(pkg)}</a></li>"
             )
+    arch_links = "".join(
+        f'<li><a href="{bases[0]}/archive/p{i}.html">archive p{i}</a></li>'
+        for i in range(n_arch)
+    )
     with open(os.path.join(out_dir, "index.html"), "w") as f:
         f.write(
             "<html><head><title>Installed package documentation</title>"
             "</head><body><main><h1>Installed package documentation</h1>"
             "<p>Real API documentation pages extracted from the Python "
-            "packages installed on this machine, one page per module.</p>"
-            f"</main><nav><ul>{''.join(hub_links)}</ul></nav></body></html>"
+            "packages installed on this machine, one page per "
+            f"{granularity}.</p>"
+            f"</main><nav><ul>{''.join(hub_links)}{arch_links}</ul>"
+            "</nav></body></html>"
         )
     with open(os.path.join(out_dir, "robots.txt"), "w") as f:
         f.write("User-agent: *\nDisallow: /private\nCrawl-delay: 0\n")
@@ -334,7 +431,9 @@ def build_site(
     manifest = {
         "generator": "tools/make_real_corpus.py",
         "source": "docstrings of installed site-packages (AST-extracted)",
+        "granularity": granularity,
         "n_pages": len(recs),
+        "n_archive_pages": n_arch,
         "n_private_pages": len(private),
         "prose_bytes": n_bytes,
         "packages": dict(
@@ -350,6 +449,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="site output directory")
     ap.add_argument("--max-docs", type=int, default=None)
+    ap.add_argument("--granularity", choices=["module", "section"],
+                    default="module")
     ap.add_argument("--pairs", default=None,
                     help="write query\\tpassage TSV here instead")
     ap.add_argument("--min-pairs", type=int, default=100_000)
@@ -369,7 +470,9 @@ def main() -> None:
         return
     if not args.out:
         ap.error("--out or --pairs required")
-    manifest = build_site(args.out, max_docs=args.max_docs)
+    manifest = build_site(
+        args.out, max_docs=args.max_docs, granularity=args.granularity
+    )
     print(json.dumps(manifest)[:2000])
 
 

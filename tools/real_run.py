@@ -99,11 +99,16 @@ def phase_site(args, record):
     from make_real_corpus import build_site
 
     site_port = args.site_port or free_port()
-    bases = [f"http://127.0.0.{i}:{site_port}" for i in range(1, 9)]
+    bases = [
+        f"http://127.0.0.{i}:{site_port}" for i in range(1, args.hosts + 1)
+    ]
     site_dir = os.path.join(args.workdir, "site")
     t0 = time.time()
     manifest = build_site(
-        site_dir, max_docs=args.max_docs or None, base_urls=bases
+        site_dir,
+        max_docs=args.max_docs or None,
+        base_urls=bases,
+        granularity=args.granularity,
     )
     record["site"] = {
         **{k: v for k, v in manifest.items() if k != "packages"},
@@ -443,6 +448,14 @@ def main():
                          "the hashing baseline)")
     ap.add_argument("--site-port", type=int, default=0)
     ap.add_argument("--serve-port", type=int, default=0)
+    ap.add_argument("--granularity", choices=["module", "section"],
+                    default="module",
+                    help="section = one page per documented API object "
+                         "(~10x more pages; reaches the reference's "
+                         "'100K+ documents' scale)")
+    ap.add_argument("--hosts", type=int, default=8,
+                    help="loopback hosts the site spans (distinct domains "
+                         "bound the crawler's per-batch parallelism)")
     ap.add_argument("--report", default=str(REPO / "docs" / "REAL_RUN.md"))
     ap.add_argument("--record", default=str(
         REPO / "docs" / "real_run_record.json"
