@@ -41,3 +41,49 @@ class TestRealPipeline:
         # engine vs the numpy oracle on real text
         assert rec["eval"]["engine_vs_oracle_recall@10"] >= 0.8
         assert report.exists()
+
+    def test_section_granularity_full_reachability(self, tmp_path):
+        """Section granularity (one page per documented API object — the
+        layout of the 100k+-doc scale run, docs/REAL_RUN_100K.md): the
+        paginated /archive index must keep EVERY public page within the
+        crawler's depth limit, and a rerun with --reuse-store must skip
+        the crawl and still produce a full report."""
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = str(REPO)
+        env["MSETPU_FORCE_CPU"] = "1"
+        report = tmp_path / "REAL_RUN.md"
+        record = tmp_path / "record.json"
+        argv = [
+            sys.executable, str(REPO / "tools" / "real_run.py"),
+            "--workdir", str(tmp_path / "work"),
+            "--max-docs", "400", "--dim", "64",
+            "--granularity", "section", "--hosts", "4",
+            "--report", str(report), "--record", str(record),
+        ]
+        out = subprocess.run(
+            argv, capture_output=True, text=True, timeout=540, env=env
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        rec = json.loads(record.read_text())
+        assert rec["site"]["granularity"] == "section"
+        assert rec["site"]["n_archive_pages"] >= 2
+        # full reachability: every public content page + archive pages +
+        # the root index were stored; nothing disallowed was fetched
+        expect = (
+            rec["site"]["n_pages"] - rec["site"]["n_private_pages"]
+            + rec["site"]["n_archive_pages"] + 1
+        )
+        assert rec["crawl"]["pages_stored"] == expect
+        assert rec["crawl"]["robots_disallowed_fetched"] == 0
+        assert rec["eval"]["engine_vs_oracle_recall@10"] >= 0.8
+
+        out2 = subprocess.run(
+            argv + ["--reuse-store"],
+            capture_output=True, text=True, timeout=540, env=env,
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        rec2 = json.loads(record.read_text())
+        assert rec2["reused_store"]
+        assert rec2["crawl"] == rec["crawl"]  # stats carried, not re-run
+        assert rec2["build"]["n_docs"] == rec["build"]["n_docs"]
+        assert report.exists()

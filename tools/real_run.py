@@ -456,6 +456,10 @@ def main():
     ap.add_argument("--hosts", type=int, default=8,
                     help="loopback hosts the site spans (distinct domains "
                          "bound the crawler's per-batch parallelism)")
+    ap.add_argument("--reuse-store", action="store_true",
+                    help="skip site/crawl/merge when <workdir>/merged.sqlite"
+                         " exists (re-run build/serve/eval, e.g. with a "
+                         "different --encoder)")
     ap.add_argument("--report", default=str(REPO / "docs" / "REAL_RUN.md"))
     ap.add_argument("--record", default=str(
         REPO / "docs" / "real_run_record.json"
@@ -469,16 +473,41 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     record: dict = {"argv": sys.argv[1:], "workdir": args.workdir}
-    print("[1/6] rendering site ...", file=sys.stderr)
-    bases, site_dir, httpd = phase_site(args, record)
-    print(f"      {record['site']}", file=sys.stderr)
-    print("[2/6] crawling ...", file=sys.stderr)
-    store = phase_crawl(args, record, bases)
-    print(f"      {record['crawl']}", file=sys.stderr)
-    httpd.shutdown()
-    print("[3/6] merging ...", file=sys.stderr)
-    merged = phase_merge(args, record, store)
-    print(f"      {record['merge']}", file=sys.stderr)
+    merged_path = os.path.join(args.workdir, "merged.sqlite")
+    if args.reuse_store and os.path.exists(merged_path):
+        # re-run build/serve/eval (e.g. with --encoder) on a crawl that
+        # already happened — the site/crawl/merge phases are deterministic
+        # given the same machine, so their stats stand from the first run
+        from modern_search_engines_project_tpu.crawler.storage import (
+            CrawlStore,
+        )
+
+        print(f"[1-3/6] reusing {merged_path} ...", file=sys.stderr)
+        merged = CrawlStore(merged_path)
+        record["reused_store"] = merged_path
+        stages = os.path.join(args.workdir, "stages.json")
+        if not os.path.exists(stages) and os.path.exists(args.record):
+            stages = args.record  # fall back to a prior full-run record
+        if os.path.exists(stages):  # site/crawl/merge stats of the run
+            prev = json.load(open(stages))  # that made the store
+            record.update(
+                {k: prev[k] for k in ("site", "crawl", "merge") if k in prev}
+            )
+    else:
+        print("[1/6] rendering site ...", file=sys.stderr)
+        bases, site_dir, httpd = phase_site(args, record)
+        print(f"      {record['site']}", file=sys.stderr)
+        print("[2/6] crawling ...", file=sys.stderr)
+        store = phase_crawl(args, record, bases)
+        print(f"      {record['crawl']}", file=sys.stderr)
+        httpd.shutdown()
+        print("[3/6] merging ...", file=sys.stderr)
+        merged = phase_merge(args, record, store)
+        print(f"      {record['merge']}", file=sys.stderr)
+        with open(os.path.join(args.workdir, "stages.json"), "w") as f:
+            json.dump(
+                {k: record[k] for k in ("site", "crawl", "merge")}, f
+            )
     print("[4/6] building index ...", file=sys.stderr)
     art, enc, cfg = phase_build(args, record, merged)
     print(f"      {record['build']}", file=sys.stderr)
