@@ -189,7 +189,8 @@ struct Conn {
   std::string wbuf;   // unsent output
   bool want_write = false;
   bool awaiting_rank = false;  // one in-flight /api/search per conn
-  bool closing = false;
+  bool closing = false;    // EOF seen: finish buffered work, then close
+  bool peer_gone = false;  // hard send error: nothing can reach the peer
 };
 
 struct Pending {
@@ -296,14 +297,17 @@ void conn_flush(EventThread* t, Conn* c) {
       // hard send error: nothing more can reach this peer
       c->wbuf.clear();
       c->closing = true;
+      c->peer_gone = true;
       return;
     }
   }
   bool need_write = !c->wbuf.empty();
   if (need_write != c->want_write) {
     c->want_write = need_write;
+    // after EOF (closing) there is nothing left to read — keeping EPOLLIN
+    // armed would busy-spin the level-triggered loop on the readable EOF
     epoll_event ev{};
-    ev.events = EPOLLIN | (need_write ? EPOLLOUT : 0);
+    ev.events = (c->closing ? 0 : EPOLLIN) | (need_write ? EPOLLOUT : 0);
     ev.data.u64 = c->id;
     epoll_ctl(t->ep, EPOLL_CTL_MOD, c->fd, &ev);
   }
@@ -360,6 +364,11 @@ bool conn_process(EventThread* t, Conn* c) {
     if (c->awaiting_rank) return true;  // finish current request first
     size_t hdr_end = c->rbuf.find("\r\n\r\n");
     if (hdr_end == std::string::npos) {
+      if (c->closing) {
+        // EOF already seen: no more bytes will ever arrive.  Close once
+        // the write buffer drains (EPOLLOUT path closes it otherwise).
+        return !c->wbuf.empty();
+      }
       return c->rbuf.size() < (1 << 20);  // header flood guard
     }
     // request line
@@ -381,6 +390,15 @@ bool conn_process(EventThread* t, Conn* c) {
         }
       }
     }
+    // reject oversized/overflowing lengths up front: an attacker-supplied
+    // value near SIZE_MAX (or "-1", which strtoul wraps) must not overflow
+    // `total` below and desynchronize request framing
+    if (clen > (15u << 20)) {
+      c->wbuf += make_response("{\"error\": \"payload too large\"}", 413,
+                               "Payload Too Large");
+      conn_flush(t, c);
+      return false;
+    }
     size_t total = hdr_end + 4 + clen;
     if (c->rbuf.size() < total) {
       return total < (16u << 20);  // body size guard
@@ -389,7 +407,11 @@ bool conn_process(EventThread* t, Conn* c) {
     c->rbuf.erase(0, total);
     handle_request(t, c, method, path, body);
     conn_flush(t, c);
-    if (c->closing) return false;
+    // A half-closed peer (closing after EOF) may have pipelined further
+    // requests — keep looping; the no-more-headers branch above (and the
+    // EPOLLOUT drain) decide when to actually close.  A hard send error
+    // is different: nothing can reach that peer, stop immediately.
+    if (c->peer_gone) return false;
   }
 }
 
@@ -451,7 +473,12 @@ void event_loop(EventThread* t) {
       }
       if (evs[i].events & EPOLLOUT) {
         conn_flush(t, c);
-        if (c->closing && c->wbuf.empty()) { conn_close(t, c); continue; }
+        // close once drained — unless a rank (for a pipelined request on
+        // this half-closed conn) is still outstanding
+        if (c->closing && c->wbuf.empty() && !c->awaiting_rank) {
+          conn_close(t, c);
+          continue;
+        }
       }
       if (evs[i].events & EPOLLIN) {
         char buf[16384];
@@ -470,12 +497,20 @@ void event_loop(EventThread* t) {
             break;
           }
         }
+        if (closed) c->closing = true;  // respond/drain, then close
         if (!conn_process(t, c) ||
             (closed && !c->awaiting_rank && c->wbuf.empty())) {
           conn_close(t, c);
           continue;
         }
-        if (closed) c->closing = true;  // respond/drain, then close
+        if (closed) {
+          // EOF stays level-triggered-readable: deregister EPOLLIN so
+          // the loop doesn't spin while ranks/writes are outstanding
+          epoll_event ev{};
+          ev.events = c->want_write ? EPOLLOUT : 0;
+          ev.data.u64 = c->id;
+          epoll_ctl(t->ep, EPOLL_CTL_MOD, c->fd, &ev);
+        }
       }
     }
   }

@@ -253,6 +253,118 @@ class TestStubServer:
             srv.stop()
 
 
+class TestRobustness:
+    """Hostile-input handling: the data plane parses HTTP from untrusted
+    sockets, so malformed framing must never crash the server or
+    desynchronize subsequent requests on other connections."""
+
+    def _health_ok(self, port):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        c.request("GET", "/api/health")
+        ok = c.getresponse().status == 200
+        c.close()
+        return ok
+
+    def _raw(self, port, data, expect_reply=True):
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(data)
+        s.shutdown(socket.SHUT_WR)
+        out = b""
+        try:
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                out += chunk
+        except socket.timeout:
+            pass
+        s.close()
+        return out
+
+    def test_content_length_overflow_rejected(self, stub_server):
+        """SIZE_MAX-ish and negative Content-Length values must get 413
+        (not wrap `total` and misframe the stream)."""
+        for bad in (b"18446744073709551615", b"-1", b"99999999999999999999"):
+            out = self._raw(
+                stub_server.port,
+                b"POST /api/search HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: " + bad + b"\r\n\r\n{}",
+            )
+            assert b"413" in out.split(b"\r\n")[0]
+            assert self._health_ok(stub_server.port)
+
+    def test_oversized_declared_body_rejected(self, stub_server):
+        out = self._raw(
+            stub_server.port,
+            b"POST /api/search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 20000000\r\n\r\n" + b"x" * 1024,
+        )
+        assert b"413" in out.split(b"\r\n")[0]
+        assert self._health_ok(stub_server.port)
+
+    def test_malformed_request_lines(self, stub_server):
+        for req in (
+            b"GARBAGE\r\n\r\n",
+            b"GET\r\n\r\n",
+            b"\r\n\r\n",
+            b"POST /api/search HTTP/1.1\r\nContent-Length: abc\r\n\r\n",
+            b"\x00\x01\x02\xff\xfe garbage \r\n\r\n",
+        ):
+            self._raw(stub_server.port, req)
+            assert self._health_ok(stub_server.port)
+
+    def test_truncated_then_closed(self, stub_server):
+        # header promises a body that never arrives; client goes away
+        s = socket.create_connection(("127.0.0.1", stub_server.port), 5)
+        s.sendall(
+            b"POST /api/search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 100\r\n\r\n{\"query\""
+        )
+        s.close()
+        assert self._health_ok(stub_server.port)
+
+    def test_pipelined_requests_one_write(self, stub_server):
+        payload = json.dumps({"query": "pipe", "top_k": 2}).encode()
+        one = (
+            b"POST /api/search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload) + payload
+        )
+        out = self._raw(stub_server.port, one * 5)
+        assert out.count(b"HTTP/1.1 200") == 5
+
+    def test_nul_and_unicode_in_query(self, stub_server):
+        status, body = post(
+            stub_server.port, "/api/search",
+            {"query": "tübingen \x00 \U0001f600", "top_k": 2},
+        )
+        assert status == 200 and len(body["documents"]) == 2
+
+    def test_random_fuzz_server_survives(self, stub_server):
+        import random as _r
+
+        rng = _r.Random(1234)
+        pieces = [
+            b"POST ", b"GET ", b"/api/search", b"/api/health", b" HTTP/1.1",
+            b"\r\n", b"\n", b"Content-Length: ", b"0", b"5", b"-3",
+            b"99999999999", b'{"query": "x"}', b"\x00\xff\xfe",
+            b"A" * 333, b": ", b"Transfer-Encoding: chunked",
+        ]
+        for _ in range(120):
+            blob = b"".join(
+                rng.choice(pieces) for _ in range(rng.randint(1, 12))
+            )
+            try:
+                self._raw(stub_server.port, blob)
+            except (ConnectionResetError, BrokenPipeError):
+                pass  # server may slam the door; it must not die
+        assert self._health_ok(stub_server.port)
+        # and still serves real traffic correctly afterwards
+        status, body = post(
+            stub_server.port, "/api/search", {"query": "after fuzz"},
+        )
+        assert status == 200 and body["documents"]
+
+
 class TestPythonCallback:
     def test_rank_roundtrip_and_batching(self):
         srv = FastHttpServer(free_port(), n_threads=1, batch_window_us=2000)
