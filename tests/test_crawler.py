@@ -284,6 +284,42 @@ class TestFrontier:
         assert "bad.de" in g.disallowed_domains
         assert len(g.pop_due(10, now=6.0)) == 1
 
+    def test_deep_frontier_few_domains_no_full_drain(self, monkeypatch):
+        """Scalability regression (found during the 100k-page real crawl):
+        with far more due urls than domains, pop_due must stop once every
+        pending domain is represented — the old code drained and
+        re-pushed the ENTIRE heap every round hunting for a domain that
+        does not exist (O(N log N) per ~16-page round; the loopback crawl
+        decayed to ~5 pages/s at a 90k-url frontier)."""
+        import heapq as real_heapq
+
+        from modern_search_engines_project_tpu.crawler import frontier as fm
+
+        f = Frontier()
+        for i in range(10_000):
+            f.add(f"https://d{i % 3}.de/p{i}", now=0.0)
+        pops = {"n": 0}
+        orig = real_heapq.heappop
+
+        def counting_pop(h):
+            pops["n"] += 1
+            return orig(h)
+
+        monkeypatch.setattr(fm.heapq, "heappop", counting_pop)
+        batch = f.pop_due(100, now=1.0)
+        assert len(batch) == 3  # one per domain
+        assert pops["n"] <= 10  # NOT ~10,000
+        # counts stay exact as the frontier drains
+        assert f.domain_pending == {f"d{i}.de": v for i, v in
+                                    enumerate([3333, 3333, 3333])} or (
+            sum(f.domain_pending.values()) == 10_000 - 3
+        )
+        # and repeated rounds still return work for every domain
+        batch2 = f.pop_due(100, now=1.0)
+        assert {u.split("/")[2] for u, _ in batch2} == {
+            "d0.de", "d1.de", "d2.de"
+        }
+
 
 class TestHtmlParser:
     HTML = """
