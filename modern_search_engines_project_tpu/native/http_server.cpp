@@ -49,6 +49,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -244,15 +245,18 @@ struct Server {
   std::deque<Pending> queue;
   std::thread dispatcher;
 
-  // ranking
+  // ranking + doc table — swappable at runtime (index reload): readers
+  // snapshot under cfg_mu, writers replace under cfg_mu.  The fragment
+  // table is a shared_ptr so an in-flight response keeps the generation
+  // it started with while a reload installs the next one.
+  std::mutex cfg_mu;
   rank_cb_t rank_cb = nullptr;
   void* rank_user = nullptr;
   std::vector<int32_t> stub_idx;     // canned top-k (stub mode)
   std::vector<float> stub_scores;
   int default_top_k = 100;
-
-  // doc table: chunk index -> pre-escaped JSON fragment (inner fields)
-  std::vector<std::string> fragments;
+  std::shared_ptr<const std::vector<std::string>> fragments =
+      std::make_shared<const std::vector<std::string>>();
 
   // stats
   std::atomic<uint64_t> served{0};
@@ -529,6 +533,11 @@ void deliver(Server* s, int thread_idx, Response&& r) {
 
 void assemble_and_deliver(Server* s, const Pending& p, const int32_t* idx,
                           const float* scores, int count) {
+  std::shared_ptr<const std::vector<std::string>> frags;
+  {
+    std::lock_guard<std::mutex> lk(s->cfg_mu);
+    frags = s->fragments;
+  }
   std::string docs;
   docs.reserve(256 * (size_t)count + 64);
   std::string qid_esc;
@@ -536,13 +545,13 @@ void assemble_and_deliver(Server* s, const Pending& p, const int32_t* idx,
   char num[64];
   for (int i = 0; i < count; i++) {
     int32_t ci = idx[i];
-    if (ci < 0 || (size_t)ci >= s->fragments.size()) continue;
+    if (ci < 0 || (size_t)ci >= frags->size()) continue;
     if (!docs.empty()) docs.push_back(',');
     docs += "{\"query_id\": \"";
     docs += qid_esc;
     snprintf(num, sizeof num, "\", \"rank\": %d, ", i + 1);
     docs += num;
-    docs += s->fragments[ci];
+    docs += (*frags)[ci];
     float sc = scores[i];
     if (!(sc == sc) || sc > 3.4e38f || sc < -3.4e38f) sc = 0.0f;  // finite
     snprintf(num, sizeof num, ", \"score\": %.6g}", (double)sc);
@@ -599,12 +608,20 @@ void dispatcher_loop(Server* s) {
     out_idx.assign((size_t)n * top_k, -1);
     out_scores.assign((size_t)n * top_k, 0.f);
     out_counts.assign(n, 0);
-    if (s->rank_cb) {
+    // snapshot the rank target per batch: set_rank_callback may swap it
+    // at runtime (index reload) while this loop is live
+    rank_cb_t cb;
+    void* user;
+    {
+      std::lock_guard<std::mutex> lk(s->cfg_mu);
+      cb = s->rank_cb;
+      user = s->rank_user;
+    }
+    if (cb) {
       qptrs.clear();
       for (auto& p : batch) qptrs.push_back(p.query.c_str());
-      int rc = s->rank_cb(qptrs.data(), n, top_k, out_idx.data(),
-                          out_scores.data(), out_counts.data(),
-                          s->rank_user);
+      int rc = cb(qptrs.data(), n, top_k, out_idx.data(),
+                  out_scores.data(), out_counts.data(), user);
       if (rc != 0) {
         for (auto& p : batch) {
           Response r;
@@ -618,6 +635,7 @@ void dispatcher_loop(Server* s) {
       }
     } else {
       // stub mode: canned top-k for every query
+      std::lock_guard<std::mutex> lk(s->cfg_mu);
       int k = (int)s->stub_idx.size();
       for (int i = 0; i < n; i++) {
         int c = std::min(k, batch[i].top_k);
@@ -657,6 +675,7 @@ void* msetpu_http_create(int port, int n_threads, int max_batch,
 
 void msetpu_http_set_rank_callback(void* h, rank_cb_t cb, void* user) {
   Server* s = (Server*)h;
+  std::lock_guard<std::mutex> lk(s->cfg_mu);
   s->rank_cb = cb;
   s->rank_user = user;
 }
@@ -664,16 +683,21 @@ void msetpu_http_set_rank_callback(void* h, rank_cb_t cb, void* user) {
 void msetpu_http_set_stub(void* h, const int32_t* idx, const float* scores,
                           int k) {
   Server* s = (Server*)h;
+  std::lock_guard<std::mutex> lk(s->cfg_mu);
   s->stub_idx.assign(idx, idx + k);
   s->stub_scores.assign(scores, scores + k);
   s->rank_cb = nullptr;
 }
 
 // fragments: n NUL-terminated pre-escaped inner-JSON strings, indexed by
-// global chunk id.
+// global chunk id.  Swappable while serving (index reload): in-flight
+// responses keep the shared_ptr generation they snapshotted.
 void msetpu_http_load_fragments(void* h, const char** frags, int n) {
   Server* s = (Server*)h;
-  s->fragments.assign(frags, frags + n);
+  auto next =
+      std::make_shared<const std::vector<std::string>>(frags, frags + n);
+  std::lock_guard<std::mutex> lk(s->cfg_mu);
+  s->fragments = std::move(next);
 }
 
 int msetpu_http_start(void* h) {

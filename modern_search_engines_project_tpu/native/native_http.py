@@ -178,8 +178,14 @@ class FastHttpServer:
                 traceback.print_exc()
                 return 1
 
-        self._cb_ref = RANK_CB(cb)
-        self._lib.msetpu_http_set_rank_callback(self._h, self._cb_ref, None)
+        # keep EVERY installed trampoline alive: set_rank_fn may be called
+        # again at runtime (index reload) while a dispatcher batch is still
+        # executing the previous callback — freeing it mid-call would be
+        # use-after-free.  One closure per reload is a negligible leak.
+        ref = RANK_CB(cb)
+        self._cb_refs = getattr(self, "_cb_refs", [])
+        self._cb_refs.append(ref)
+        self._lib.msetpu_http_set_rank_callback(self._h, ref, None)
 
     def start(self) -> None:
         rc = self._lib.msetpu_http_start(self._h)

@@ -257,11 +257,17 @@ def main():
     fast = None
     if args.fastpath_port:
         from modern_search_engines_project_tpu.serving.fastpath import (
+            attach_engine,
             serve_fastpath,
         )
 
         fast = serve_fastpath(
             engine, args.fastpath_port, n_threads=args.fastpath_threads
+        )
+        # /api/reload swaps the control-plane engine; the data plane must
+        # follow (fragments + rank callback) or it serves the stale index
+        service.reload_listeners.append(
+            lambda eng, _f=fast: attach_engine(_f, eng)
         )
     try:
         service.run(host=args.host, port=args.port)

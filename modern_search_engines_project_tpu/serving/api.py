@@ -109,6 +109,9 @@ class SearchService:
         # bumped by /api/reload: a cache-miss search that raced a reload
         # must not insert results from the old engine into the new cache
         self._generation = 0
+        # called with the new engine after every successful /api/reload —
+        # sibling serving planes (native fast path) re-attach through this
+        self.reload_listeners: list = []
         # one worker: device calls serialize, host work stays async
         self._pool = ThreadPoolExecutor(max_workers=1)
         # pre-escaped JSON fragments for the static per-result fields
@@ -409,6 +412,13 @@ class SearchService:
             )
         self.engine = new_engine
         self.batcher.engine = new_engine
+        # sibling planes (e.g. the native fast path) re-attach to the new
+        # engine; a failing listener must not fail the reload itself
+        for cb in self.reload_listeners:
+            try:
+                cb(new_engine)
+            except Exception:
+                log.exception("reload listener failed")
         # window indices / snippets / rankings may differ in the new index.
         # Bump the generation FIRST: any in-flight cache-miss search holds
         # the old generation and will decline to insert old-engine results

@@ -456,3 +456,115 @@ class TestEngineFastpath:
                     ) or r.window_text == ""
         finally:
             srv.stop()
+
+    @staticmethod
+    def _engine(n_docs, seed):
+        docs = make_corpus(n_docs=n_docs, seed=seed, min_len=40, max_len=120)
+        cfg = Config(
+            embedding_dim=32, window_size=32, step_size=25,
+            top_k_retrieval=20, top_k_reranking=10, max_query_terms=8,
+        )
+        enc = HashingEncoder(dim=32)
+        return SearchEngine(IndexBuilder(enc, cfg).build(docs), enc, cfg)
+
+    def test_reattach_under_load_swaps_index(self):
+        """attach_engine on a RUNNING server (what /api/reload triggers via
+        reload_listeners) must swap fragments + rank callback safely while
+        concurrent requests are in flight, and answers must come from the
+        new index afterwards."""
+        from modern_search_engines_project_tpu.serving.fastpath import (
+            attach_engine,
+            make_server,
+        )
+
+        e1 = self._engine(40, seed=5)
+        e2 = self._engine(70, seed=11)
+        srv = make_server(free_port(), default_top_k=10)
+        attach_engine(srv, e1)
+        srv.start()
+        stop = threading.Event()
+        errs = []
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    status, body = post(
+                        srv.port, "/api/search", {"query": "research law"}
+                    )
+                    assert status == 200 and body["documents"]
+                except Exception as exc:  # pragma: no cover
+                    errs.append(exc)
+                    return
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        try:
+            import time as _t
+
+            _t.sleep(0.1)
+            attach_engine(srv, e2)  # the reload listener's exact call
+            _t.sleep(0.1)
+            stop.set()
+            t.join(timeout=10)
+            assert not errs
+            _, body = post(
+                srv.port, "/api/search", {"query": "research law", "top_k": 5}
+            )
+            want = e2.search_batch(["research law"], top_k=5)[0]
+            assert [d["url"] for d in body["documents"]] == [
+                r.url for r in want
+            ]
+        finally:
+            stop.set()
+            srv.stop()
+
+    def test_reload_listener_keeps_planes_consistent(self):
+        """SearchService.reload_listeners: after POST /api/reload the
+        native plane must serve the NEW engine's rankings (the serving CLI
+        registers exactly this listener)."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from modern_search_engines_project_tpu.serving.api import (
+            SearchService,
+        )
+        from modern_search_engines_project_tpu.serving.fastpath import (
+            attach_engine,
+            make_server,
+        )
+
+        engines = iter([self._engine(40, seed=5), self._engine(70, seed=11)])
+        factory = lambda: next(engines)  # noqa: E731
+        svc = SearchService(factory(), engine_factory=factory)
+        srv = make_server(free_port(), default_top_k=10)
+        attach_engine(srv, svc.engine)
+        svc.reload_listeners.append(
+            lambda eng, _f=srv: attach_engine(_f, eng)
+        )
+        srv.start()
+        try:
+
+            async def body(client):
+                r = await client.post("/api/reload")
+                assert r.status == 200
+
+            async def runner():
+                client = TestClient(TestServer(svc.build_app()))
+                await client.start_server()
+                try:
+                    await body(client)
+                finally:
+                    await client.close()
+
+            asyncio.run(runner())
+            assert svc.engine.art.n_docs == 70
+            _, resp = post(
+                srv.port, "/api/search", {"query": "research law", "top_k": 5}
+            )
+            want = svc.engine.search_batch(["research law"], top_k=5)[0]
+            assert [d["url"] for d in resp["documents"]] == [
+                r.url for r in want
+            ]
+        finally:
+            srv.stop()
