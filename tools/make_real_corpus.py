@@ -337,9 +337,15 @@ def build_site(
         if n > 1:
             bs = max(1, math.isqrt(n - 1) + 1)
             i = members.index(mod)
+            # cap the sidebar at realistic density (~40 links): 20 block
+            # leaders + 20 own-block neighbors.  Reachability no longer
+            # depends on the sidebar — the paginated /archive keeps every
+            # public page at depth 2 — and uncapped sqrt-blocks made 28k-
+            # member groups emit ~335 links/page (2.4 GB of nav HTML that
+            # throttled the crawl to ~4 pages/s on parse time alone).
             targets = dict.fromkeys(
-                members[0::bs]  # block leaders
-                + members[(i // bs) * bs : (i // bs + 1) * bs]  # own block
+                members[0::bs][:20]  # block leaders
+                + members[(i // bs) * bs : (i // bs) * bs + 20]  # own block
             )
             targets.pop(mod, None)
             for m in targets:
