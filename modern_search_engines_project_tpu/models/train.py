@@ -47,7 +47,12 @@ class TrainConfig:
     #   reference does.  "infonce": symmetric in-batch contrastive — the
     #   from-scratch recipe (no pretrained backbone exists air-gapped);
     #   every other batch row is a negative, so the retrieval signal per
-    #   step is ~B x stronger than pairwise MSE.
+    #   step is ~B x stronger than pairwise MSE.  "infonce_hn": infonce
+    #   plus one MINED hard negative per row (DPR-style third tower) —
+    #   the denominator sees B-1 in-batch + B mined negatives; used for
+    #   stage-B training after mining with the stage-A encoder (the
+    #   air-gapped analog of the reference's static-model FAISS mining,
+    #   train.py:48-60).
     loss: str = "cosine"
     temperature: float = 0.05
 
@@ -79,6 +84,16 @@ def infonce_loss(
     diag = jnp.diagonal(logits)
     l_qp = jnp.where(dup_p, -1e9, logits)
     l_pq = jnp.where(dup_q, -1e9, logits.T)
+    if "ids3" in batch:
+        # DPR-style mined hard negatives: a third tower of one mined
+        # negative per row extends the q->p denominator to [B, 2B].
+        # A mined negative whose TEXT equals query i's own positive is a
+        # false negative for row i — masked via the nid/pid hashes.
+        e3 = model.apply({"params": params}, batch["ids3"], batch["mask3"])
+        l_neg = (e1 @ e3.T) / temperature  # [B, B]
+        false_neg = batch["pid"][:, None] == batch["nid"][None, :]
+        l_neg = jnp.where(false_neg, -1e9, l_neg)
+        l_qp = jnp.concatenate([l_qp, l_neg], axis=1)  # [B, 2B]
     loss_qp = jnp.mean(jax.nn.logsumexp(l_qp, axis=1) - diag)
     loss_pq = jnp.mean(jax.nn.logsumexp(l_pq, axis=1) - diag)
     return 0.5 * (loss_qp + loss_pq)
@@ -129,6 +144,35 @@ def mine_hard_negatives(
     return triples
 
 
+def mine_hn_triples(
+    encoder,
+    pairs: Sequence[Tuple[str, str]],
+    pool: Optional[Sequence[str]] = None,
+    per_pair: int = 1,
+) -> List[Tuple[str, str, str]]:
+    """(query, positive, mined-negative) triples for ``loss="infonce_hn"``.
+
+    Mines with ``encoder`` (typically the stage-A in-batch-trained tower —
+    the air-gapped analog of the reference's static mining model,
+    train.py:48-60) and emits ``per_pair`` rows per pair, one mined
+    negative each (rank 1..per_pair below the positive)."""
+    queries = [q for q, _ in pairs]
+    positives = [p for _, p in pairs]
+    if pool is None:
+        pool = list(dict.fromkeys(positives))
+    flat = mine_hard_negatives(
+        encoder, queries, positives, pool, k=per_pair
+    )
+    out: List[Tuple[str, str, str]] = []
+    cur_q = cur_p = None
+    for q, text, label in flat:
+        if label == 1.0:
+            cur_q, cur_p = q, text
+        else:
+            out.append((cur_q, cur_p, text))
+    return out
+
+
 class Trainer:
     def __init__(
         self,
@@ -152,12 +196,17 @@ class Trainer:
 
     # -- setup ---------------------------------------------------------------
 
-    def init(self, total_steps: int = 1000):
+    def init(self, total_steps: int = 1000, params=None):
+        """Create params + optimizer.  Pass ``params`` to warm-start from a
+        previously trained tower (stage-B mined-negative training)."""
         cfg = self.cfg
         L = cfg.max_len
         ids = jnp.zeros((1, L), jnp.int32)
         mask = jnp.ones((1, L), jnp.int32)
-        params = self.model.init(jax.random.key(cfg.seed), ids, mask)["params"]
+        if params is None:
+            params = self.model.init(
+                jax.random.key(cfg.seed), ids, mask
+            )["params"]
         warmup = max(1, int(total_steps * cfg.warmup_ratio))
         sched = optax.join_schedules(
             [
@@ -202,7 +251,7 @@ class Trainer:
 
     def _build_step(self):
         model, tx = self.model, self.tx
-        use_infonce = self.cfg.loss == "infonce"
+        use_infonce = self.cfg.loss in ("infonce", "infonce_hn")
         temp = self.cfg.temperature
 
         def step(params, opt_state, batch):
@@ -219,12 +268,10 @@ class Trainer:
             return jax.jit(step, donate_argnums=(0, 1))
         pshard = self.param_shardings(self.params)
         dshard = NamedSharding(self.mesh, P(self.dp_axis))
-        batch_shardings = {
-            k: dshard
-            for k in (
-                "ids1", "mask1", "ids2", "mask2", "label", "qid", "pid",
-            )
-        }
+        keys = ["ids1", "mask1", "ids2", "mask2", "label", "qid", "pid"]
+        if self.cfg.loss == "infonce_hn":
+            keys += ["ids3", "mask3", "nid"]
+        batch_shardings = {k: dshard for k in keys}
         # opt_state sharding is inherited from the (sharded) params it was
         # initialized from; jit keeps it via in_shardings=None passthrough
         return jax.jit(
@@ -241,19 +288,42 @@ class Trainer:
     def encode_pairs(
         self, triples: Sequence[Tuple[str, str, float]]
     ) -> dict:
+        """Tokenize (query, passage, label) triples into a train batch.
+
+        When the third element is a STRING it is a mined hard-negative
+        passage (loss="infonce_hn"): a third tower ids3/mask3 plus its
+        text-identity hash ``nid`` are emitted and ``label`` is fixed 1.0.
+        """
         L = self.cfg.max_len
         import zlib
 
+        hn = bool(triples) and isinstance(triples[0][2], str)
         t1 = [self.tokenizer.encode(a) for a, _, _ in triples]
         t2 = [self.tokenizer.encode(b) for _, b, _ in triples]
         ids1, mask1 = self.tokenizer.pad_batch(t1, L)
         ids2, mask2 = self.tokenizer.pad_batch(t2, L)
+        extra: dict = {}
+        if hn:
+            t3 = [self.tokenizer.encode(c) for _, _, c in triples]
+            ids3, mask3 = self.tokenizer.pad_batch(t3, L)
+            extra = {
+                "ids3": np.asarray(ids3, np.int32),
+                "mask3": np.asarray(mask3, np.int32),
+                "nid": np.asarray(
+                    [zlib.crc32(c.encode()) for _, _, c in triples],
+                    np.uint32,
+                ),
+            }
         return {
+            **extra,
             "ids1": np.asarray(ids1, np.int32),
             "mask1": np.asarray(mask1, np.int32),
             "ids2": np.asarray(ids2, np.int32),
             "mask2": np.asarray(mask2, np.int32),
-            "label": np.asarray([l for _, _, l in triples], np.float32),
+            "label": np.asarray(
+                [1.0] * len(triples) if hn else [l for _, _, l in triples],
+                np.float32,
+            ),
             # text-identity hashes: infonce masks in-batch false negatives
             "qid": np.asarray(
                 [zlib.crc32(a.encode()) for a, _, _ in triples], np.uint32
@@ -291,7 +361,8 @@ class Trainer:
         # per-step host tokenization otherwise serializes with the device
         # step and starves the chip at real-corpus scale
         pre = None
-        if n * self.cfg.max_len * 16 < 6e9:
+        bytes_per_tok = 24 if self.cfg.loss == "infonce_hn" else 16
+        if n * self.cfg.max_len * bytes_per_tok < 6e9:
             import sys as _sys
             import time as _time
 

@@ -357,3 +357,91 @@ class TestInfoNCE:
         )(tr.params)
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+    def test_hard_negative_tower(self):
+        """loss="infonce_hn": the two-stage DPR-style recipe — stage-A
+        in-batch training, mine with the stage-A tower, continue with a
+        third tower of mined negatives — must run end-to-end, keep the
+        loss finite under false-negative collisions, and sharpen the
+        retrieval accuracy of the stage-A model."""
+        import dataclasses
+
+        import numpy as np
+
+        from modern_search_engines_project_tpu.models.encoder import (
+            EncoderConfig,
+        )
+        from modern_search_engines_project_tpu.models.train import (
+            TrainConfig,
+            Trainer,
+            mine_hn_triples,
+        )
+
+        pairs = [
+            (f"query topic{t} variant{v}", f"passage about topic{t} item{v}")
+            for t in range(20)
+            for v in range(5)
+        ]
+        cfg = EncoderConfig(dim=32, n_layers=2, n_heads=2, max_len=24,
+                            vocab_size=2003)
+        tcfg = TrainConfig(loss="infonce", learning_rate=2e-3,
+                           batch_size=25, epochs=4, max_len=24)
+        tr = Trainer(cfg, tcfg)
+        tr.train([(q, p, 1.0) for q, p in pairs])
+
+        hn = mine_hn_triples(tr.to_encoder(batch_size=32), pairs)
+        assert len(hn) == len(pairs)
+        # a mined negative is a REAL pool passage and never the positive
+        passages = {p for _, p in pairs}
+        assert all(n in passages and n != p for _, p, n in hn)
+
+        tcfg_b = dataclasses.replace(tcfg, loss="infonce_hn", epochs=4,
+                                     learning_rate=6e-4)
+        tr_b = Trainer(cfg, tcfg_b)
+        tr_b.init(total_steps=16, params=tr.params)
+        losses = tr_b.train(hn)
+        assert all(np.isfinite(losses))
+        enc = tr_b.to_encoder(batch_size=32)
+        q = np.asarray(enc.encode_batch([p[0] for p in pairs]))
+        p = np.asarray(enc.encode_batch([p[1] for p in pairs]))
+        acc = float(np.mean((q @ p.T).argmax(1) == np.arange(len(pairs))))
+        assert acc > 0.6
+
+    def test_hn_false_negative_masked(self):
+        """A mined negative whose text EQUALS a row's positive must be
+        masked out of that row's denominator (nid/pid hash), keeping loss
+        and gradients finite and bounded."""
+        import jax
+        import numpy as np
+
+        from modern_search_engines_project_tpu.models.encoder import (
+            EncoderConfig,
+        )
+        from modern_search_engines_project_tpu.models.train import (
+            TrainConfig,
+            Trainer,
+            infonce_loss,
+        )
+
+        cfg = EncoderConfig(dim=16, n_layers=1, n_heads=2, max_len=16,
+                            vocab_size=1009)
+        tr = Trainer(cfg, TrainConfig(loss="infonce_hn", max_len=16))
+        tr.init(total_steps=4)
+        # row 0's mined negative IS row 1's positive text (legit), and
+        # row 2's mined negative IS row 2's own positive (collision that
+        # mining should never emit, but the loss must tolerate)
+        triples = [
+            ("alpha one", "body aaa", "body bbb"),
+            ("beta two", "body bbb", "body ccc"),
+            ("gamma three", "body ccc", "body ccc"),
+            ("delta four", "body ddd", "body aaa"),
+        ]
+        batch = tr.encode_pairs(triples)
+        assert "ids3" in batch and batch["nid"].shape == (4,)
+        loss = infonce_loss(tr.model, tr.params, batch, 0.05)
+        assert np.isfinite(float(loss))
+        g = jax.grad(
+            lambda p: infonce_loss(tr.model, p, batch, 0.05)
+        )(tr.params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)

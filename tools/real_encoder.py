@@ -109,12 +109,18 @@ def main():
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--holdout-every", type=int, default=10)
-    ap.add_argument("--loss", choices=["cosine", "infonce"],
+    ap.add_argument("--loss", choices=["cosine", "infonce", "infonce_hn"],
                     default="infonce",
                     help="cosine = reference CosineSimilarityLoss parity "
                          "(for FINE-TUNING a pretrained backbone); "
                          "infonce = from-scratch contrastive recipe "
-                         "(no pretrained backbone exists air-gapped)")
+                         "(no pretrained backbone exists air-gapped); "
+                         "infonce_hn = two-stage: in-batch infonce, then "
+                         "mine hard negatives with the stage-A tower and "
+                         "continue with a DPR-style third tower")
+    ap.add_argument("--stage-a-epochs", type=int, default=None,
+                    help="infonce_hn: epochs before mining "
+                         "(default: half of --epochs)")
     ap.add_argument("--lr", type=float, default=None,
                     help="default: 2e-5 for cosine (reference), 1e-3 for "
                          "from-scratch infonce")
@@ -156,10 +162,11 @@ def main():
         n_heads=max(1, args.dim // 64),
         max_len=512,
     )
-    if args.loss == "infonce":
-        # contrastive recipe: every other batch row is a negative —
-        # mined negatives are unnecessary (and the untrained-encoder
-        # mining signal is noise when training from scratch)
+    if args.loss in ("infonce", "infonce_hn"):
+        # contrastive recipe: every other batch row is a negative.
+        # infonce_hn additionally mines hard negatives AFTER stage A
+        # (mining with the untrained tower is noise when training from
+        # scratch; mining with the stage-A tower is the DPR recipe).
         triples = [(q, p, 1.0) for q, p in train_pairs]
         record["mining"] = {"triples": len(triples), "skipped": True}
     else:
@@ -181,20 +188,51 @@ def main():
         }
         print(f"mined {record['mining']}", file=sys.stderr)
 
-    lr = args.lr or (1e-3 if args.loss == "infonce" else 2e-5)
+    lr = args.lr or (2e-5 if args.loss == "cosine" else 1e-3)
+    two_stage = args.loss == "infonce_hn"
+    stage_a = (
+        args.stage_a_epochs or max(1, args.epochs // 2)
+        if two_stage else args.epochs
+    )
     tcfg = TrainConfig(
         learning_rate=lr,
         batch_size=args.batch_size,
-        epochs=args.epochs,
+        epochs=stage_a,
         num_negatives=args.negatives,
         max_len=args.max_len,
-        loss=args.loss,
+        loss="infonce" if two_stage else args.loss,
         temperature=args.temperature,
     )
     record["recipe"] = {"loss": args.loss, "lr": lr, "epochs": args.epochs}
     trainer = Trainer(enc_cfg, tcfg)
     t0 = time.time()
     losses = trainer.train(triples)
+    if two_stage:
+        import dataclasses
+
+        from modern_search_engines_project_tpu.models.train import (
+            mine_hn_triples,
+        )
+
+        stage_b = max(1, args.epochs - stage_a)
+        t_mine = time.time()
+        miner = trainer.to_encoder(batch_size=256)
+        hn_triples = mine_hn_triples(miner, train_pairs, per_pair=1)
+        record["mining"] = {
+            "triples": len(hn_triples),
+            "stage_a_epochs": stage_a,
+            "seconds": round(time.time() - t_mine, 1),
+        }
+        print(f"mined {record['mining']}", file=sys.stderr, flush=True)
+        tcfg_b = dataclasses.replace(
+            tcfg, loss="infonce_hn", epochs=stage_b,
+            learning_rate=lr * 0.3,  # fine-tune phase: warm params
+        )
+        trainer_b = Trainer(enc_cfg, tcfg_b)
+        steps_b = max(1, len(hn_triples) // args.batch_size) * stage_b
+        trainer_b.init(total_steps=steps_b, params=trainer.params)
+        losses += trainer_b.train(hn_triples)
+        trainer = trainer_b
     wall = time.time() - t0
     record["train"] = {
         "steps": len(losses),
