@@ -108,9 +108,13 @@ def make_synthetic_index(
     # einsum — np.linalg.norm is ~50x slower at this shape on this host.
     n_base = min(n_chunks, 65536)
     base = rng.standard_normal((n_base, dim), dtype=np.float32)
-    bank = base[rng.integers(0, n_base, size=n_chunks)]
+    base /= np.sqrt(np.einsum("ij,ij->i", base, base))[:, None]
+    # gather as f16: fresh-page writes run ~130 MB/s on this single-core
+    # host, so the multi-GB bank copy dominates index gen — halving the
+    # bytes halves it (device converts to the bank dtype anyway; the f16
+    # round of a unit-normalized Gaussian is score-equivalent here)
+    bank = base.astype(np.float16)[rng.integers(0, n_base, size=n_chunks)]
     del base
-    bank /= np.sqrt(np.einsum("ij,ij->i", bank, bank))[:, None]
 
     class _Art:
         pass

@@ -249,8 +249,9 @@ class DeviceIndex:
     slot_terms: Optional[tuple]  # per class: int32 [n_g, S, SLOT_COLS]
     slot_impact: Optional[tuple]  # per class: float32 [n_g, S, SLOT_COLS]
     col_unperm: Optional[jnp.ndarray]  # int32 [n_docs_pad]
-    # dense (packed layout: contiguous per-doc segments)
-    chunk_emb: jnp.ndarray  # bank_dtype [n_chunks_pad, dim]
+    # dense (packed layout: contiguous per-doc segments); chunk_emb is
+    # None when built with build_packed_bank=False (bucketed path serves)
+    chunk_emb: Optional[jnp.ndarray]  # bank_dtype [n_chunks_pad, dim]
     chunk_doc: jnp.ndarray  # int32 [n_chunks_pad] (pad -> n_docs_pad sentinel)
     doc_chunk_start: jnp.ndarray  # int32 [n_docs_pad + 1]
     doc_n_chunks: jnp.ndarray  # int32 [n_docs_pad + 1]
@@ -284,6 +285,7 @@ class DeviceIndex:
         packed_device: bool = True,
         bm25_layout: str = "slots",
         build_unused_layout: bool = True,
+        build_packed_bank: Optional[bool] = None,
     ) -> "DeviceIndex":
         """``packed_device=False`` keeps the packed chunk bank and the CSR
         posting copies as HOST numpy arrays: when the bucketed Pallas path
@@ -297,7 +299,14 @@ class DeviceIndex:
         non-resident layout entirely (its fields are None) — the layouts
         are host-construction-heavy (sorting + scattering every posting)
         and the serving engine only ever drives the configured one; at 1M+
-        docs on the single-core dev host this halves index-load time."""
+        docs on the single-core dev host this halves index-load time.
+
+        ``build_packed_bank=False`` skips the packed duplicate of the full
+        chunk bank (``chunk_emb`` stays None) — it only feeds the
+        non-bucketed fallback paths, and materializing a second multi-GB
+        bank costs ~35 s/GB of fresh-page writes on the single-core dev
+        host.  Default: build it unless the bucketed slots layout will
+        serve with the packed arrays host-side anyway."""
         cfg = config or art.config
         n_docs = art.n_docs
         n_docs_pad = max(_round_up(n_docs, 128), 128)
@@ -386,8 +395,15 @@ class DeviceIndex:
             inv[doc_perm[real]] = np.nonzero(real)[0].astype(np.int32)
 
         # --- packed arrays (ORIGINAL doc order; scatter/dense_rank paths) ---
-        chunk_emb = np.zeros((n_chunks_pad, art.chunk_emb.shape[1]), np.float32)
-        chunk_emb[:n_chunks] = art.chunk_emb
+        if build_packed_bank is None:
+            build_packed_bank = packed_device or not buckets
+        if build_packed_bank:
+            chunk_emb = np.zeros(
+                (n_chunks_pad, art.chunk_emb.shape[1]), np.float32
+            )
+            chunk_emb[:n_chunks] = art.chunk_emb
+        else:
+            chunk_emb = None
         chunk_doc = np.full(n_chunks_pad, n_docs_pad, np.int32)
         chunk_doc[:n_chunks] = art.chunk_doc
 
@@ -452,12 +468,16 @@ class DeviceIndex:
             slot_impact=slot_impact,
             col_unperm=col_unperm,
             chunk_emb=(
-                jnp.asarray(
+                None
+                if chunk_emb is None
+                else jnp.asarray(
                     chunk_emb,
                     jnp.float32 if bank_dtype == "int8" else bank_dtype,
                 )
                 if packed_device
-                else chunk_emb.astype(np.float32)
+                # already float32 by construction: asarray is a no-copy
+                # view (astype here copied the full multi-GB bank)
+                else np.asarray(chunk_emb, np.float32)
             ),
             chunk_doc=dev(chunk_doc),
             doc_chunk_start=jnp.asarray(doc_chunk_start),
