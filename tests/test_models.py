@@ -111,6 +111,26 @@ class TestShardedTraining:
         assert len(losses) == 2
         assert all(np.isfinite(l) for l in losses)
 
+    def test_dp_tp_train_step_hard_negatives(self, eight_devices):
+        """infonce_hn on a dp x tp mesh: the third-tower batch keys
+        (ids3/mask3/nid) must carry dp shardings like the others."""
+        import numpy as np_
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(eight_devices).reshape(4, 2), ("dp", "tp"))
+        cfg = TrainConfig(batch_size=8, epochs=2, max_len=16, seed=1,
+                          loss="infonce_hn", learning_rate=1e-3)
+        tr = Trainer(TINY, cfg, mesh=mesh).init(total_steps=4)
+        triples = [
+            ("castle tour", "the castle overlooks the town", "pizza dough"),
+            ("river punting", "boats race on the neckar", "tax law"),
+            ("old town walk", "narrow lanes and gables", "matrix algebra"),
+            ("market day", "stalls sell fruit and cheese", "train timetable"),
+        ] * 2
+        losses = tr.train(triples)
+        assert len(losses) == 2
+        assert all(np.isfinite(l) for l in losses)
+
     def test_sharded_matches_single(self, eight_devices):
         import numpy as np_
         from jax.sharding import Mesh
