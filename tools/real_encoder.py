@@ -121,6 +121,11 @@ def main():
     ap.add_argument("--stage-a-epochs", type=int, default=None,
                     help="infonce_hn: epochs before mining "
                          "(default: half of --epochs)")
+    ap.add_argument("--stage-b-batch-size", type=int, default=None,
+                    help="infonce_hn stage B trains THREE towers per row "
+                         "(~1.5x the activation HBM of stage A) — batch "
+                         "256 OOMs a 16 GB v5e at 12L/768d/len128; "
+                         "default: 5/8 of --batch-size rounded to 32")
     ap.add_argument("--lr", type=float, default=None,
                     help="default: 2e-5 for cosine (reference), 1e-3 for "
                          "from-scratch infonce")
@@ -215,6 +220,9 @@ def main():
         )
 
         stage_b = max(1, args.epochs - stage_a)
+        # insurance: a stage-B failure (e.g. OOM) must not lose stage A
+        save_encoder(trainer.params, enc_cfg, args.out + "-stageA",
+                     dtype="float16")
         t_mine = time.time()
         miner = trainer.to_encoder(batch_size=256)
         hn_triples = mine_hn_triples(miner, train_pairs, per_pair=1)
@@ -224,12 +232,15 @@ def main():
             "seconds": round(time.time() - t_mine, 1),
         }
         print(f"mined {record['mining']}", file=sys.stderr, flush=True)
+        bs_b = args.stage_b_batch_size or max(
+            32, args.batch_size * 5 // 8 // 32 * 32
+        )
         tcfg_b = dataclasses.replace(
-            tcfg, loss="infonce_hn", epochs=stage_b,
+            tcfg, loss="infonce_hn", epochs=stage_b, batch_size=bs_b,
             learning_rate=lr * 0.3,  # fine-tune phase: warm params
         )
         trainer_b = Trainer(enc_cfg, tcfg_b)
-        steps_b = max(1, len(hn_triples) // args.batch_size) * stage_b
+        steps_b = max(1, len(hn_triples) // bs_b) * stage_b
         trainer_b.init(total_steps=steps_b, params=trainer.params)
         losses += trainer_b.train(hn_triples)
         trainer = trainer_b

@@ -432,6 +432,19 @@ def write_report(record, path):
     Path(path).write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
+def _parse_rankings(path: str) -> dict:
+    """batch results file ('num\\trank\\turl\\tscore') -> {num: [url,...]}
+    in rank order."""
+    out: dict = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 4:
+                continue
+            out.setdefault(parts[0], []).append(parts[2])
+    return out
+
+
 def _short(url: str) -> str:
     return url.split("/", 3)[-1].replace(".html", "") if url else "-"
 
@@ -508,6 +521,13 @@ def main():
             json.dump(
                 {k: record[k] for k in ("site", "crawl", "merge")}, f
             )
+    # a --reuse-store + --encoder rerun overwrites the baseline run's
+    # results file: snapshot it first so we can report how much the
+    # trained encoder moves the rankings on the same real corpus
+    prev_rankings = None
+    _rp = os.path.join(args.workdir, "batch_search_results.txt")
+    if args.encoder and os.path.exists(_rp):
+        prev_rankings = _parse_rankings(_rp)
     print("[4/6] building index ...", file=sys.stderr)
     art, enc, cfg = phase_build(args, record, merged)
     print(f"      {record['build']}", file=sys.stderr)
@@ -517,6 +537,27 @@ def main():
         args, record, art, enc, cfg, queries
     )
     print(f"      {record['serve']}", file=sys.stderr)
+    if prev_rankings:
+        new_rankings = _parse_rankings(rpath)
+        ov = {
+            k: round(
+                sum(
+                    len(set(prev_rankings[q][:k]) & set(new_rankings[q][:k]))
+                    / k
+                    for q in new_rankings
+                    if q in prev_rankings
+                )
+                / max(1, len(new_rankings)),
+                4,
+            )
+            for k in (10, 100)
+        }
+        record["encoder_vs_baseline"] = {
+            "overlap@10": ov[10], "overlap@100": ov[100],
+            "baseline": "previous run in this workdir (hashing encoder)",
+        }
+        print(f"      trained-vs-baseline ranking overlap: {ov}",
+              file=sys.stderr)
     print("[6/6] oracle comparison ...", file=sys.stderr)
     phase_oracle(args, record, engine, art, queries)
     ev = {k: v for k, v in record["eval"].items() if k != "per_query"}
