@@ -117,18 +117,22 @@ def mine_hard_negatives(
     triples: List[Tuple[str, str, float]] = []
     # chunked scoring: the full [n_queries, n_pool] similarity matrix is
     # ~100 GB at the 160k-pair real-corpus scale — score a query chunk per
-    # device matmul and keep only a small top slice per row
+    # device matmul, take the top slice ON DEVICE (lax.top_k), and only
+    # move [chunk, top] back (the host-numpy version of this loop cost
+    # 26 min at 118k x 52k on the 1-core dev box; the device does it in
+    # seconds and transfers ~100x less)
     chunk = 4096
-    top = k + 8  # headroom to skip the positive (and dup texts)
+    top = min(k + 8, len(pool))  # headroom to skip the positive (+ dups)
+
+    @jax.jit
+    def _top_slice(qc, pT):
+        return jax.lax.top_k(qc @ pT, top)
+
+    p_dev = jnp.asarray(p).T
     for c0 in range(0, len(queries), chunk):
         c1 = min(c0 + chunk, len(queries))
-        sims = q[c0:c1] @ p.T  # the TPU-native FAISS
-        idx = np.argpartition(-sims, min(top, sims.shape[1] - 1), axis=1)[
-            :, :top
-        ]
-        row_scores = np.take_along_axis(sims, idx, axis=1)
-        order = np.argsort(-row_scores, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1)
+        _, idx = _top_slice(jnp.asarray(q[c0:c1]), p_dev)
+        idx = np.asarray(idx)
         for r in range(c1 - c0):
             i = c0 + r
             query, pos = queries[i], positives[i]
