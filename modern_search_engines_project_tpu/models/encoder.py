@@ -163,7 +163,12 @@ class JaxEncoder:
             ids = jnp.zeros((1, self.max_len), jnp.int32)
             mask = jnp.ones((1, self.max_len), jnp.int32)
             params = self.model.init(jax.random.key(seed), ids, mask)["params"]
-        self.params = params
+        # pin the tree on device ONCE: checkpoint loads hand numpy leaves,
+        # and jit does NOT cache host->device transfers of numpy args — a
+        # 152M-param tree passed as numpy re-uploads ~600 MB per dispatch
+        # (measured: a 34k-chunk index build crawled at ~13 batches/min
+        # and grew 60+ GB of tunnel transfer buffers before the fix)
+        self.params = jax.device_put(params)
         self._fwd = jax.jit(
             lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
         )
