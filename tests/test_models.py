@@ -185,6 +185,29 @@ class TestDataAndCheckpoint:
         b = enc2.encode("castle on the hill")
         assert np.allclose(a, b, atol=1e-6)
 
+    def test_params_pinned_on_device(self, tmp_path):
+        """Checkpoint loads hand numpy param leaves; JaxEncoder must pin
+        them on device ONCE — jit does not cache host->device transfers
+        of numpy args, so numpy leaves re-upload the full 152M-param tree
+        every encode dispatch (measured: ~600 MB/dispatch over the TPU
+        tunnel, 60+ GB of accumulated transfer buffers in a real index
+        build before the fix)."""
+        import jax
+
+        from modern_search_engines_project_tpu.models.checkpoint import (
+            load_encoder,
+            save_encoder,
+        )
+
+        enc = JaxEncoder(TINY, batch_size=2, max_len=16)
+        save_encoder(enc.params, TINY, str(tmp_path / "ckpt"))
+        enc2 = JaxEncoder.from_checkpoint(
+            str(tmp_path / "ckpt"), batch_size=2, max_len=16
+        )
+        for e in (enc, enc2):
+            for leaf in jax.tree_util.tree_leaves(e.params):
+                assert isinstance(leaf, jax.Array), type(leaf)
+
     def test_train_cli_synthetic(self, tmp_path):
         from modern_search_engines_project_tpu.models.train_cli import main
 
