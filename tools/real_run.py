@@ -420,7 +420,7 @@ def write_report(record, path):
         if "encoder_vs_baseline" in r:
             ob = r["encoder_vs_baseline"]
             lines += [
-                f"- ranking overlap vs the hashing-baseline run on the "
+                f"- ranking overlap vs the {ob['baseline']} on the "
                 f"SAME corpus: **{ob['overlap@10']}** @10 / "
                 f"{ob['overlap@100']} @100 — the trained encoder "
                 f"substantially reshapes the final rankings "
@@ -545,9 +545,15 @@ def main():
     # results file: snapshot it first so we can report how much the
     # trained encoder moves the rankings on the same real corpus
     prev_rankings = None
+    prev_encoder = "unknown"
     _rp = os.path.join(args.workdir, "batch_search_results.txt")
+    _mp = os.path.join(args.workdir, "results_meta.json")
     if args.encoder and os.path.exists(_rp):
         prev_rankings = _parse_rankings(_rp)
+        if os.path.exists(_mp):
+            prev_encoder = json.load(open(_mp)).get("encoder", {}).get(
+                "kind", "unknown"
+            )
     print("[4/6] building index ...", file=sys.stderr)
     art, enc, cfg = phase_build(args, record, merged)
     print(f"      {record['build']}", file=sys.stderr)
@@ -574,10 +580,13 @@ def main():
         }
         record["encoder_vs_baseline"] = {
             "overlap@10": ov[10], "overlap@100": ov[100],
-            "baseline": "previous run in this workdir (hashing encoder)",
+            "baseline": f"previous run in this workdir "
+                        f"(encoder: {prev_encoder})",
         }
-        print(f"      trained-vs-baseline ranking overlap: {ov}",
-              file=sys.stderr)
+        print(f"      ranking overlap vs previous ({prev_encoder}) run: "
+              f"{ov}", file=sys.stderr)
+    with open(_mp, "w") as f:
+        json.dump({"encoder": record["encoder"]}, f)
     print("[6/6] oracle comparison ...", file=sys.stderr)
     phase_oracle(args, record, engine, art, queries)
     ev = {k: v for k, v in record["eval"].items() if k != "per_query"}
