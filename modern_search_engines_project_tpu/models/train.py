@@ -174,6 +174,15 @@ def mine_hn_triples(
             cur_q, cur_p = q, text
         else:
             out.append((cur_q, cur_p, text))
+    # a pair whose candidate slice is all its own positive text yields no
+    # negative and is silently dropped; an entirely degenerate pool (e.g.
+    # one unique passage) would hand stage B an empty set — fail loudly
+    # here, not after hours of stage-A training
+    if not out:
+        raise ValueError(
+            "hard-negative mining produced no triples: the passage pool "
+            f"({len(pool)} texts) has no non-positive candidates"
+        )
     return out
 
 
@@ -211,6 +220,14 @@ class Trainer:
             params = self.model.init(
                 jax.random.key(cfg.seed), ids, mask
             )["params"]
+        else:
+            # the step function DONATES its param buffers — warm-starting
+            # from a caller's live tree (stage-B training) must copy, or
+            # the caller's params (and any encoder aliasing them) are
+            # deleted at the first step
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
         warmup = max(1, int(total_steps * cfg.warmup_ratio))
         sched = optax.join_schedules(
             [
@@ -302,6 +319,19 @@ class Trainer:
         import zlib
 
         hn = bool(triples) and isinstance(triples[0][2], str)
+        # the step function's loss AND (on a mesh) its batch shardings are
+        # keyed off cfg.loss — mismatched data would crash at step 1 on a
+        # mesh or silently train the wrong objective off one
+        if hn and self.cfg.loss != "infonce_hn":
+            raise ValueError(
+                "(q, p, negative-text) triples require loss='infonce_hn' "
+                f"(got {self.cfg.loss!r})"
+            )
+        if self.cfg.loss == "infonce_hn" and not hn:
+            raise ValueError(
+                "loss='infonce_hn' requires (q, p, negative-text) triples "
+                "(e.g. from mine_hn_triples); got float labels"
+            )
         t1 = [self.tokenizer.encode(a) for a, _, _ in triples]
         t2 = [self.tokenizer.encode(b) for _, b, _ in triples]
         ids1, mask1 = self.tokenizer.pad_batch(t1, L)

@@ -195,8 +195,11 @@ def main():
 
     lr = args.lr or (2e-5 if args.loss == "cosine" else 1e-3)
     two_stage = args.loss == "infonce_hn"
+    if two_stage and args.epochs < 2:
+        ap.error("--loss infonce_hn needs --epochs >= 2 (stage A + B)")
     stage_a = (
-        args.stage_a_epochs or max(1, args.epochs // 2)
+        min(args.stage_a_epochs or max(1, args.epochs // 2),
+            args.epochs - 1)
         if two_stage else args.epochs
     )
     tcfg = TrainConfig(
@@ -219,7 +222,7 @@ def main():
             mine_hn_triples,
         )
 
-        stage_b = max(1, args.epochs - stage_a)
+        stage_b = args.epochs - stage_a  # >= 1 by the stage_a clamp
         # insurance: a stage-B failure (e.g. OOM) must not lose stage A
         save_encoder(trainer.params, enc_cfg, args.out + "-stageA",
                      dtype="float16")
@@ -232,8 +235,11 @@ def main():
             "seconds": round(time.time() - t_mine, 1),
         }
         print(f"mined {record['mining']}", file=sys.stderr, flush=True)
-        bs_b = args.stage_b_batch_size or max(
-            32, args.batch_size * 5 // 8 // 32 * 32
+        # never EXCEED the user's batch size (it may already be the OOM
+        # ceiling); the 32-floor is only a rounding guard below it
+        bs_b = args.stage_b_batch_size or min(
+            args.batch_size,
+            max(32, args.batch_size * 5 // 8 // 32 * 32),
         )
         tcfg_b = dataclasses.replace(
             tcfg, loss="infonce_hn", epochs=stage_b, batch_size=bs_b,

@@ -419,12 +419,21 @@ def write_report(record, path):
         ]
         if "encoder_vs_baseline" in r:
             ob = r["encoder_vs_baseline"]
+            if ob["overlap@10"] < 0.5:
+                verdict = (
+                    "the trained encoder substantially reshapes the "
+                    "final rankings (cosine carries 0.85 of the fused "
+                    "score)"
+                )
+            else:
+                verdict = (
+                    "the two encoders produce largely similar rankings"
+                )
             lines += [
                 f"- ranking overlap vs the {ob['baseline']} on the "
-                f"SAME corpus: **{ob['overlap@10']}** @10 / "
-                f"{ob['overlap@100']} @100 — the trained encoder "
-                f"substantially reshapes the final rankings "
-                f"(cosine carries 0.85 of the fused score)",
+                f"SAME corpus (Jaccard@k, {ob.get('queries_compared', '?')} "
+                f"queries): **{ob['overlap@10']}** @10 / "
+                f"{ob['overlap@100']} @100 — {verdict}",
             ]
         lines += [""]
     lines += [
@@ -550,10 +559,13 @@ def main():
     _mp = os.path.join(args.workdir, "results_meta.json")
     if args.encoder and os.path.exists(_rp):
         prev_rankings = _parse_rankings(_rp)
-        if os.path.exists(_mp):
-            prev_encoder = json.load(open(_mp)).get("encoder", {}).get(
-                "kind", "unknown"
-            )
+        try:  # meta is best-effort (may be absent or truncated)
+            with open(_mp) as f:
+                prev_encoder = json.load(f).get("encoder", {}).get(
+                    "kind", "unknown"
+                )
+        except Exception:
+            pass
     print("[4/6] building index ...", file=sys.stderr)
     art, enc, cfg = phase_build(args, record, merged)
     print(f"      {record['build']}", file=sys.stderr)
@@ -564,22 +576,26 @@ def main():
     )
     print(f"      {record['serve']}", file=sys.stderr)
     if prev_rankings:
+        from modern_search_engines_project_tpu.eval.metrics import (
+            ranking_overlap_at_k,
+        )
+
         new_rankings = _parse_rankings(rpath)
+        common = [q for q in new_rankings if q in prev_rankings]
         ov = {
             k: round(
                 sum(
-                    len(set(prev_rankings[q][:k]) & set(new_rankings[q][:k]))
-                    / k
-                    for q in new_rankings
-                    if q in prev_rankings
+                    ranking_overlap_at_k(prev_rankings[q], new_rankings[q], k)
+                    for q in common
                 )
-                / max(1, len(new_rankings)),
+                / max(1, len(common)),
                 4,
             )
             for k in (10, 100)
         }
         record["encoder_vs_baseline"] = {
             "overlap@10": ov[10], "overlap@100": ov[100],
+            "queries_compared": len(common),
             "baseline": f"previous run in this workdir "
                         f"(encoder: {prev_encoder})",
         }
