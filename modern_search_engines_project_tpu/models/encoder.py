@@ -158,7 +158,8 @@ class JaxEncoder:
         self.model = BiEncoder(self.cfg)
         self.tokenizer = HashTokenizer(self.cfg.vocab_size)
         self.batch_size = batch_size
-        self.max_len = max_len or self.cfg.max_len
+        # sequences can't exceed the model's trained position range
+        self.max_len = min(max_len or self.cfg.max_len, self.cfg.max_len)
         if params is None:
             ids = jnp.zeros((1, self.max_len), jnp.int32)
             mask = jnp.ones((1, self.max_len), jnp.int32)

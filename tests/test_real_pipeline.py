@@ -87,3 +87,47 @@ class TestRealPipeline:
         assert rec2["crawl"] == rec["crawl"]  # stats carried, not re-run
         assert rec2["build"]["n_docs"] == rec["build"]["n_docs"]
         assert report.exists()
+
+    def test_encoder_rerun_reports_overlap(self, tmp_path):
+        """--reuse-store --encoder rerun: embeds the same crawl with a
+        trained checkpoint, labels the previous run's encoder kind from
+        results_meta.json, and reports Jaccard ranking overlap over the
+        common queries (the full-scale records: REAL_RUN_TRAINED.md)."""
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = str(REPO)
+        env["MSETPU_FORCE_CPU"] = "1"
+        report = tmp_path / "REAL_RUN.md"
+        record = tmp_path / "record.json"
+        argv = [
+            sys.executable, str(REPO / "tools" / "real_run.py"),
+            "--workdir", str(tmp_path / "work"),
+            "--max-docs", "120", "--dim", "64",
+            "--report", str(report), "--record", str(record),
+        ]
+        out = subprocess.run(
+            argv, capture_output=True, text=True, timeout=540, env=env
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        meta = json.loads(
+            (tmp_path / "work" / "results_meta.json").read_text()
+        )
+        assert meta["encoder"]["kind"] == "hashing"
+
+        out2 = subprocess.run(
+            argv + ["--reuse-store",
+                    "--encoder", str(REPO / "runs" / "encoder-demo")],
+            capture_output=True, text=True, timeout=540, env=env,
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        rec2 = json.loads(record.read_text())
+        assert rec2["encoder"]["kind"] == "jax_biencoder"
+        ob = rec2["encoder_vs_baseline"]
+        assert ob["baseline"].endswith("(encoder: hashing)")
+        # tiny corpora can drop a no-hit query from one run's results
+        assert ob["queries_compared"] >= 10
+        assert 0.0 <= ob["overlap@10"] <= 1.0
+        assert "ranking overlap" in report.read_text()
+        meta2 = json.loads(
+            (tmp_path / "work" / "results_meta.json").read_text()
+        )
+        assert meta2["encoder"]["kind"] == "jax_biencoder"
