@@ -1,0 +1,254 @@
+"""Stage-by-stage device profile of the hybrid scan pipeline at the bench
+shape (VERDICT r3 #1: find where the 18.7 ms actually goes before touching
+the kernel).
+
+Mirrors bench.py's scan_measure — same synthetic index, same query model,
+same U-dedup gate — but (a) pre-generates the query batches OUTSIDE the
+timed scan (the bench's in-scan jax.random.categorical over 50k logits
+costs ~2.6 ms/batch by itself — generator overhead, not pipeline work) and
+(b) times each pipeline stage in isolation under one lax.scan dispatch so
+tunnel RTT cancels.  All index arrays are jit ARGUMENTS (closure capture
+bakes them into the HLO and kills the remote-compile tunnel with 413s).
+
+Usage:  python tools/profile_pipeline.py [n_docs] [n_scan]
+Writes docs/profile_pipeline_<n_docs>.json and prints a breakdown table.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import bench as bench_mod
+from modern_search_engines_project_tpu.retrieval import ops
+from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
+    bm25_score_slots_udedup,
+    dedup_query_terms_device,
+    u_pad_for,
+    udedup_plan,
+)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_scan = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    B, T, dim = 64, 8, 768
+    k_ret = 1000
+
+    t0 = time.time()
+    didx, cfg, dfs = bench_mod.make_synthetic_index(
+        n_docs=n_docs,
+        n_terms=max(50_000, n_docs // 2),
+        avg_chunks=3.0,
+        dim=dim,
+        nnz_target=80 * n_docs,
+    )
+    print(f"index built in {time.time() - t0:.1f}s nnz={didx.nnz}", file=sys.stderr)
+    k_eff = min(k_ret, didx.n_docs_pad)
+    logits = jnp.log(jnp.asarray(dfs, jnp.float32))
+
+    def gen(seed):
+        key = jax.random.fold_in(jax.random.key(7), seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        tid = jax.random.categorical(k1, logits, shape=(B, T)).astype(jnp.int32)
+        tid = tid.at[:, 0].set(0)
+        n_q = jax.random.randint(k3, (B, 1), 2, 7)
+        valid = jnp.arange(T)[None, :] < n_q
+        tid = jnp.where(valid, tid, -1)
+        qw = valid.astype(jnp.float32)
+        qv = jax.random.normal(k2, (B, dim), jnp.float32)
+        qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
+        return tid, qw, qv
+
+    gen_j = jax.jit(gen)
+    batches = [gen_j(jnp.int32(s)) for s in range(n_scan)]
+    max_distinct = max(
+        int(np.unique(np.asarray(b[0])).size) for b in batches
+    )
+    u_pad = u_pad_for(max_distinct)
+    plan = udedup_plan(u_pad, B, nnz=didx.nnz)
+    print(f"max_distinct={max_distinct} u_pad={u_pad} plan={plan}", file=sys.stderr)
+
+    TID = jnp.stack([b[0] for b in batches])  # (n_scan, B, T)
+    QW = jnp.stack([b[1] for b in batches])
+    QV = jnp.stack([b[2] for b in batches])  # (n_scan, B, dim)
+
+    sargs = (
+        didx.slot_terms, didx.slot_impact, didx.col_unperm,
+        didx.bucket_emb, didx.bucket_valid, didx.bucket_start,
+    )
+    buckets = didx.buckets
+    Dp = didx.n_docs_pad
+    smoothing = cfg.smoothing
+    acc = plan == "acc"
+
+    # fixed realistic intermediates for tail-only stages
+    tid0, qw0, qv0 = batches[0]
+    uids0, w0 = dedup_query_terms_device(tid0, qw0, u_pad)
+    bm0 = bm25_score_slots_udedup(
+        didx.slot_terms, didx.slot_impact, didx.col_unperm, uids0, w0, acc=acc
+    )
+    bm0 = jax.device_put(np.asarray(bm0))
+    tv0, ti0 = lax.top_k(bm0[:, :Dp], k_eff)
+    tv0, ti0 = jax.device_put(np.asarray(tv0)), jax.device_put(np.asarray(ti0))
+    b_rows = np.arange(B, dtype=np.int32)[:, None]
+    sidx0 = np.where(np.asarray(tv0) >= 0.0, np.asarray(ti0), Dp)
+    cm = np.zeros((B, Dp + 1), np.bool_)
+    cm[b_rows, sidx0] = True
+    cand_mask0 = jax.device_put(cm[:, :Dp])
+    old_dense0 = jax.device_put(np.zeros((B, Dp), np.float32))
+
+    def scan_time(name, body, extra_args=(), reps=3):
+        """body(tid, qw, qv, *extra) -> scalar.  Times n_scan iterations
+        under one lax.scan; index arrays & extras are jit args."""
+
+        @jax.jit
+        def loop(TID, QW, QV, sargs, extras, salt):
+            def one(carry, x):
+                tid, qw, qv = x
+                return carry + body(
+                    tid, qw, qv + salt * 1e-12, sargs, extras
+                ).astype(jnp.float32), None
+
+            out, _ = lax.scan(one, jnp.zeros((), jnp.float32), (TID, QW, QV))
+            return out
+
+        _ = float(np.asarray(loop(TID, QW, QV, sargs, extra_args, jnp.float32(0.0))))
+        best = 1e9
+        for r in range(reps):
+            t0 = time.time()
+            _ = float(
+                np.asarray(
+                    loop(TID, QW, QV, sargs, extra_args, jnp.float32(r + 1))
+                )
+            )
+            best = min(best, (time.time() - t0) / n_scan * 1e3)
+        print(f"{name:44s} {best:8.3f} ms", flush=True)
+        return best
+
+    results = {}
+
+    def body_full(tid, qw, qv, sa, ex):
+        uids, w = dedup_query_terms_device(tid, qw, u_pad)
+        o = ops.hybrid_rank_slots_udedup(
+            *sa, uids, w, qv,
+            n_docs_pad=Dp, k_ret=k_eff, smoothing=smoothing,
+            buckets=buckets, acc=acc,
+        )
+        return jnp.sum(o[0][:, 0])
+
+    results["full"] = scan_time("FULL pipeline (no gen)", body_full)
+
+    def body_prep(tid, qw, qv, sa, ex):
+        uids, w = dedup_query_terms_device(tid, qw, u_pad)
+        return jnp.sum(w[:, 0]) + jnp.sum(uids)
+
+    results["prep"] = scan_time("dedup prep only", body_prep)
+
+    def body_bm(tid, qw, qv, sa, ex):
+        uids, w = dedup_query_terms_device(tid, qw, u_pad)
+        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, acc=acc)
+        return jnp.sum(bm[:, 0])
+
+    results["prep_bm25"] = scan_time("prep + BM25 kernel", body_bm)
+
+    def body_bmtk(tid, qw, qv, sa, ex):
+        uids, w = dedup_query_terms_device(tid, qw, u_pad)
+        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, acc=acc)
+        tv, ti = lax.top_k(bm[:, :Dp], k_eff)
+        return jnp.sum(tv[:, 0]) + jnp.sum(ti[:, 0].astype(jnp.float32))
+
+    results["prep_bm25_topk"] = scan_time("prep + BM25 + top_k", body_bmtk)
+
+    def body_tk(tid, qw, qv, sa, ex):
+        bm = ex[0] + qv[0, 0] * 1e-9
+        tv, ti = lax.top_k(bm[:, :Dp], k_eff)
+        return jnp.sum(tv[:, 0]) + jnp.sum(ti[:, 0].astype(jnp.float32))
+
+    results["topk_alone"] = scan_time(
+        "top_k(1000) alone [fixed bm]", body_tk, (bm0,)
+    )
+
+    def body_scatter(tid, qw, qv, sa, ex):
+        tv = ex[0] + qv[0, 0] * 1e-9
+        ti = ex[1]
+        valid_c = tv >= 0.0
+        lo = jnp.min(jnp.where(valid_c, tv, jnp.inf), axis=1, keepdims=True)
+        hi = jnp.max(jnp.where(valid_c, tv, -jnp.inf), axis=1, keepdims=True)
+        den = hi - lo
+        old_norm = jnp.where(
+            valid_c & (den > 0), (tv - lo) / jnp.where(den > 0, den, 1.0), 0.0
+        )
+        br = jnp.arange(B, dtype=jnp.int32)[:, None]
+        sidx = jnp.where(valid_c, ti, Dp)
+        cand_mask = (
+            jnp.zeros((B, Dp + 1), jnp.bool_).at[br, sidx].set(True)
+        )[:, :Dp]
+        old_dense = (
+            jnp.zeros((B, Dp + 1), jnp.float32).at[br, sidx].set(old_norm)
+        )[:, :Dp]
+        return jnp.sum(old_dense[:, 0]) + jnp.sum(cand_mask[:, 0])
+
+    results["scatter"] = scan_time(
+        "scatter mask alone [fixed topk]", body_scatter, (tv0, ti0)
+    )
+
+    def body_densex(tid, qw, qv, sa, ex):
+        lo, hi = ops.bucket_pool_extrema(buckets, sa[3], sa[4], qv, ex[0])
+        return jnp.sum(lo) + jnp.sum(hi)
+
+    results["dense_extrema"] = scan_time(
+        "dense pass1 (extrema)", body_densex, (cand_mask0,)
+    )
+
+    def body_densef(tid, qw, qv, sa, ex):
+        lo = jnp.full((B,), -1.0)
+        hi = jnp.full((B,), 1.0)
+        ds, win = ops.bucket_fused_scores(
+            buckets, sa[3], sa[4], sa[5], qv, ex[0], ex[1],
+            lo[:, None, None], hi[:, None, None], smoothing,
+        )
+        return jnp.sum(ds[:, 0]) + jnp.sum(win[:, 0].astype(jnp.float32))
+
+    results["dense_fused"] = scan_time(
+        "dense pass2 (fused)", body_densef, (cand_mask0, old_dense0)
+    )
+
+    def body_tail(tid, qw, qv, sa, ex):
+        bm = ex[0] + qv[0, 0] * 1e-9
+        o = ops._hybrid_tail_buckets(
+            bm, sa[3], sa[4], sa[5], qv,
+            n_docs_pad=Dp, k_ret=k_eff, smoothing=smoothing, buckets=buckets,
+        )
+        return jnp.sum(o[0][:, 0])
+
+    results["tail"] = scan_time("full tail [fixed bm]", body_tail, (bm0,))
+
+    out = {
+        "n_docs": n_docs, "n_scan": n_scan, "B": B, "u_pad": u_pad,
+        "plan": plan, "nnz": didx.nnz, "n_docs_pad": Dp,
+        "buckets": list(buckets), "results_ms": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", f"profile_pipeline_{n_docs}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(results, indent=1))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
