@@ -517,6 +517,176 @@ def bucket_fused_scores(
     )
 
 
+def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int):
+    """Candidate mask + normalized-BM25 dense arrays WITHOUT a scatter.
+
+    The previous formulation scattered the top-k results into
+    ``[B, n_docs_pad]`` arrays — measured 3.2 ms/batch-64 at 100k docs
+    (XLA TPU scatter serializes; docs/profile_pipeline_100000.json).  This
+    one reconstructs the exact same arrays from the dense score vector with
+    elementwise ops plus one cumsum:
+
+      * threshold: a doc is a candidate iff its keyed score clears the
+        k-th admissible value tau,
+      * tie quota: docs tied AT tau are admitted lowest-index-first until
+        the candidate count matches lax.top_k's (which breaks ties toward
+        lower indices), so the set is IDENTICAL to the scattered one.
+
+    Returns (cand_mask [B, Dp] bool, old_dense [B, Dp] f32, old_norm
+    [B, k] f32, valid_c [B, k] bool) — old_norm/valid_c are the
+    candidate-major twins the final ranking stage consumes.
+    """
+    bmd = bm[:, :n_docs_pad]
+    valid_c = top_vals >= 0.0
+    lo = jnp.min(
+        jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True
+    )
+    hi = jnp.max(
+        jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True
+    )
+    denom = hi - lo
+    old_norm = jnp.where(
+        valid_c & (denom > 0),
+        (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
+        0.0,
+    )
+    n_valid = jnp.sum(valid_c, axis=1, keepdims=True).astype(jnp.int32)
+    # tau = +inf when nothing is admissible -> empty mask (matches scatter)
+    above = bmd > lo
+    ties = bmd == lo
+    quota = n_valid - jnp.sum(above, axis=1, keepdims=True).astype(jnp.int32)
+    n_ties = jnp.sum(ties, axis=1, keepdims=True).astype(jnp.int32)
+    # The tie-rank cumsum over the full doc axis costs ~2 ms/batch-64 at
+    # 100k docs — gate it behind a cond: it only matters when docs tied AT
+    # tau straddle the k-boundary (n_ties > quota for some query), which is
+    # rare (requires >k docs at or above the k-th score).
+    boundary_ties = jnp.any(n_ties > quota)
+
+    def with_tie_rank(_):
+        tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
+        return above | (ties & (tie_rank <= quota))
+
+    def without(_):
+        return above | ties
+
+    cand_mask = lax.cond(boundary_ties, with_tie_rank, without, None)
+    old_dense = jnp.where(
+        cand_mask & (denom > 0),
+        (bmd - lo) / jnp.where(denom > 0, denom, 1.0),
+        0.0,
+    )
+    return cand_mask, old_dense, old_norm, valid_c
+
+
+def bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec):
+    """ONE dense pass over the chunk bank -> per-doc raw-sim statistics.
+
+    Replaces the two-pass extrema+fused structure (each pass re-read the
+    full bank: 3.4 + 2.1 ms/batch-64 at 100k docs).  Per bucket returns
+    (v1, v2, w1, w2, vmin), each [B, cnt]: the doc's two largest raw chunk
+    sims with their slot positions, and its smallest raw sim.  Sufficient
+    because per-query fusion is affine in sims with positive scale, and
+    within a doc the fused offset is constant — so the fused top-2 chunks
+    ARE the raw-sim top-2 chunks (ties included; lax.top_k semantics are
+    preserved because the transform maps equal values to equal values).
+    Rows for bucket-pad docs are garbage; callers mask by candidacy (pad
+    docs can never be candidates: their keyed BM25 score is -1).
+    """
+    stats = []
+    for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
+        sims = _bucket_sims(qvec, emb, cnt, n)  # (B, cnt, n)
+        if n == 1:
+            v1 = sims[..., 0]
+            zi = jnp.zeros_like(v1, dtype=jnp.int32)
+            stats.append((v1, v1, zi, zi, v1))
+        else:
+            # max/argmax + masked re-max instead of lax.top_k(sims, 2):
+            # top_k over a tiny trailing axis lowers to a sort and cost
+            # ~2.5x the whole pass (profile_pipeline).  argmax ties pick
+            # the lowest index — identical to top_k's tie order.
+            v1 = jnp.max(sims, axis=2)
+            w1 = jnp.argmax(sims, axis=2).astype(jnp.int32)
+            slot = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 2)
+            sims2 = jnp.where(slot == w1[..., None], -jnp.inf, sims)
+            v2 = jnp.max(sims2, axis=2)
+            w2 = jnp.argmax(sims2, axis=2).astype(jnp.int32)
+            stats.append((v1, v2, w1, w2, jnp.min(sims, axis=2)))
+    return stats
+
+
+def stats_pool_extrema(stats, cand_mask, buckets):
+    """Candidate-pool raw-sim extrema from per-doc stats -> (lo, hi) [B]."""
+    lo_parts, hi_parts = [], []
+    off = 0
+    for (n, cnt), (v1, _v2, _w1, _w2, vmin) in zip(buckets, stats):
+        m = cand_mask[:, off : off + cnt]
+        lo_parts.append(jnp.min(jnp.where(m, vmin, jnp.inf), axis=1))
+        hi_parts.append(jnp.max(jnp.where(m, v1, -jnp.inf), axis=1))
+        off += cnt
+    return (
+        jnp.min(jnp.stack(lo_parts), axis=0),
+        jnp.max(jnp.stack(hi_parts), axis=0),
+    )
+
+
+def fused_scores_from_stats(
+    buckets,
+    bucket_start,
+    stats,
+    cand_mask,
+    old_dense,
+    lo_c,
+    hi_c,
+    smoothing: float,
+):
+    """Per-doc fusion/positional math from one-pass stats (no bank reads).
+
+    Exact reference math (reranker_api.py:289-334,360-372): min-max
+    normalize raw sims over the candidate pool, fuse (1-s)*cos + s*bm25,
+    +10%/-5% linear positional adjustment of the best chunk, clamp [0,1],
+    post-adjustment winner re-selection against the runner-up.  lo_c/hi_c
+    are [B, 1] (global across shards in SPMD use).  When the pool is
+    degenerate (hi == lo) every fused value is s*old (constant per doc), so
+    the previous formulation's top-2 fell back to slots (0, 1) — replicated
+    explicitly here.  Returns (doc_score, win_gid) each [B, sum cnt];
+    non-candidate docs score -inf.
+    """
+    den = hi_c - lo_c
+    ok = den > 0
+    den_safe = jnp.where(ok, den, 1.0)
+    score_parts, win_parts = [], []
+    off = 0
+    for (n, cnt), bstart, (v1, v2, w1, w2, _vmin) in zip(
+        buckets, bucket_start, stats
+    ):
+        cand = cand_mask[:, off : off + cnt]
+        old = old_dense[:, off : off + cnt]
+        n1 = jnp.where(ok, (v1 - lo_c) / den_safe, 0.0)
+        f1 = n1 * (1.0 - smoothing) + old * smoothing
+        if n == 1:
+            doc_score = f1
+            win_slot = jnp.zeros_like(w1)
+        else:
+            n2 = jnp.where(ok, (v2 - lo_c) / den_safe, 0.0)
+            f2 = n2 * (1.0 - smoothing) + old * smoothing
+            # degenerate pool: fused is constant over slots -> top-2 was
+            # (slot 0, slot 1) in the two-pass formulation
+            w1e = jnp.where(ok, w1, 0)
+            w2e = jnp.where(ok, w2, 1)
+            ratio = w1e.astype(jnp.float32) / jnp.float32(n - 1)
+            adj = 0.10 - (0.10 + 0.05) * ratio
+            m1_adj = jnp.clip(f1 + adj, 0.0, 1.0)
+            doc_score = jnp.maximum(m1_adj, f2)
+            win_slot = jnp.where(m1_adj >= f2, w1e, w2e)
+        score_parts.append(jnp.where(cand, doc_score, -jnp.inf))
+        win_parts.append(bstart[None, :] + win_slot)
+        off += cnt
+    return (
+        jnp.concatenate(score_parts, axis=1),
+        jnp.concatenate(win_parts, axis=1),
+    )
+
+
 def bucket_dense_best(buckets, bucket_emb, bucket_valid, bucket_start, qvec):
     """Brute-force dense per-doc best over every bucket ->
     (doc_best [B, sum cnt], win_gid [B, sum cnt])."""
@@ -586,7 +756,6 @@ def _hybrid_tail_buckets(
     document axis.  Same math as the reference rerank (normalization,
     fusion, positional, post-adjustment winner), exact parity.
     """
-    B = qvec.shape[0]
     Dp = n_docs_pad
 
     if approx:
@@ -596,45 +765,26 @@ def _hybrid_tail_buckets(
         top_idx = top_idx.astype(jnp.int32)
     else:
         top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
-    valid_c = top_vals >= 0.0
 
-    lo = jnp.min(jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True)
-    hi = jnp.max(jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True)
-    denom = hi - lo
-    old_norm = jnp.where(
-        valid_c & (denom > 0),
-        (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
-        0.0,
+    # scatter-free candidate mask (measured 3.2 -> ~0.3 ms/batch-64)
+    cand_mask, old_dense, old_norm, valid_c = dense_candidates_from_topk(
+        bm, top_vals, Dp
     )
 
-    b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    scatter_idx = jnp.where(valid_c, top_idx, Dp)
-    cand_mask = (
-        jnp.zeros((B, Dp + 1), jnp.bool_).at[b_rows, scatter_idx].set(True)
-    )[:, :Dp]
-    old_dense = (
-        jnp.zeros((B, Dp + 1), jnp.float32)
-        .at[b_rows, scatter_idx]
-        .set(old_norm)
-    )[:, :Dp]
-
-    # ---- pass 1: masked extrema; pass 2: recompute + fuse -------------------
-    # sims are NOT kept between passes: at 1M docs / 3M chunks a [B, C]
-    # buffer per bucket is ~GBs of HBM (measured OOM); recomputing the
-    # matmul in pass 2 costs less than the HBM round trip.
-    lo, hi = bucket_pool_extrema(
-        buckets, bucket_emb, bucket_valid, qvec, cand_mask
-    )
-    doc_score, win = bucket_fused_scores(
+    # ---- ONE dense pass: per-doc raw stats, then cheap per-doc fusion ------
+    # (the two-pass extrema+fused structure re-read the full chunk bank
+    # twice: 3.4 + 2.1 ms/batch-64 at 100k docs; the one-pass form reads it
+    # once and never materializes [B, n_chunks] between passes)
+    stats = bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec)
+    lo, hi = stats_pool_extrema(stats, cand_mask, buckets)
+    doc_score, win = fused_scores_from_stats(
         buckets,
-        bucket_emb,
-        bucket_valid,
         bucket_start,
-        qvec,
+        stats,
         cand_mask,
         old_dense,
-        lo[:, None, None],
-        hi[:, None, None],
+        lo[:, None],
+        hi[:, None],
         smoothing,
     )  # [B, Dp] each
 

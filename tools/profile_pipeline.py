@@ -235,6 +235,78 @@ def main():
 
     results["tail"] = scan_time("full tail [fixed bm]", body_tail, (bm0,))
 
+    def body_cmask(tid, qw, qv, sa, ex):
+        bm = ex[0] + qv[0, 0] * 1e-9
+        cand, old_dense, old_norm, valid_c = ops.dense_candidates_from_topk(
+            bm, ex[1], Dp
+        )
+        return (
+            jnp.sum(old_dense[:, 0])
+            + jnp.sum(cand[:, 0])
+            + jnp.sum(old_norm[:, 0])
+        )
+
+    results["cand_mask_new"] = scan_time(
+        "cand mask (threshold+cumsum)", body_cmask, (bm0, tv0)
+    )
+
+    def body_stats(tid, qw, qv, sa, ex):
+        stats = ops.bucket_doc_stats(buckets, sa[3], sa[4], qv)
+        return sum(
+            jnp.sum(s[0][:, 0]) + jnp.sum(s[4][:, 0]) for s in stats
+        )
+
+    results["doc_stats_new"] = scan_time(
+        "bucket_doc_stats (one dense pass)", body_stats
+    )
+
+    def body_statsmath(tid, qw, qv, sa, ex):
+        stats0 = ex[2]
+        lo, hi = ops.stats_pool_extrema(stats0, ex[0], buckets)
+        lo = lo + qv[0, 0] * 1e-9
+        ds, win = ops.fused_scores_from_stats(
+            buckets, sa[5], stats0, ex[0], ex[1], lo[:, None], hi[:, None],
+            smoothing,
+        )
+        return jnp.sum(ds[:, 0]) + jnp.sum(win[:, 0].astype(jnp.float32))
+
+    stats0 = jax.jit(
+        lambda be, bv, qv: ops.bucket_doc_stats(buckets, be, bv, qv)
+    )(didx.bucket_emb, didx.bucket_valid, qv0)
+    stats0 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x)), stats0
+    )
+    results["stats_math_new"] = scan_time(
+        "extrema+fused math from stats", body_statsmath,
+        (cand_mask0, old_dense0, stats0),
+    )
+
+    # final-stage gathers: 2x take_along_axis (B,k) from (B,Dp) + top_k(k)
+    ds0 = jax.device_put(
+        np.asarray(
+            jax.jit(lambda b: jnp.where(b[:, :Dp] >= 0, b[:, :Dp], -1.0))(bm0)
+        )
+    )
+    def body_final(tid, qw, qv, sa, ex):
+        ds, ti = ex
+        ds = ds + qv[0, 0] * 1e-9
+        cand_scores = jnp.take_along_axis(ds, ti, axis=1)
+        cand_win = jnp.take_along_axis(ds.astype(jnp.int32), ti, axis=1)
+        fv, order = lax.top_k(cand_scores, k_eff)
+        fd = jnp.take_along_axis(ti, order, axis=1)
+        fw = jnp.take_along_axis(cand_win, order, axis=1)
+        return jnp.sum(fv[:, 0]) + jnp.sum((fd + fw)[:, 0].astype(jnp.float32))
+
+    results["final_gathers"] = scan_time(
+        "final 2x gather + rerank top_k", body_final, (ds0, ti0)
+    )
+
+    # dispatch floor: trivial body — everything above includes this
+    def body_floor(tid, qw, qv, sa, ex):
+        return jnp.sum(qv[0, :4])
+
+    results["floor"] = scan_time("scan dispatch floor (empty body)", body_floor)
+
     out = {
         "n_docs": n_docs, "n_scan": n_scan, "B": B, "u_pad": u_pad,
         "plan": plan, "nnz": didx.nnz, "n_docs_pad": Dp,
