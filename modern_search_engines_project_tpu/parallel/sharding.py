@@ -394,7 +394,7 @@ def _sharded_hybrid_fn(
                 n_docs_pad=d_loc,
                 posting_cap=posting_cap,
             )
-        lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
+        lvals, lidx = ops.topk_blockmax(bm[:, :d_loc], k_loc)
         gidx = lidx + s_id * d_loc
 
         all_vals = lax.all_gather(lvals, axis)  # [n_shards, B, k_loc]
@@ -406,49 +406,30 @@ def _sharded_hybrid_fn(
         top_idx = jnp.take_along_axis(all_idx, sel, axis=1)
         valid_c = top_vals >= 0.0
 
-        lo = jnp.min(
-            jnp.where(valid_c, top_vals, jnp.inf), axis=1, keepdims=True
-        )
-        hi = jnp.max(
-            jnp.where(valid_c, top_vals, -jnp.inf), axis=1, keepdims=True
-        )
-        denom = hi - lo
-        old_norm = jnp.where(
-            valid_c & (denom > 0),
-            (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
-            0.0,
-        )
-
-        # ---- local candidate scatter ---------------------------------------
+        # ---- local candidate mask, scatter-free -----------------------------
+        # tau/normalization come from the GLOBAL merged top_vals; the tie
+        # quota is the per-query count of global candidates on this shard
+        # (the global merge admits equal-valued docs lowest-local-index
+        # first within a shard — dense_candidates_from_topk's tie order).
         local = top_idx - s_id * d_loc
         in_shard = (local >= 0) & (local < d_loc) & valid_c
-        scatter_idx = jnp.where(in_shard, local, d_loc).astype(jnp.int32)
-        cand_mask = (
-            jnp.zeros((B, d_loc + 1), jnp.bool_)
-            .at[b_rows, scatter_idx]
-            .set(True)
-        )[:, :d_loc]
-        old_dense = (
-            jnp.zeros((B, d_loc + 1), jnp.float32)
-            .at[b_rows, scatter_idx]
-            .set(jnp.where(in_shard, old_norm, 0.0))
-        )[:, :d_loc]
+        n_loc = jnp.sum(in_shard, axis=1, keepdims=True).astype(jnp.int32)
+        cand_mask, old_dense, old_norm, _ = ops.dense_candidates_from_topk(
+            bm, top_vals, d_loc, n_valid=n_loc
+        )
 
-        # ---- stage 2: bucketed dense, pool extrema over ICI -----------------
-        # the per-bucket math is ops.bucket_pool_extrema/bucket_fused_scores
+        # ---- stage 2: one dense pass, pool extrema over ICI -----------------
+        # the per-bucket math is ops.bucket_doc_stats/fused_scores_from_stats
         # — the EXACT functions the single-chip tail runs, so the paths
         # cannot drift; only the extrema reduction crosses shards.
-        lo_l, hi_l = ops.bucket_pool_extrema(
-            buckets, bucket_emb, bucket_valid, qvec, cand_mask
-        )
-        lo_c = lax.pmin(lo_l[:, None, None], axis)  # reference normalizes
-        hi_c = lax.pmax(hi_l[:, None, None], axis)  # over the GLOBAL pool
-        doc_score, win_gid = ops.bucket_fused_scores(
+        stats = ops.bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec)
+        lo_l, hi_l = ops.stats_pool_extrema(stats, cand_mask, buckets)
+        lo_c = lax.pmin(lo_l, axis)[:, None]  # reference normalizes
+        hi_c = lax.pmax(hi_l, axis)[:, None]  # over the GLOBAL pool
+        doc_score, win_gid = ops.fused_scores_from_stats(
             buckets,
-            bucket_emb,
-            bucket_valid,
             bucket_start,
-            qvec,
+            stats,
             cand_mask,
             old_dense,
             lo_c,
@@ -457,14 +438,13 @@ def _sharded_hybrid_fn(
         )  # [B, d_loc] each
 
         # ---- combine per-candidate results across shards -------------------
-        scatter_c = jnp.clip(scatter_idx, 0, d_loc - 1)
+        scatter_c = jnp.clip(jnp.where(in_shard, local, 0), 0, d_loc - 1)
+        gflat = scatter_c + b_rows * d_loc
         cand_scores_l = jnp.where(
-            in_shard,
-            jnp.take_along_axis(doc_score, scatter_c, axis=1),
-            -jnp.inf,
+            in_shard, jnp.take(doc_score.reshape(-1), gflat), -jnp.inf
         )
         cand_win_l = jnp.where(
-            in_shard, jnp.take_along_axis(win_gid, scatter_c, axis=1), -1
+            in_shard, jnp.take(win_gid.reshape(-1), gflat), -1
         )
         cand_scores = lax.pmax(cand_scores_l, axis)
         cand_win = lax.pmax(cand_win_l, axis)
@@ -655,7 +635,7 @@ class ShardedEngineBackend:
             doc_best, win = ops.bucket_dense_best(
                 buckets, bemb, bval, bstart, qv
             )  # [B, d_loc] each (shared with the single-chip path)
-            lvals, lidx = lax.top_k(doc_best, k_loc)
+            lvals, lidx = ops.topk_blockmax(doc_best, k_loc)
             lwin = jnp.take_along_axis(win, lidx, axis=1)
             gidx = lidx + lax.axis_index("shard") * d_loc
             av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
@@ -714,7 +694,7 @@ class ShardedEngineBackend:
                 n_docs_pad=d_loc,
                 posting_cap=cap,
             )
-            lvals, lidx = lax.top_k(bm[:, :d_loc], k_loc)
+            lvals, lidx = ops.topk_blockmax(bm[:, :d_loc], k_loc)
             gidx = lidx + lax.axis_index("shard") * d_loc
             av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
                 lvals.shape[0], -1

@@ -138,11 +138,88 @@ def exact_topk(scores: jnp.ndarray, k: int):
     return v, i
 
 
+def topk_blockmax(scores: jnp.ndarray, k: int, block: int = 4):
+    """EXACT top-k with lax.top_k's tie semantics, via a block-max prefilter.
+
+    ``lax.top_k(k=1000)`` over [64, 100k] lowers to a full stable variadic
+    sort on TPU — measured 7.2 ms/batch, the single largest op in the
+    hybrid pipeline (docs/profile_pipeline_100000.json + trace).  This
+    computes the same (values, indices) with:
+
+      1. per-block max over G consecutive docs (one cheap pass),
+      2. lax.top_k over the [B, D/G] block maxima (a G-times-smaller sort),
+      3. expand the k selected blocks to their k*G member docs (strided
+         flat take), and
+      4. one small [B, k*G] two-key sort by (-value, doc_idx) whose first
+         k columns are the answer.
+
+    EXACTNESS.  Let tau be the k-th doc value under the (-value, idx)
+    order.  Every doc with value > tau lies in a block whose max > tau;
+    there are at most k such docs, hence at most k such blocks, and every
+    one of them outranks any block with max <= tau, so stage 2 selects
+    them all.  Ties AT tau: stage 2 fills its remaining slots with
+    max == tau blocks in ascending block index (lax.top_k tie rule), and
+    because blocks are CONSECUTIVE doc ranges, ascending block index is
+    ascending doc index — so the q = k - #(>tau) lowest-index tau docs
+    not already inside a selected >tau block sit in the lowest-index
+    tau blocks, all of which get slots (q <= free slots).  The expanded
+    pool therefore contains the exact lax.top_k doc set, and the final
+    two-key sort reproduces its (value desc, index asc) ordering.
+
+    ~3x cheaper than the full sort at [64, 100k] k=1000 (measured 2.4 vs
+    6.6 ms true; G=4 beat G=8/16/32 — the stage-2 expansion sort grows
+    with G while the stage-1 sort shrinks sublinearly).
+    """
+    B, N = scores.shape
+    if k >= N or N <= 4 * k * block:
+        return lax.top_k(scores, k)
+    pad = (-N) % block
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+    nb = (N + pad) // block
+    s3 = scores.reshape(B, nb, block)
+    bmax = jnp.max(s3, axis=2)
+    nblk = min(k, nb)
+    _, bidx = lax.top_k(bmax, nblk)
+    # contiguous-slice row gather: 3x cheaper than an elementwise flat
+    # take of the same k*G values (0.6 vs 1.9 ms at [64,100k] k=1000)
+    dvals = jnp.take_along_axis(s3, bidx[:, :, None], axis=1).reshape(
+        B, nblk * block
+    )
+    didx = (
+        bidx[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, nblk * block)
+    # two-key sort: value desc, doc index asc == lax.top_k tie order
+    nv, si = lax.sort((-dvals, didx), dimension=1, num_keys=2)
+    return -nv[:, :k], si[:, :k]
+
+
 def _segment(op, data_bt: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     """Batched sorted-segment reduction: data [B, C] -> [B, num_segments]."""
     return op(
         data_bt.T, seg, num_segments=num_segments, indices_are_sorted=True
     ).T
+
+
+def _rank_candidates(doc_score, win, top_idx, valid_c, old_norm, k_ret: int):
+    """Final candidate ranking shared by every hybrid tail: gather the
+    per-doc fused score/winner at the top-k doc ids and re-sort.  Flat 1-D
+    takes instead of take_along_axis — ~30% cheaper on TPU for a
+    (B, k)-from-(B, Dp) row gather (tools/micro_stats.py G4 vs G1)."""
+    B, W = doc_score.shape
+    gflat = top_idx + jnp.arange(B, dtype=jnp.int32)[:, None] * W
+    cand_scores = jnp.take(doc_score.reshape(-1), gflat)
+    cand_win = jnp.take(win.reshape(-1), gflat)
+    sort_key = jnp.where(valid_c, cand_scores, -1.0)
+    final_vals, order = lax.top_k(sort_key, k_ret)
+    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
+    final_win = jnp.take_along_axis(cand_win, order, axis=1)
+    final_old = jnp.take_along_axis(old_norm, order, axis=1)
+    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
+    return final_doc, final_vals, final_old, final_win, final_valid
 
 
 @functools.partial(
@@ -167,7 +244,7 @@ def _hybrid_tail(
     C = chunk_emb.shape[0]
     b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    top_vals, top_idx = lax.top_k(bm[:, :n_docs_pad], k_ret)
+    top_vals, top_idx = topk_blockmax(bm[:, :n_docs_pad], k_ret)
     valid_c = top_vals >= 0.0
 
     # min-max normalize BM25 over the candidate pool (reranker_api.py:361)
@@ -244,15 +321,7 @@ def _hybrid_tail(
     win = jnp.where(m1_adj >= m2, w1, w2)
 
     # ---- final ranking over candidates -------------------------------------
-    cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
-    cand_win = jnp.take_along_axis(win, top_idx, axis=1)
-    sort_key = jnp.where(valid_c, cand_scores, -1.0)
-    final_vals, order = lax.top_k(sort_key, k_ret)
-    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
-    final_win = jnp.take_along_axis(cand_win, order, axis=1)
-    final_old = jnp.take_along_axis(old_norm, order, axis=1)
-    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
-    return final_doc, final_vals, final_old, final_win, final_valid
+    return _rank_candidates(doc_score, win, top_idx, valid_c, old_norm, k_ret)
 
 
 @functools.partial(
@@ -361,7 +430,7 @@ def bm25_topk_blocked(index, term_ids, qtf, k: int, interpret: bool = False):
         n_docs_pad=index.n_docs_pad,
         interpret=interpret,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = topk_blockmax(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -378,7 +447,7 @@ def bm25_topk(
         n_docs_pad=index.n_docs_pad,
         posting_cap=index.posting_cap,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = topk_blockmax(bm[:, : index.n_docs_pad], k)
     return idx, vals
 
 
@@ -410,7 +479,7 @@ def dense_rank(
     w1 = _segment(
         jax.ops.segment_min, jnp.where(is_w, cidx, _BIG), chunk_doc, Dp1
     )
-    vals, idx = lax.top_k(m1[:, :n_docs_pad], k)
+    vals, idx = topk_blockmax(m1[:, :n_docs_pad], k)
     win = jnp.take_along_axis(w1, idx, axis=1)
     return idx, vals, win
 
@@ -517,7 +586,7 @@ def bucket_fused_scores(
     )
 
 
-def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int):
+def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int, n_valid=None):
     """Candidate mask + normalized-BM25 dense arrays WITHOUT a scatter.
 
     The previous formulation scattered the top-k results into
@@ -531,6 +600,14 @@ def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int):
       * tie quota: docs tied AT tau are admitted lowest-index-first until
         the candidate count matches lax.top_k's (which breaks ties toward
         lower indices), so the set is IDENTICAL to the scattered one.
+
+    SPMD use: ``bm`` may be the SHARD-LOCAL score block while ``top_vals``
+    is the GLOBAL merged top-k — pass ``n_valid`` = the per-query count of
+    global candidates living on this shard.  tau/normalization stay global
+    (top_vals), the tie quota local; within a shard the global merge
+    admits equal-valued docs lowest-local-index-first (all_gather layout
+    is shard-major, per-shard blocks are local top_k output), which is
+    exactly this construction's tie order.
 
     Returns (cand_mask [B, Dp] bool, old_dense [B, Dp] f32, old_norm
     [B, k] f32, valid_c [B, k] bool) — old_norm/valid_c are the
@@ -550,7 +627,8 @@ def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int):
         (top_vals - lo) / jnp.where(denom > 0, denom, 1.0),
         0.0,
     )
-    n_valid = jnp.sum(valid_c, axis=1, keepdims=True).astype(jnp.int32)
+    if n_valid is None:
+        n_valid = jnp.sum(valid_c, axis=1, keepdims=True).astype(jnp.int32)
     # tau = +inf when nothing is admissible -> empty mask (matches scatter)
     above = bmd > lo
     ties = bmd == lo
@@ -600,17 +678,27 @@ def bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec):
             zi = jnp.zeros_like(v1, dtype=jnp.int32)
             stats.append((v1, v1, zi, zi, v1))
         else:
-            # max/argmax + masked re-max instead of lax.top_k(sims, 2):
-            # top_k over a tiny trailing axis lowers to a sort and cost
-            # ~2.5x the whole pass (profile_pipeline).  argmax ties pick
-            # the lowest index — identical to top_k's tie order.
-            v1 = jnp.max(sims, axis=2)
-            w1 = jnp.argmax(sims, axis=2).astype(jnp.int32)
-            slot = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 2)
-            sims2 = jnp.where(slot == w1[..., None], -jnp.inf, sims)
-            v2 = jnp.max(sims2, axis=2)
-            w2 = jnp.argmax(sims2, axis=2).astype(jnp.int32)
-            stats.append((v1, v2, w1, w2, jnp.min(sims, axis=2)))
+            # streaming top-2 over the (tiny, static) slot axis: one read
+            # of sims with O(n) selects — measured 1.0 ms vs 2.5 for
+            # max/argmax + masked re-max and ~6 for lax.top_k(sims, 2) at
+            # the 100k shape (tools/micro_stats.py).  Strict > keeps the
+            # LOWEST slot on ties — identical to argmax/top_k tie order
+            # (a duplicate of the max still lands in v2 via the is2 arm).
+            v1 = sims[..., 0]
+            w1 = jnp.zeros_like(v1, dtype=jnp.int32)
+            v2 = jnp.full_like(v1, -jnp.inf)
+            w2 = jnp.zeros_like(v1, dtype=jnp.int32)
+            vm = v1
+            for s in range(1, n):
+                x = sims[..., s]
+                is1 = x > v1
+                is2 = (~is1) & (x > v2)
+                v2 = jnp.where(is1, v1, jnp.where(is2, x, v2))
+                w2 = jnp.where(is1, w1, jnp.where(is2, s, w2))
+                v1 = jnp.where(is1, x, v1)
+                w1 = jnp.where(is1, s, w1)
+                vm = jnp.minimum(vm, x)
+            stats.append((v1, v2, w1, w2, vm))
     return stats
 
 
@@ -726,7 +814,7 @@ def dense_rank_buckets(
         buckets, bucket_emb, bucket_valid, bucket_start, qvec
     )
     doc_best, win = doc_best[:, :n_docs_pad], win[:, :n_docs_pad]
-    vals, idx = lax.top_k(doc_best, k)
+    vals, idx = topk_blockmax(doc_best, k)
     return idx, vals, jnp.take_along_axis(win, idx, axis=1)
 
 
@@ -764,7 +852,7 @@ def _hybrid_tail_buckets(
         top_vals, top_idx = lax.approx_max_k(bm[:, :Dp], k_ret)
         top_idx = top_idx.astype(jnp.int32)
     else:
-        top_vals, top_idx = lax.top_k(bm[:, :Dp], k_ret)
+        top_vals, top_idx = topk_blockmax(bm[:, :Dp], k_ret)
 
     # scatter-free candidate mask (measured 3.2 -> ~0.3 ms/batch-64)
     cand_mask, old_dense, old_norm, valid_c = dense_candidates_from_topk(
@@ -776,6 +864,10 @@ def _hybrid_tail_buckets(
     # twice: 3.4 + 2.1 ms/batch-64 at 100k docs; the one-pass form reads it
     # once and never materializes [B, n_chunks] between passes)
     stats = bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec)
+    # materialize the per-doc stats once: extrema AND fused math consume
+    # them, and without the barrier XLA re-derives the full bucket pass
+    # per consumer (composed tail measured ~2x the sum of its parts)
+    stats = jax.lax.optimization_barrier(stats)
     lo, hi = stats_pool_extrema(stats, cand_mask, buckets)
     doc_score, win = fused_scores_from_stats(
         buckets,
@@ -788,15 +880,7 @@ def _hybrid_tail_buckets(
         smoothing,
     )  # [B, Dp] each
 
-    cand_scores = jnp.take_along_axis(doc_score, top_idx, axis=1)
-    cand_win = jnp.take_along_axis(win, top_idx, axis=1)
-    sort_key = jnp.where(valid_c, cand_scores, -1.0)
-    final_vals, order = lax.top_k(sort_key, k_ret)
-    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
-    final_win = jnp.take_along_axis(cand_win, order, axis=1)
-    final_old = jnp.take_along_axis(old_norm, order, axis=1)
-    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
-    return final_doc, final_vals, final_old, final_win, final_valid
+    return _rank_candidates(doc_score, win, top_idx, valid_c, old_norm, k_ret)
 
 
 def hybrid_rank_buckets(
@@ -1007,5 +1091,5 @@ def bm25_topk_slots(index, term_ids, qtf, k: int, interpret: bool = False):
         jnp.asarray(qtf),
         interpret=interpret,
     )
-    vals, idx = lax.top_k(bm[:, : index.n_docs_pad], k)
+    vals, idx = topk_blockmax(bm[:, : index.n_docs_pad], k)
     return idx, vals
