@@ -58,7 +58,7 @@ from modern_search_engines_project_tpu.retrieval.ops import bm25_score_batch
 
 
 def _put_bank(e, bank_dtype, put, spec):
-    """Place one stacked per-shard bucket bank [S, R, dim].  With
+    """Place one stacked per-shard bucket bank [S, n, cnt_pad, dim].  With
     bank_dtype="int8" it becomes the (q8, inv_scale) pair consumed by
     ops._bucket_sims (per-row symmetric quantization)."""
     if bank_dtype == "int8":
@@ -66,11 +66,11 @@ def _put_bank(e, bank_dtype, put, spec):
             quantize_bank_int8,
         )
 
-        S, R, D = e.shape
-        q8, inv = quantize_bank_int8(np.asarray(e).reshape(S * R, D))
+        *lead, D = e.shape
+        q8, inv = quantize_bank_int8(np.asarray(e).reshape(-1, D))
         return (
-            put(q8.reshape(S, R, D), spec),
-            put(inv.reshape(S, R), spec),
+            put(q8.reshape(e.shape), spec),
+            put(inv.reshape(lead), spec),
         )
     return put(e.astype(bank_dtype), spec)
 
@@ -124,7 +124,7 @@ class ShardedDeviceIndex:
     col_unperm: jnp.ndarray  # int32 [d_loc] (identical on every shard)
     # bucketed exact-stride dense layout (global bucket schema)
     buckets: tuple  # ((n, cnt_pad), ...) identical across shards
-    bucket_emb: tuple  # per bucket: [S, cnt_pad * n, dim]
+    bucket_emb: tuple  # per bucket: [S, n, cnt_pad, dim] slot-major
     bucket_valid: tuple  # per bucket: bool [S, cnt_pad]
     bucket_start: tuple  # per bucket: int32 [S, cnt_pad] global chunk start
     doc_perm: np.ndarray  # host [S * d_loc] -> artifact doc idx (-1 = pad)
@@ -172,7 +172,7 @@ class ShardedDeviceIndex:
         cnt_pads = []
         for n in distinct:
             per_shard = np.bincount(shard_of[dnc == n], minlength=S)
-            cnt_pads.append(_round_up(max(int(per_shard.max()), 8), 8))
+            cnt_pads.append(_round_up(max(int(per_shard.max()), 8), 128))
         total = sum(cnt_pads)
         # absorb the DOC_BLOCK rounding in the SMALLEST-stride bucket so the
         # pad slots cost `delta * min(n)` bank rows, not `delta * max(n)`
@@ -184,7 +184,8 @@ class ShardedDeviceIndex:
         gperm = np.full((S, d_loc), -1, np.int64)
         off = 0
         for n, cnt_pad in zip(distinct, cnt_pads):
-            emb = np.zeros((S, cnt_pad * n, dim), np.float32)
+            # slot-major [S, n, cnt_pad, dim] — see device_index layout note
+            emb = np.zeros((S, n, cnt_pad, dim), np.float32)
             valid = np.zeros((S, cnt_pad), bool)
             bstart = np.zeros((S, cnt_pad), np.int32)
             for s in range(S):
@@ -195,10 +196,10 @@ class ShardedDeviceIndex:
                 )
                 cnt = len(idxs)
                 if cnt:
-                    src = np.repeat(starts_all[idxs], n) + np.tile(
-                        np.arange(n), cnt
-                    )
-                    emb[s, : cnt * n] = art.chunk_emb[src]
+                    src = (
+                        starts_all[idxs][None, :] + np.arange(n)[:, None]
+                    )  # (n, cnt)
+                    emb[s, :, :cnt] = art.chunk_emb[src]
                     valid[s, :cnt] = True
                     bstart[s, :cnt] = starts_all[idxs]
                     gperm[s, off : off + cnt] = idxs
@@ -317,7 +318,7 @@ def _sharded_hybrid_fn(
     use_pallas: bool = False,
     interpret: bool = False,
     udedup: bool = False,
-    udedup_acc: bool = True,
+    udedup_variant: str = None,
 ):
     """Per-shard hybrid ranking under shard_map (bucketed dense stage).
 
@@ -373,7 +374,7 @@ def _sharded_hybrid_fn(
                 q1,
                 w_loc,
                 interpret=interpret,
-                acc=udedup_acc,
+                variant=udedup_variant or "sublane",
             )
         elif use_pallas:
             bm = bm25_score_slots(
@@ -422,7 +423,10 @@ def _sharded_hybrid_fn(
         # the per-bucket math is ops.bucket_doc_stats/fused_scores_from_stats
         # — the EXACT functions the single-chip tail runs, so the paths
         # cannot drift; only the extrema reduction crosses shards.
-        stats = ops.bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec)
+        stats = ops.bucket_doc_stats(
+            buckets, bucket_emb, bucket_valid, qvec,
+            use_pallas=use_pallas, interpret=interpret,
+        )
         lo_l, hi_l = ops.stats_pool_extrema(stats, cand_mask, buckets)
         lo_c = lax.pmin(lo_l, axis)[:, None]  # reference normalizes
         hi_c = lax.pmax(hi_l, axis)[:, None]  # over the GLOBAL pool
@@ -495,7 +499,7 @@ class ShardedEngineBackend:
         self._ranker = self._build_ranker(udedup=False)
         self._ranker_ud = {}  # per-variant, built lazily on first dispatch
 
-    def _build_ranker(self, udedup: bool, udedup_acc: bool = True):
+    def _build_ranker(self, udedup: bool, udedup_variant: str = None):
         from jax import shard_map
 
         s = self.sidx
@@ -508,7 +512,7 @@ class ShardedEngineBackend:
             use_pallas=self.use_pallas,
             interpret=self._interpret,
             udedup=udedup,
-            udedup_acc=udedup_acc,
+            udedup_variant=udedup_variant,
         )
         nb = len(s.buckets)
         nc = len(s.slot_terms)
@@ -566,7 +570,7 @@ class ShardedEngineBackend:
                 nnz=int(s.post_docs.shape[1]),
             )
             if self.cfg.bm25_udedup == "always" and plan is None:
-                plan = "acc"
+                plan = "sublane"
             if plan is not None:
                 uids, w = dedup_query_terms(term_ids, qtf)
                 # [B, 2, U]: dp batch-splitting stays a leading-axis split
@@ -576,7 +580,7 @@ class ShardedEngineBackend:
             B, (q2, qvec) = self._pad_dp(q2, np.asarray(qvec))
             if plan not in self._ranker_ud:  # jit re-specializes per shape
                 self._ranker_ud[plan] = self._build_ranker(
-                    udedup=True, udedup_acc=plan == "acc"
+                    udedup=True, udedup_variant=plan
                 )
             ranker = self._ranker_ud[plan]
             q1_spec = P()

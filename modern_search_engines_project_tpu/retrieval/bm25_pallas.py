@@ -263,6 +263,96 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     out_ref[:] += acc
 
 
+def _kernel_slots_udedup_i8(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+    """int8 twin of _kernel_slots_udedup: the match matrix is 0/1 and the
+    weight rows are small integers (qtf <= T, presence 0/1), so the
+    weight-recovery matmul runs s8 x s8 -> s32 on the MXU — 2x the bf16
+    rate on v5e — and stays EXACT (integer arithmetic, f32 conversion of
+    magnitudes << 2^24)."""
+    j = pl.program_id(1)
+    B2, U = w_ref.shape
+    RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
+    w_i8 = w_ref[:].astype(jnp.int8)
+    uids = uids_ref[:]
+
+    def tile(i, acc):
+        tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS)
+        ir = impact_ref[0, pl.ds(i * SUB, SUB), :]
+        for s in range(SUB):
+            mu = (uids == tr[s : s + 1, :]).astype(jnp.int8)  # (U, COLS)
+            mw = jnp.dot(w_i8, mu, preferred_element_type=jnp.int32)
+            contrib = jnp.concatenate(
+                [
+                    mw[: B2 // 2].astype(jnp.float32) * ir[s : s + 1, :],
+                    (mw[B2 // 2 :] > 0).astype(jnp.float32),
+                ],
+                axis=0,
+            )
+            acc = acc + contrib
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, RC // SUB, tile, jnp.zeros((B2, COLS), jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+def _kernel_slots_udedup_wide(
+    w_ref, uids_ref, terms_ref, impact_ref, out_ref, *, i8: bool
+):
+    """Column-concatenated variant: the 8 per-sublane (2B,U)@(U,COLS)
+    matmuls of one tile fuse into ONE (2B,U)@(U,8*COLS) matmul — same
+    FLOPs, 8x larger N dimension for MXU utilization.  The presence
+    channel sums raw match counts across sublanes (>=0; the consumer only
+    tests > 0, so summing counts instead of per-sublane booleans is
+    equivalent).  i8=True additionally runs the matmul s8 x s8 -> s32
+    (exact, see _kernel_slots_udedup_i8)."""
+    j = pl.program_id(1)
+    B2, U = w_ref.shape
+    B = B2 // 2
+    RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
+    dt = jnp.int8 if i8 else jnp.bfloat16
+    pt = jnp.int32 if i8 else jnp.float32
+    w_c = w_ref[:].astype(dt)
+    uids = uids_ref[:]
+
+    def tile(i, carry):
+        sc, pc = carry
+        tr = terms_ref[0, pl.ds(i * SUB, SUB), :]  # (8, COLS)
+        ir = impact_ref[0, pl.ds(i * SUB, SUB), :]
+        MU = jnp.concatenate(
+            [(uids == tr[s : s + 1, :]).astype(dt) for s in range(SUB)],
+            axis=1,
+        )  # (U, 8*COLS)
+        mw = jnp.dot(w_c, MU, preferred_element_type=pt)  # (2B, 8*COLS)
+        for s in range(SUB):
+            blk = mw[:, s * COLS : (s + 1) * COLS]
+            sc = sc + blk[:B].astype(jnp.float32) * ir[s : s + 1, :]
+            pc = pc + blk[B:].astype(jnp.float32)
+        return sc, pc
+
+    sc, pc = jax.lax.fori_loop(
+        0,
+        RC // SUB,
+        tile,
+        (
+            jnp.zeros((B, COLS), jnp.float32),
+            jnp.zeros((B, COLS), jnp.float32),
+        ),
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.concatenate([sc, (pc > 0).astype(jnp.float32)], axis=0)
+
+
 def _kernel_slots_udedup_acc(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     """Traffic-restructured U-dedup slot step: instead of a per-sublane
     (2B,U)@(U,COLS) matmul + elementwise chain (whose VMEM read-modify-
@@ -359,44 +449,39 @@ def _auto_posting_chunk(p_blk: int) -> int:
 
 
 def udedup_plan(u_pad: int, B: int, nnz=None):
-    """Measured v5e dispatch gate, refit round 3 across TWO corpus shapes
-    (``bench_kernels.py gate_fit`` at 20k docs / 1.6M postings AND 100k
-    docs / 8M postings — VERDICT r2 #10; the round-2 constants were fit
-    at one shape and mispredicted half the cells):
+    """Measured v5e dispatch gate, refit round 4 with FLOOR-CORRECTED
+    cells (``bench_kernels.py gate_fit``: every cell at n_scan=32 with a
+    trivial-kernel floor row subtracted — the round-2/3 fits ran n_scan=16
+    uncorrected, so ~2.2 ms of tunnel RTT sat in every cell and produced
+    the acc-at-small-shapes artifact, now retired).
 
-        100k/8M (ms):  plain  b1 2.29 / b16 5.40 / b64 17.55
-                       matmul b16: 3.97@U128 4.07@256 4.48@512 6.81@1024
-                              b64: 5.40@U128 6.29@256 9.20@512 15.19@1024
-                       acc    b16: 5.53@U128 .. 28.5@1024
-                              b64: 5.69@U128 .. 30.3@1024
-        20k/1.6M (ms): plain  b1 1.41 / b16 3.30 / b64 8.57
-                       matmul b16 ~2.9-3.6 all U; b64 3.0@128 .. 5.0@1024
-                       acc    within noise of matmul at U<=256, worse above
+    Fresh true times (tools/micro_kernel.py + gate_fit matrices in
+    docs/gate_fit_*.json):
 
-    Decision boundaries (every pick within ~10% of the measured per-cell
-    winner at BOTH shapes — enforced by tests/test_dispatch_gate.py
-    against the committed docs/gate_fit_*.json matrices):
-      * B >= 32: the per-sublane matmul variant wins up to U=1024
-        (crossover vs plain extrapolates to ~U1100-1200);
-      * 8 <= B < 32: matmul wins up to U=512; at U1024 plain ties/wins —
-        EXCEPT small corpora (nnz < ~4M postings) at U<=128 where the
-        X/P-accumulator variant wins (20k shape: acc 3.06 ms vs matmul
-        3.61 — matmul's (2B,U)@(U,pcL) weight-recovery cost doesn't
-        amortize when the streaming pass itself is short);
-      * B < 8: plain always (its cost is ~linear in B, neither U-dedup
-        variant's base cost is worth one or two queries).
-    ``nnz`` is the CHIP-LOCAL posting count (per-shard on meshes); the
-    one shape-dependent cell above is its only use, so callers without a
-    handy count may omit it and get the large-corpus boundary.
+        100k/8M  b64 U256: sublane 3.77 / acc 6.33 / i8 2.71 /
+                           wide_i8 2.64 / plain 7.87
+        20k/1.6M b16 U128: sublane 0.20 / acc 0.63 / i8 0.30 /
+                           wide_i8 0.31 / plain 0.37
 
-    Returns "matmul", "acc", or None (plain per-query kernel).
+    Decision boundaries (every pick within ~10%+0.05ms of the measured
+    per-cell winner — enforced by tests/test_dispatch_gate.py):
+      * B >= 32: "wide_i8" — the column-concatenated s8xs8->s32 kernel;
+        the match-recovery matmul is MXU-bound there and int8 doubles the
+        MXU rate (exact: integer arithmetic, see the kernel docstring);
+      * 8 <= B < 32: "sublane" (bf16 per-sublane matmul) up to U=512 —
+        at small batches the kernel is stream-bound, variants tie within
+        noise, and sublane measured (just) fastest;
+      * B < 8: None (plain per-query kernel; neither U-dedup variant's
+        base cost is worth one or two queries).
+    ``nnz`` (the CHIP-LOCAL posting count) no longer changes any pick but
+    stays in the signature for callers that pass it.
+
+    Returns a bm25_score_slots_udedup ``variant`` name or None (plain).
     """
     if B >= 32 and u_pad <= 1024:
-        return "matmul"
+        return "wide_i8"
     if B >= 8 and u_pad <= 512:
-        if u_pad <= 128 and nnz is not None and nnz < 4_000_000:
-            return "acc"
-        return "matmul"
+        return "sublane"
     return None
 
 
@@ -659,7 +744,16 @@ def bm25_score_slots(
     return _slots_key(full, col_unperm, B)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "acc"))
+_UDEDUP_KERNELS = {
+    "sublane": _kernel_slots_udedup,
+    "acc": _kernel_slots_udedup_acc,
+    "i8": _kernel_slots_udedup_i8,
+    "wide": functools.partial(_kernel_slots_udedup_wide, i8=False),
+    "wide_i8": functools.partial(_kernel_slots_udedup_wide, i8=True),
+}
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "acc", "variant"))
 def bm25_score_slots_udedup(
     slot_terms: tuple,
     slot_impact: tuple,
@@ -669,16 +763,19 @@ def bm25_score_slots_udedup(
     *,
     interpret: bool = False,
     acc: bool = True,
+    variant: str = None,
 ) -> jnp.ndarray:
     """U-dedup variant of bm25_score_slots (same contract): postings match
     the batch's distinct terms once; per-query weights are recovered by
-    matmul.  acc=True (default) uses the X/P-accumulator kernel (matmuls
-    once per grid step); acc=False keeps the per-sublane-matmul variant
-    for A/B."""
+    matmul.  ``variant`` picks the kernel (_UDEDUP_KERNELS); when None the
+    legacy ``acc`` flag maps True->"acc", False->"sublane".  All variants
+    are EXACT (f32 or integer accumulation; see each kernel's docstring)."""
     B = w.shape[0] // 2
     U = uids.shape[0]
+    if variant is None:
+        variant = "acc" if acc else "sublane"
     full = _slots_call(
-        _kernel_slots_udedup_acc if acc else _kernel_slots_udedup,
+        _UDEDUP_KERNELS[variant],
         (w, uids.reshape(U, 1)),
         slot_terms,
         slot_impact,

@@ -262,7 +262,7 @@ class DeviceIndex:
     # lax.top_k — the segment/scatter formulation costs minutes of (remote)
     # TPU compile time and serialized runtime.
     buckets: tuple  # ((n, cnt_pad), ...) static structure
-    bucket_emb: tuple  # per bucket: bank_dtype [cnt_pad * n, dim]
+    bucket_emb: tuple  # per bucket: bank_dtype [n, cnt_pad, dim] slot-major
     bucket_valid: tuple  # per bucket: bool [cnt_pad] (real doc?)
     bucket_start: tuple  # per bucket: int32 [cnt_pad] packed chunk start
     doc_perm: Optional[np.ndarray]  # host: new doc idx -> artifact doc idx
@@ -354,7 +354,11 @@ class DeviceIndex:
                                     DOC_BLOCK)
                     for n in distinct
                 ]
-            pads = [_round_up(max(len(ix), 8), 8) for ix in idxs_per]
+            # 128-aligned bucket capacities: the fused stats kernel tiles
+            # doc columns in 128-lane multiples (Mosaic block rule); waste
+            # is <= 127 pad docs x n rows per bucket (~2% of the bank at
+            # the 100k shape)
+            pads = [_round_up(max(len(ix), 8), 128) for ix in idxs_per]
             # make the concatenated doc axis a DOC_BLOCK multiple; absorb
             # the rounding in the SMALLEST-stride bucket so pad slots cost
             # `delta * min(n)` bank rows, not `delta * max(n)`
@@ -362,22 +366,32 @@ class DeviceIndex:
             pads[0] += max(_round_up(total, DOC_BLOCK), DOC_BLOCK) - total
             for n, idxs, cnt_pad in zip(distinct, idxs_per, pads):
                 cnt = len(idxs)
-                emb = np.zeros((cnt_pad * n, dim), np.float32)
+                # SLOT-MAJOR bank [n, cnt_pad, dim]: slot s of every doc is
+                # a contiguous (cnt_pad, dim) plane, so the per-doc top-2
+                # streams one MXU matmul per slot with no strided reads —
+                # both the XLA einsum path and the Pallas stats kernel
+                # consume this layout directly
+                emb = np.zeros((n, cnt_pad, dim), np.float32)
                 valid = np.zeros(cnt_pad, bool)
                 bstart = np.zeros(cnt_pad, np.int32)
                 if cnt:
                     src = (
-                        np.repeat(starts_all[idxs], n)
-                        + np.tile(np.arange(n), cnt)
-                    )
-                    emb[: cnt * n] = art.chunk_emb[src]
+                        starts_all[idxs][None, :]
+                        + np.arange(n)[:, None]
+                    )  # (n, cnt)
+                    emb[:, :cnt] = art.chunk_emb[src]
                     valid[:cnt] = True
                     bstart[:cnt] = starts_all[idxs]
                 buckets.append((int(n), int(cnt_pad)))
                 if bank_dtype == "int8":
-                    q8, inv = quantize_bank_int8(emb)
+                    q8, inv = quantize_bank_int8(
+                        emb.reshape(n * cnt_pad, dim)
+                    )
                     bucket_emb_l.append(
-                        (jnp.asarray(q8), jnp.asarray(inv))
+                        (
+                            jnp.asarray(q8.reshape(n, cnt_pad, dim)),
+                            jnp.asarray(inv.reshape(n, cnt_pad)),
+                        )
                     )
                 else:
                     bucket_emb_l.append(jnp.asarray(emb, bank_dtype))

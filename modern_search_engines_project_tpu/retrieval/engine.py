@@ -169,7 +169,7 @@ class SearchEngine:
             # U-dedup path (tests / unusual workloads).
             plan = udedup_plan(u_pad, B, nnz=d.nnz)
             if self.cfg.bm25_udedup == "always" and plan is None:
-                plan = "acc"
+                plan = "sublane"
             if plan is not None:
                 uids, w = dedup_query_terms(term_ids, qtf)
                 return ops.hybrid_rank_slots_udedup(
@@ -188,7 +188,7 @@ class SearchEngine:
                     buckets=d.buckets,
                     interpret=self._pallas_interpret,
                     approx=self._approx,
-                    acc=plan == "acc",
+                    variant=plan,
                 )
         if use_slots:
             return ops.hybrid_rank_slots(

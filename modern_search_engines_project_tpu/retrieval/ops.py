@@ -182,7 +182,10 @@ def topk_blockmax(scores: jnp.ndarray, k: int, block: int = 4):
     s3 = scores.reshape(B, nb, block)
     bmax = jnp.max(s3, axis=2)
     nblk = min(k, nb)
-    _, bidx = lax.top_k(bmax, nblk)
+    # recurse on the block-max ranking while it is still large: the
+    # recursive call is itself an exact lax.top_k drop-in, so tie order
+    # (value desc, block idx asc) is preserved at every level
+    _, bidx = topk_blockmax(bmax, nblk, block)
     # contiguous-slice row gather: 3x cheaper than an elementwise flat
     # take of the same k*G values (0.6 vs 1.9 ms at [64,100k] k=1000)
     dvals = jnp.take_along_axis(s3, bidx[:, :, None], axis=1).reshape(
@@ -489,10 +492,12 @@ def dense_rank(
 
 
 def _bucket_sims(qvec, emb, cnt: int, n: int):
-    """Query x bucket-bank similarities.  ``emb`` is either a dense
-    [cnt*n, dim] bank, or an int8 pair (q8, inv_scale) from
-    device_index.quantize_bank_int8 — then the query is symmetrically
-    quantized per row and the dot runs s8 x s8 -> s32 on the MXU."""
+    """Query x bucket-bank similarities -> [B, n, cnt].  ``emb`` is either
+    a dense SLOT-MAJOR [n, cnt, dim] bank, or an int8 pair (q8 [n,cnt,dim],
+    inv_scale [n,cnt]) from device_index.quantize_bank_int8 — then the
+    query is symmetrically quantized per row and the dot runs
+    s8 x s8 -> s32 on the MXU.  Slot-major output: slot s of every doc is
+    a contiguous plane, so per-doc streaming reductions slice axis 1."""
     B = qvec.shape[0]
     if isinstance(emb, tuple):
         q8, inv = emb
@@ -501,88 +506,19 @@ def _bucket_sims(qvec, emb, cnt: int, n: int):
         qi = jnp.clip(
             jnp.round(qvec / qm * 127.0), -127, 127
         ).astype(jnp.int8)
-        raw = jnp.dot(qi, q8.T, preferred_element_type=jnp.int32)
-        sims = raw.astype(jnp.float32) * (qm / 127.0) * inv[None, :]
-        return sims.reshape(B, cnt, n)
-    return jnp.dot(
-        qvec.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
-    ).reshape(B, cnt, n)
-
-
-def bucket_pool_extrema(buckets, bucket_emb, bucket_valid, qvec, cand_mask):
-    """Pass 1: masked cosine extrema over the candidate pool -> (lo, hi)
-    each [B] (sims are transient — recomputed in pass 2, see
-    _hybrid_tail_buckets memory note)."""
-    lo_parts, hi_parts = [], []
-    off = 0
-    for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-        sims = _bucket_sims(qvec, emb, cnt, n)
-        mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-        lo_parts.append(jnp.min(jnp.where(mask3, sims, jnp.inf), axis=(1, 2)))
-        hi_parts.append(
-            jnp.max(jnp.where(mask3, sims, -jnp.inf), axis=(1, 2))
+        raw = jnp.einsum(
+            "bd,ncd->bnc", qi, q8, preferred_element_type=jnp.int32
         )
-        off += cnt
-    return (
-        jnp.min(jnp.stack(lo_parts), axis=0),
-        jnp.max(jnp.stack(hi_parts), axis=0),
-    )
-
-
-def bucket_fused_scores(
-    buckets,
-    bucket_emb,
-    bucket_valid,
-    bucket_start,
-    qvec,
-    cand_mask,
-    old_dense,
-    lo_c,
-    hi_c,
-    smoothing: float,
-):
-    """Pass 2: normalize/fuse/per-doc-top-2/positional over every bucket
-    -> (doc_score [B, sum cnt], win_gid [B, sum cnt]).  lo_c/hi_c are the
-    candidate-pool extrema ([B,1,1]), global across shards in SPMD use."""
-    den_c = hi_c - lo_c
-    score_parts, win_parts = [], []
-    off = 0
-    for (n, cnt), emb, dvalid, bstart in zip(
-        buckets, bucket_emb, bucket_valid, bucket_start
-    ):
-        sims = _bucket_sims(qvec, emb, cnt, n)
-        mask3 = cand_mask[:, off : off + cnt, None] & dvalid[None, :, None]
-        new_norm = jnp.where(
-            mask3 & (den_c > 0),
-            (sims - lo_c) / jnp.where(den_c > 0, den_c, 1.0),
-            0.0,
+        return (
+            raw.astype(jnp.float32)
+            * (qm[:, :, None] / 127.0)
+            * inv[None, :, :]
         )
-        fused = jnp.where(
-            mask3,
-            new_norm * (1.0 - smoothing)
-            + old_dense[:, off : off + cnt, None] * smoothing,
-            -jnp.inf,
-        )
-        if n == 1:
-            doc_score = fused[..., 0]
-            win_slot = jnp.zeros_like(doc_score, dtype=jnp.int32)
-        else:
-            top2_vals, top2_idx = lax.top_k(fused, 2)
-            m1 = top2_vals[..., 0]
-            w1s = top2_idx[..., 0].astype(jnp.int32)
-            m2 = top2_vals[..., 1]
-            w2s = top2_idx[..., 1].astype(jnp.int32)
-            ratio = w1s.astype(jnp.float32) / jnp.float32(n - 1)
-            adj = 0.10 - (0.10 + 0.05) * ratio
-            m1_adj = jnp.clip(m1 + adj, 0.0, 1.0)
-            doc_score = jnp.maximum(m1_adj, m2)
-            win_slot = jnp.where(m1_adj >= m2, w1s, w2s)
-        score_parts.append(doc_score)
-        win_parts.append(bstart[None, :] + win_slot)
-        off += cnt
-    return (
-        jnp.concatenate(score_parts, axis=1),
-        jnp.concatenate(win_parts, axis=1),
+    return jnp.einsum(
+        "bd,ncd->bnc",
+        qvec.astype(emb.dtype),
+        emb,
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -656,7 +592,10 @@ def dense_candidates_from_topk(bm, top_vals, n_docs_pad: int, n_valid=None):
     return cand_mask, old_dense, old_norm, valid_c
 
 
-def bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec):
+def bucket_doc_stats(
+    buckets, bucket_emb, bucket_valid, qvec,
+    use_pallas: bool = False, interpret: bool = False,
+):
     """ONE dense pass over the chunk bank -> per-doc raw-sim statistics.
 
     Replaces the two-pass extrema+fused structure (each pass re-read the
@@ -672,9 +611,18 @@ def bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec):
     """
     stats = []
     for (n, cnt), emb, dvalid in zip(buckets, bucket_emb, bucket_valid):
-        sims = _bucket_sims(qvec, emb, cnt, n)  # (B, cnt, n)
+        if use_pallas and not isinstance(emb, tuple):
+            # fused matmul + streaming-top-2 kernel: sims never leave VMEM
+            # (dense_pallas; int8 pair banks keep the XLA path)
+            from modern_search_engines_project_tpu.retrieval.dense_pallas import (
+                bucket_stats_pallas,
+            )
+
+            stats.append(bucket_stats_pallas(emb, qvec, interpret=interpret))
+            continue
+        sims = _bucket_sims(qvec, emb, cnt, n)  # (B, n, cnt) slot-major
         if n == 1:
-            v1 = sims[..., 0]
+            v1 = sims[:, 0, :]
             zi = jnp.zeros_like(v1, dtype=jnp.int32)
             stats.append((v1, v1, zi, zi, v1))
         else:
@@ -684,13 +632,13 @@ def bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec):
             # the 100k shape (tools/micro_stats.py).  Strict > keeps the
             # LOWEST slot on ties — identical to argmax/top_k tie order
             # (a duplicate of the max still lands in v2 via the is2 arm).
-            v1 = sims[..., 0]
+            v1 = sims[:, 0, :]
             w1 = jnp.zeros_like(v1, dtype=jnp.int32)
             v2 = jnp.full_like(v1, -jnp.inf)
             w2 = jnp.zeros_like(v1, dtype=jnp.int32)
             vm = v1
             for s in range(1, n):
-                x = sims[..., s]
+                x = sims[:, s, :]
                 is1 = x > v1
                 is2 = (~is1) & (x > v2)
                 v2 = jnp.where(is1, v1, jnp.where(is2, x, v2))
@@ -783,10 +731,10 @@ def bucket_dense_best(buckets, bucket_emb, bucket_valid, bucket_start, qvec):
         buckets, bucket_emb, bucket_valid, bucket_start
     ):
         sims = jnp.where(
-            dv[None, :, None], _bucket_sims(qvec, emb, cnt, n), -jnp.inf
-        )
-        score_parts.append(jnp.max(sims, axis=2))
-        slot = jnp.argmax(sims, axis=2).astype(jnp.int32)
+            dv[None, None, :], _bucket_sims(qvec, emb, cnt, n), -jnp.inf
+        )  # (B, n, cnt)
+        score_parts.append(jnp.max(sims, axis=1))
+        slot = jnp.argmax(sims, axis=1).astype(jnp.int32)
         win_parts.append(bs[None, :] + slot)
     return (
         jnp.concatenate(score_parts, axis=1),
@@ -820,7 +768,10 @@ def dense_rank_buckets(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_docs_pad", "k_ret", "smoothing", "buckets", "approx"),
+    static_argnames=(
+        "n_docs_pad", "k_ret", "smoothing", "buckets", "approx",
+        "stats_pallas", "interpret",
+    ),
 )
 def _hybrid_tail_buckets(
     bm,
@@ -834,6 +785,8 @@ def _hybrid_tail_buckets(
     smoothing: float,
     buckets,
     approx: bool = False,
+    stats_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Stages 2+3 over the bucketed exact-stride layout.
 
@@ -863,11 +816,10 @@ def _hybrid_tail_buckets(
     # (the two-pass extrema+fused structure re-read the full chunk bank
     # twice: 3.4 + 2.1 ms/batch-64 at 100k docs; the one-pass form reads it
     # once and never materializes [B, n_chunks] between passes)
-    stats = bucket_doc_stats(buckets, bucket_emb, bucket_valid, qvec)
-    # materialize the per-doc stats once: extrema AND fused math consume
-    # them, and without the barrier XLA re-derives the full bucket pass
-    # per consumer (composed tail measured ~2x the sum of its parts)
-    stats = jax.lax.optimization_barrier(stats)
+    stats = bucket_doc_stats(
+        buckets, bucket_emb, bucket_valid, qvec,
+        use_pallas=stats_pallas, interpret=interpret,
+    )
     lo, hi = stats_pool_extrema(stats, cand_mask, buckets)
     doc_score, win = fused_scores_from_stats(
         buckets,
@@ -928,6 +880,8 @@ def hybrid_rank_buckets(
         smoothing=smoothing,
         buckets=buckets,
         approx=approx,
+        stats_pallas=True,
+        interpret=interpret,
     )
 
 
@@ -978,6 +932,8 @@ def hybrid_rank_buckets_udedup(
         smoothing=smoothing,
         buckets=buckets,
         approx=approx,
+        stats_pallas=True,
+        interpret=interpret,
     )
 
 
@@ -1026,6 +982,8 @@ def hybrid_rank_slots(
         smoothing=smoothing,
         buckets=buckets,
         approx=approx,
+        stats_pallas=True,
+        interpret=interpret,
     )
 
 
@@ -1047,9 +1005,11 @@ def hybrid_rank_slots_udedup(
     interpret: bool = False,
     approx: bool = False,
     acc: bool = True,
+    variant: str = None,
 ):
     """hybrid_rank_slots with the U-dedup front end (shared-term batches).
-    ``acc`` picks the kernel variant (bm25_pallas.udedup_plan)."""
+    ``variant`` picks the kernel (bm25_pallas.udedup_plan); the legacy
+    ``acc`` flag applies only when variant is None."""
     from modern_search_engines_project_tpu.retrieval.bm25_pallas import (
         bm25_score_slots_udedup,
     )
@@ -1062,6 +1022,7 @@ def hybrid_rank_slots_udedup(
         w,
         interpret=interpret,
         acc=acc,
+        variant=variant,
     )
     return _hybrid_tail_buckets(
         bm,
@@ -1074,6 +1035,8 @@ def hybrid_rank_slots_udedup(
         smoothing=smoothing,
         buckets=buckets,
         approx=approx,
+        stats_pallas=True,
+        interpret=interpret,
     )
 
 

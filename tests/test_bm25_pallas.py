@@ -408,3 +408,41 @@ class TestBuildUnusedLayout:
                 assert a.doc_id == b.doc_id or abs(
                     a.similarity_score - b.similarity_score
                 ) < 1e-4, q
+
+
+class TestDenseStatsKernel:
+    def test_stats_kernel_matches_xla_path(self):
+        """The fused dense-stats kernel (dense_pallas.bucket_stats_pallas,
+        interpret mode) must match ops.bucket_doc_stats' XLA formulation
+        on every output, including tie handling."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from modern_search_engines_project_tpu.retrieval import ops
+        from modern_search_engines_project_tpu.retrieval.dense_pallas import (
+            bucket_stats_pallas,
+        )
+
+        rng = np.random.default_rng(5)
+        B, dim = 8, 64
+        qv = jnp.asarray(rng.standard_normal((B, dim)), jnp.float32)
+        buckets = ((1, 16), (3, 24), (5, 8))
+        emb = []
+        for n, cnt in buckets:
+            e = rng.standard_normal((n, cnt, dim)).astype(np.float32)
+            # force exact ties between slots of some docs
+            if n > 1:
+                e[1, :4] = e[0, :4]
+            emb.append(jnp.asarray(e))
+        valid = tuple(jnp.ones(c, bool) for _, c in buckets)
+
+        ref = ops.bucket_doc_stats(buckets, tuple(emb), valid, qv)
+        for (n, cnt), e, r in zip(buckets, emb, ref):
+            got = bucket_stats_pallas(e, qv, interpret=True)
+            for a, b, name in zip(
+                got, r, ("v1", "v2", "w1", "w2", "vmin")
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                    err_msg=f"n={n} {name}",
+                )

@@ -91,13 +91,13 @@ def main():
     buckets = didx.buckets
     Dp = didx.n_docs_pad
     smoothing = cfg.smoothing
-    acc = plan == "acc"
+    variant = plan
 
     # fixed realistic intermediates for tail-only stages
     tid0, qw0, qv0 = batches[0]
     uids0, w0 = dedup_query_terms_device(tid0, qw0, u_pad)
     bm0 = bm25_score_slots_udedup(
-        didx.slot_terms, didx.slot_impact, didx.col_unperm, uids0, w0, acc=acc
+        didx.slot_terms, didx.slot_impact, didx.col_unperm, uids0, w0, variant=variant
     )
     bm0 = jax.device_put(np.asarray(bm0))
     tv0, ti0 = lax.top_k(bm0[:, :Dp], k_eff)
@@ -144,7 +144,7 @@ def main():
         o = ops.hybrid_rank_slots_udedup(
             *sa, uids, w, qv,
             n_docs_pad=Dp, k_ret=k_eff, smoothing=smoothing,
-            buckets=buckets, acc=acc,
+            buckets=buckets, variant=variant,
         )
         return jnp.sum(o[0][:, 0])
 
@@ -158,14 +158,14 @@ def main():
 
     def body_bm(tid, qw, qv, sa, ex):
         uids, w = dedup_query_terms_device(tid, qw, u_pad)
-        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, acc=acc)
+        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, variant=variant)
         return jnp.sum(bm[:, 0])
 
     results["prep_bm25"] = scan_time("prep + BM25 kernel", body_bm)
 
     def body_bmtk(tid, qw, qv, sa, ex):
         uids, w = dedup_query_terms_device(tid, qw, u_pad)
-        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, acc=acc)
+        bm = bm25_score_slots_udedup(sa[0], sa[1], sa[2], uids, w, variant=variant)
         tv, ti = lax.top_k(bm[:, :Dp], k_eff)
         return jnp.sum(tv[:, 0]) + jnp.sum(ti[:, 0].astype(jnp.float32))
 
@@ -204,26 +204,6 @@ def main():
         "scatter mask alone [fixed topk]", body_scatter, (tv0, ti0)
     )
 
-    def body_densex(tid, qw, qv, sa, ex):
-        lo, hi = ops.bucket_pool_extrema(buckets, sa[3], sa[4], qv, ex[0])
-        return jnp.sum(lo) + jnp.sum(hi)
-
-    results["dense_extrema"] = scan_time(
-        "dense pass1 (extrema)", body_densex, (cand_mask0,)
-    )
-
-    def body_densef(tid, qw, qv, sa, ex):
-        lo = jnp.full((B,), -1.0)
-        hi = jnp.full((B,), 1.0)
-        ds, win = ops.bucket_fused_scores(
-            buckets, sa[3], sa[4], sa[5], qv, ex[0], ex[1],
-            lo[:, None, None], hi[:, None, None], smoothing,
-        )
-        return jnp.sum(ds[:, 0]) + jnp.sum(win[:, 0].astype(jnp.float32))
-
-    results["dense_fused"] = scan_time(
-        "dense pass2 (fused)", body_densef, (cand_mask0, old_dense0)
-    )
 
     def body_tail(tid, qw, qv, sa, ex):
         bm = ex[0] + qv[0, 0] * 1e-9
@@ -251,9 +231,14 @@ def main():
     )
 
     def body_stats(tid, qw, qv, sa, ex):
+        # consume ALL five outputs — reading only (v1, vmin) lets XLA
+        # dead-code-eliminate the v2/w1/w2 computation and under-report
         stats = ops.bucket_doc_stats(buckets, sa[3], sa[4], qv)
         return sum(
-            jnp.sum(s[0][:, 0]) + jnp.sum(s[4][:, 0]) for s in stats
+            jnp.sum(s[0][:, 0]) + jnp.sum(s[1][:, 0]) + jnp.sum(s[4][:, 0])
+            + jnp.sum(s[2][:, 0].astype(jnp.float32))
+            + jnp.sum(s[3][:, 0].astype(jnp.float32))
+            for s in stats
         )
 
     results["doc_stats_new"] = scan_time(

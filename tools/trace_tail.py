@@ -67,7 +67,7 @@ def main():
     max_distinct = max(int(np.unique(np.asarray(b[0])).size) for b in batches)
     u_pad = u_pad_for(max_distinct)
     plan = udedup_plan(u_pad, B, nnz=didx.nnz)
-    acc = plan == "acc"
+    variant = plan
     TID = jnp.stack([b[0] for b in batches])
     QW = jnp.stack([b[1] for b in batches])
     QV = jnp.stack([b[2] for b in batches])
@@ -78,7 +78,7 @@ def main():
     tid0, qw0, qv0 = batches[0]
     uids0, w0 = dedup_query_terms_device(tid0, qw0, u_pad)
     bm0 = bm25_score_slots_udedup(
-        didx.slot_terms, didx.slot_impact, didx.col_unperm, uids0, w0, acc=acc
+        didx.slot_terms, didx.slot_impact, didx.col_unperm, uids0, w0, variant=variant
     )
     bm0 = jax.device_put(np.asarray(bm0))
 
@@ -104,7 +104,7 @@ def main():
             o = ops.hybrid_rank_slots_udedup(
                 *sa, uids, w, qv,
                 n_docs_pad=Dp, k_ret=k_eff, smoothing=smoothing,
-                buckets=buckets, acc=acc,
+                buckets=buckets, variant=variant,
             )
             return jnp.sum(o[0][:, 0])
 
