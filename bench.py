@@ -112,7 +112,11 @@ def make_synthetic_index(
     # gather as f16: fresh-page writes run ~130 MB/s on this single-core
     # host, so the multi-GB bank copy dominates index gen — halving the
     # bytes halves it (device converts to the bank dtype anyway; the f16
-    # round of a unit-normalized Gaussian is score-equivalent here)
+    # round of a unit-normalized Gaussian is score-equivalent here).
+    # NOTE: rows are unit-norm only to f16 precision (~1e-3) — fine for
+    # this synthetic bench where engine and oracle share the bank, but it
+    # does not meet IndexArtifacts.chunk_emb's exact-L2 contract (ADVICE
+    # r3; relevant only if a future parity check asserts exact unit norms)
     bank = base.astype(np.float16)[rng.integers(0, n_base, size=n_chunks)]
     del base
 

@@ -169,11 +169,13 @@ def mine_hn_triples(
     )
     out: List[Tuple[str, str, str]] = []
     cur_q = cur_p = None
+    mined_pairs = set()
     for q, text, label in flat:
         if label == 1.0:
             cur_q, cur_p = q, text
         else:
             out.append((cur_q, cur_p, text))
+            mined_pairs.add((cur_q, cur_p))
     # a pair whose candidate slice is all its own positive text yields no
     # negative and is silently dropped; an entirely degenerate pool (e.g.
     # one unique passage) would hand stage B an empty set — fail loudly
@@ -182,6 +184,19 @@ def mine_hn_triples(
         raise ValueError(
             "hard-negative mining produced no triples: the passage pool "
             f"({len(pool)} texts) has no non-positive candidates"
+        )
+    # partial degeneracy is quieter but still data loss: say how many
+    # pairs contributed nothing so a heavily-deduplicated corpus doesn't
+    # silently train stage B on a fraction of the data (ADVICE r3)
+    dropped = len(pairs) - len(mined_pairs)
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mine_hn_triples: %d/%d pairs yielded no mined negative "
+            "(candidate slices exhausted by duplicates/positives); "
+            "stage B trains on %d triples",
+            dropped, len(pairs), len(out),
         )
     return out
 
@@ -327,6 +342,8 @@ class Trainer:
                 "(q, p, negative-text) triples require loss='infonce_hn' "
                 f"(got {self.cfg.loss!r})"
             )
+        if not triples:
+            raise ValueError("no training examples provided (empty batch)")
         if self.cfg.loss == "infonce_hn" and not hn:
             raise ValueError(
                 "loss='infonce_hn' requires (q, p, negative-text) triples "

@@ -236,11 +236,23 @@ def main():
         }
         print(f"mined {record['mining']}", file=sys.stderr, flush=True)
         # never EXCEED the user's batch size (it may already be the OOM
-        # ceiling); the 32-floor is only a rounding guard below it
-        bs_b = args.stage_b_batch_size or min(
-            args.batch_size,
-            max(32, args.batch_size * 5 // 8 // 32 * 32),
-        )
+        # ceiling); the 32-floor is only a rounding guard below it.  An
+        # explicit --stage-b-batch-size is clamped to the same ceiling —
+        # stage B adds a third tower, so a value above the stage-A batch
+        # would bypass the OOM guard (ADVICE r3)
+        if args.stage_b_batch_size:
+            bs_b = min(args.stage_b_batch_size, args.batch_size)
+            if bs_b != args.stage_b_batch_size:
+                print(
+                    f"--stage-b-batch-size {args.stage_b_batch_size} "
+                    f"clamped to --batch-size {args.batch_size}",
+                    file=sys.stderr,
+                )
+        else:
+            bs_b = min(
+                args.batch_size,
+                max(32, args.batch_size * 5 // 8 // 32 * 32),
+            )
         tcfg_b = dataclasses.replace(
             tcfg, loss="infonce_hn", epochs=stage_b, batch_size=bs_b,
             learning_rate=lr * 0.3,  # fine-tune phase: warm params

@@ -1,0 +1,341 @@
+"""Labeled end-to-end IR evaluation on the real 100K crawled corpus.
+
+VERDICT r3 #2: the engine has only ever been scored against its own numpy
+oracle (self-referential).  This harness scores it against GROUND-TRUTH
+relevance labels: every eval query is the summary head of a documentation
+section whose body text is KNOWN to live on specific crawled pages, so
+"the page(s) containing that section" is an objective qrel set.
+
+Contamination control: eval queries come exclusively from the trained
+encoder's STRICT HELD-OUT split (tools/real_encoder.holdout_split on the
+exact committed training-pair file — every 10th eligible pair, never
+trained on; docs/real_encoder_record.json records the same split sizes).
+Qrels resolve by whitespace-normalized body-snippet containment in page
+text (multi-page hits -> multi-relevant sets; unresolvable pairs are
+dropped and counted).
+
+Conditions (each through the production surfaces):
+  * bm25          — stage-1 only (SearchEngine.bm25_search)
+  * hybrid_hash   — full hybrid via REAL HTTP /api/batch_search_file,
+                    HashingEncoder(768) (the free baseline)
+  * hybrid_trained— same surface, JaxEncoder runs/encoder-real (the
+                    committed flagship checkpoint)
+
+Metrics vs qrels: recall@10 / recall@100 (any relevant in top-k),
+MRR@10, NDCG@10 (binary relevance).
+
+Usage:
+    python tools/real_eval.py \
+        --store /tmp/real_run_100k/merged.sqlite \
+        --pairs /tmp/real_pairs3.tsv \
+        --encoder runs/encoder-real \
+        [--max-queries 1500] [--workdir /tmp/real_eval] \
+        [--conditions bm25,hybrid_hash,hybrid_trained]
+
+Writes <workdir>/real_eval_record.json and docs/REAL_EVAL.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import bisect
+import gc
+import json
+import os
+import re
+import sqlite3
+import sys
+import threading
+import time
+import urllib.request
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+_WS = re.compile(r"\s+")
+
+
+def load_pairs(path):
+    pairs = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            q, _, p = line.rstrip("\n").partition("\t")
+            pairs.append((q, p))
+    return pairs
+
+
+def resolve_qrels(store_path, held, max_queries):
+    """(query, body) -> set of relevant doc urls, via snippet containment."""
+    c = sqlite3.connect(store_path)
+    rows = c.execute("SELECT id, url, text FROM documents").fetchall()
+    c.close()
+    texts = [_WS.sub(" ", r[2]) for r in rows]
+    urls = [r[1] for r in rows]
+    big = "\x00".join(texts)
+    bounds = []
+    off = 0
+    for t in texts:
+        bounds.append(off)
+        off += len(t) + 1
+
+    def doc_of(pos):
+        return bisect.bisect_right(bounds, pos) - 1
+
+    qrels = []
+    dropped = 0
+    for q, p in held:
+        if len(qrels) >= max_queries:
+            break
+        body = _WS.sub(" ", p)
+        snip = body[20:84] if len(body) > 100 else body[:64]
+        if len(snip) < 24:
+            dropped += 1
+            continue
+        rel = set()
+        i = big.find(snip)
+        while i >= 0 and len(rel) < 8:
+            rel.add(urls[doc_of(i)])
+            i = big.find(snip, i + 1)
+        if rel:
+            qrels.append((q, sorted(rel)))
+        else:
+            dropped += 1
+    return qrels, dropped, len(rows)
+
+
+def metrics(run_urls, rel, ks=(10, 100)):
+    """run_urls: ranked urls; rel: set of relevant urls."""
+    rel = set(rel)
+    out = {}
+    for k in ks:
+        out[f"recall@{k}"] = float(any(u in rel for u in run_urls[:k]))
+    rr = 0.0
+    dcg = 0.0
+    for i, u in enumerate(run_urls[:10]):
+        if u in rel:
+            if rr == 0.0:
+                rr = 1.0 / (i + 1)
+            dcg += 1.0 / (np_log2(i + 2))
+    ideal = sum(1.0 / np_log2(i + 2) for i in range(min(len(rel), 10)))
+    out["mrr@10"] = rr
+    out["ndcg@10"] = dcg / ideal if ideal else 0.0
+    return out
+
+
+def np_log2(x):
+    import math
+
+    return math.log2(x)
+
+
+def agg(per_q):
+    n = max(len(per_q), 1)
+    keys = per_q[0].keys() if per_q else []
+    return {k: round(sum(m[k] for m in per_q) / n, 4) for k in keys}
+
+
+def build_engine(store_path, encoder_ckpt, dim=768):
+    from modern_search_engines_project_tpu.config import Config
+    from modern_search_engines_project_tpu.crawler.storage import CrawlStore
+    from modern_search_engines_project_tpu.index import Document, IndexBuilder
+    from modern_search_engines_project_tpu.models import HashingEncoder
+    from modern_search_engines_project_tpu.retrieval import SearchEngine
+
+    store = CrawlStore(store_path)
+    docs = [
+        Document(i + 1, d.url, d.title, d.text)
+        for i, d in enumerate(store.iter_documents(min_score=-1.0))
+    ]
+    if encoder_ckpt:
+        from modern_search_engines_project_tpu.models import JaxEncoder
+
+        enc = JaxEncoder.from_checkpoint(
+            encoder_ckpt, batch_size=64, max_len=128
+        )
+        cfg = Config(embedding_dim=enc.cfg.dim)
+    else:
+        enc = HashingEncoder(dim=dim)
+        cfg = Config(embedding_dim=dim)
+    t0 = time.time()
+    art = IndexBuilder(enc, cfg).build(docs)
+    build_s = time.time() - t0
+    return SearchEngine(art, enc, cfg), build_s, len(docs)
+
+
+def run_http_batch(engine, queries, workdir, tag):
+    """Serve on a real port, run /api/batch_search_file, parse results."""
+    from aiohttp import web
+
+    from modern_search_engines_project_tpu.serving.api import SearchService
+
+    qpath = os.path.join(workdir, f"queries_{tag}.txt")
+    with open(qpath, "w", encoding="utf-8") as f:
+        for qn, (q, _rel) in enumerate(queries, 1):
+            f.write(f"{qn}\t{q}\n")
+    rpath = os.path.join(workdir, f"results_{tag}.txt")
+    service = SearchService(engine, queries_path=qpath, results_path=rpath)
+
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    started = threading.Event()
+    loop_holder = {}
+
+    def run_server():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        loop_holder["loop"] = loop
+
+        async def start():
+            runner = web.AppRunner(service.build_app())
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", port)
+            await site.start()
+            started.set()
+
+        loop.run_until_complete(start())
+        loop.run_forever()
+
+    th = threading.Thread(target=run_server, daemon=True)
+    th.start()
+    started.wait(60)
+
+    t0 = time.time()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/batch_search_file",
+        data=b"{}",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=7200) as r:
+        meta = json.loads(r.read())
+    http_s = time.time() - t0
+
+    loop = loop_holder.get("loop")
+    if loop:
+        loop.call_soon_threadsafe(loop.stop)
+
+    runs = {}
+    with open(rpath, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 4:
+                continue
+            qn, rank, url = int(parts[0]), int(parts[1]), parts[2]
+            runs.setdefault(qn, []).append((rank, url))
+    ranked = {
+        qn: [u for _, u in sorted(v)] for qn, v in runs.items()
+    }
+    return ranked, http_s, meta
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", default="/tmp/real_run_100k/merged.sqlite")
+    ap.add_argument("--pairs", default="/tmp/real_pairs3.tsv")
+    ap.add_argument("--encoder", default="runs/encoder-real")
+    ap.add_argument("--max-queries", type=int, default=1500)
+    ap.add_argument("--workdir", default="/tmp/real_eval")
+    ap.add_argument(
+        "--conditions", default="bm25,hybrid_hash,hybrid_trained"
+    )
+    ap.add_argument("--holdout-every", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+    conditions = args.conditions.split(",")
+
+    from real_encoder import holdout_split
+
+    record = {"argv": sys.argv[1:], "store": args.store}
+
+    pairs = load_pairs(args.pairs)
+    train, held = holdout_split(pairs, every=args.holdout_every)
+    record["pairs"] = {
+        "total": len(pairs), "train": len(train), "held": len(held),
+    }
+    t0 = time.time()
+    qrels, dropped, n_docs = resolve_qrels(
+        args.store, held, args.max_queries
+    )
+    record["qrels"] = {
+        "resolved": len(qrels),
+        "dropped_unresolvable": dropped,
+        "multi_relevant": sum(1 for _, r in qrels if len(r) > 1),
+        "corpus_docs": n_docs,
+        "resolve_seconds": round(time.time() - t0, 1),
+    }
+    print(
+        f"qrels: {len(qrels)} labeled queries "
+        f"({record['qrels']['multi_relevant']} multi-relevant, "
+        f"{dropped} dropped) over {n_docs} docs",
+        file=sys.stderr,
+    )
+    assert len(qrels) >= 1000, "need >= 1000 labeled queries"
+
+    results = {}
+
+    # ---- hybrid conditions through the real HTTP surface -------------------
+    for tag, ckpt in (
+        ("hybrid_hash", None),
+        ("hybrid_trained", args.encoder),
+    ):
+        if tag not in conditions:
+            continue
+        print(f"[{tag}] building index...", file=sys.stderr)
+        engine, build_s, nd = build_engine(args.store, ckpt)
+        print(
+            f"[{tag}] built {nd} docs in {build_s:.0f}s; serving batch...",
+            file=sys.stderr,
+        )
+        ranked, http_s, meta = run_http_batch(
+            engine, qrels, args.workdir, tag
+        )
+        per_q = []
+        for qn, (q, rel) in enumerate(qrels, 1):
+            per_q.append(metrics(ranked.get(qn, []), rel))
+        results[tag] = {
+            **agg(per_q),
+            "build_seconds": round(build_s, 1),
+            "batch_http_seconds": round(http_s, 1),
+            "queries_returned": len(ranked),
+        }
+        print(f"[{tag}] {results[tag]}", file=sys.stderr)
+        del engine
+        gc.collect()
+
+    # ---- BM25-only (stage-1) ------------------------------------------------
+    if "bm25" in conditions:
+        print("[bm25] building hash index (postings only)...", file=sys.stderr)
+        engine, build_s, nd = build_engine(args.store, None)
+        url_of = dict(zip(engine.art.doc_ids, engine.art.urls))
+        per_q = []
+        t0 = time.time()
+        for qn, (q, rel) in enumerate(qrels, 1):
+            hits = engine.bm25_search(q, top_k=100)
+            urls_ranked = [url_of[h["doc_id"]] for h in hits]
+            per_q.append(metrics(urls_ranked, rel))
+        results["bm25"] = {
+            **agg(per_q),
+            "build_seconds": round(build_s, 1),
+            "rank_seconds": round(time.time() - t0, 1),
+        }
+        print(f"[bm25] {results['bm25']}", file=sys.stderr)
+        del engine
+        gc.collect()
+
+    record["results"] = results
+    out = os.path.join(args.workdir, "real_eval_record.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record["results"], indent=1))
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
