@@ -196,10 +196,13 @@ def main():
     parser.add_argument("--query-cache", type=int, default=1024,
                         help="LRU size for (query, top_k) result caching "
                              "(0 disables; cleared on /api/reload)")
-    parser.add_argument("--warmup", action="store_true",
+    parser.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="compile the hot query shapes before serving "
                              "(first-request compiles take tens of seconds "
-                             "on a cold TPU)")
+                             "on a cold TPU; DEFAULT ON — a cold-start p99 "
+                             "of seconds is a serving bug, VERDICT r3 #5; "
+                             "--no-warmup for fast dev restarts)")
     parser.add_argument("--admin-token", default=None,
                         help="require X-Admin-Token on /api/reload and "
                              "/api/profile (default: open, like the "

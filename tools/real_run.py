@@ -229,6 +229,13 @@ def phase_serve_and_batch(args, record, art, enc, cfg, queries):
 
     engine = SearchEngine(art, enc, cfg)
     record["device"] = {"backend": jax.default_backend()}
+    # compile the hot query shapes BEFORE any timed request: the round-3
+    # run recorded a 5.0 s "online query" that was really the batch-1
+    # first-compile (VERDICT r3 #5)
+    t0 = time.time()
+    n_warm = engine.warmup()
+    record["device"]["warmup_calls"] = n_warm
+    record["device"]["warmup_seconds"] = round(time.time() - t0, 1)
 
     qpath = os.path.join(args.workdir, "queries.txt")
     with open(qpath, "w", encoding="utf-8") as f:
@@ -288,6 +295,20 @@ def phase_serve_and_batch(args, record, art, enc, cfg, queries):
     record["serve"]["online_query_seconds"] = round(time.time() - t0, 3)
     record["serve"]["online_top_url"] = (
         one["documents"][0]["url"] if one["documents"] else None
+    )
+    # warm repeat with a DIFFERENT query (dodges the result cache): the
+    # steady-state online latency the deployment actually sees
+    q2 = queries[1][1] if len(queries) > 1 else queries[0][1] + " page"
+    t0 = time.time()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/search",
+        data=json.dumps({"query": q2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        json.loads(r.read())
+    record["serve"]["online_query_warm_seconds"] = round(
+        time.time() - t0, 3
     )
     return engine, rpath
 
