@@ -230,8 +230,13 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     """
     j = pl.program_id(1)
     B2, U = w_ref.shape
+    B = B2 // 2
     RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
-    w_bf = w_ref[:].astype(jnp.bfloat16)
+    # HALF the weight matrix: every real query term has qtf >= 1, so the
+    # qtf-weighted match count mw > 0 iff ANY query term matched — the
+    # presence channel is derived, not matmul'd (halves the MXU work; the
+    # w rows [B, 2B) stay in the operand contract for the other variants)
+    w_bf = w_ref[:B].astype(jnp.bfloat16)
     uids = uids_ref[:]
 
     def tile(i, acc):
@@ -241,11 +246,11 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
             mu = (uids == tr[s : s + 1, :]).astype(jnp.bfloat16)  # (U, COLS)
             mw = jnp.dot(
                 w_bf, mu, preferred_element_type=jnp.float32
-            )  # (2B, COLS): rows [0,B) qtf weights, [B,2B) presence
+            )  # (B, COLS) qtf-weighted match counts
             contrib = jnp.concatenate(
                 [
-                    mw[: B2 // 2] * ir[s : s + 1, :],
-                    (mw[B2 // 2 :] > 0.0).astype(jnp.float32),
+                    mw * ir[s : s + 1, :],
+                    (mw > 0.0).astype(jnp.float32),
                 ],
                 axis=0,
             )
@@ -271,8 +276,10 @@ def _kernel_slots_udedup_i8(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     magnitudes << 2^24)."""
     j = pl.program_id(1)
     B2, U = w_ref.shape
+    B = B2 // 2
     RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
-    w_i8 = w_ref[:].astype(jnp.int8)
+    # half weight matrix; presence derived from mw > 0 (see sublane kernel)
+    w_i8 = w_ref[:B].astype(jnp.int8)
     uids = uids_ref[:]
 
     def tile(i, acc):
@@ -283,8 +290,8 @@ def _kernel_slots_udedup_i8(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
             mw = jnp.dot(w_i8, mu, preferred_element_type=jnp.int32)
             contrib = jnp.concatenate(
                 [
-                    mw[: B2 // 2].astype(jnp.float32) * ir[s : s + 1, :],
-                    (mw[B2 // 2 :] > 0).astype(jnp.float32),
+                    mw.astype(jnp.float32) * ir[s : s + 1, :],
+                    (mw > 0).astype(jnp.float32),
                 ],
                 axis=0,
             )
@@ -318,7 +325,8 @@ def _kernel_slots_udedup_wide(
     RC, COLS = terms_ref.shape[1], terms_ref.shape[2]
     dt = jnp.int8 if i8 else jnp.bfloat16
     pt = jnp.int32 if i8 else jnp.float32
-    w_c = w_ref[:].astype(dt)
+    # half weight matrix; presence derived from mw > 0 (see sublane kernel)
+    w_c = w_ref[:B].astype(dt)
     uids = uids_ref[:]
 
     def tile(i, carry):
@@ -329,11 +337,11 @@ def _kernel_slots_udedup_wide(
             [(uids == tr[s : s + 1, :]).astype(dt) for s in range(SUB)],
             axis=1,
         )  # (U, 8*COLS)
-        mw = jnp.dot(w_c, MU, preferred_element_type=pt)  # (2B, 8*COLS)
+        mw = jnp.dot(w_c, MU, preferred_element_type=pt)  # (B, 8*COLS)
         for s in range(SUB):
             blk = mw[:, s * COLS : (s + 1) * COLS]
-            sc = sc + blk[:B].astype(jnp.float32) * ir[s : s + 1, :]
-            pc = pc + blk[B:].astype(jnp.float32)
+            sc = sc + blk.astype(jnp.float32) * ir[s : s + 1, :]
+            pc = pc + (blk > 0).astype(jnp.float32)
         return sc, pc
 
     sc, pc = jax.lax.fori_loop(
@@ -455,22 +463,22 @@ def udedup_plan(u_pad: int, B: int, nnz=None):
     uncorrected, so ~2.2 ms of tunnel RTT sat in every cell and produced
     the acc-at-small-shapes artifact, now retired).
 
-    Fresh true times (tools/micro_kernel.py + gate_fit matrices in
-    docs/gate_fit_*.json):
+    Fresh true times after the derived-presence rework — the weight
+    matrix halved to B rows (presence = qtf-weighted match count > 0),
+    which un-MXU-bound the bf16 sublane variant (tools/micro_kernel.py +
+    gate_fit matrices in docs/gate_fit_*.json):
 
-        100k/8M  b64 U256: sublane 3.77 / acc 6.33 / i8 2.71 /
-                           wide_i8 2.64 / plain 7.87
-        20k/1.6M b16 U128: sublane 0.20 / acc 0.63 / i8 0.30 /
-                           wide_i8 0.31 / plain 0.37
+        100k/8M  b64: sublane 1.67@U128 2.77@256 4.06@512 7.09@1024
+                      i8      1.88@U128 2.56@256 4.06@512 6.87@1024
+        20k/1.6M b64: same ordering, all cells < 1.7 ms
 
     Decision boundaries (every pick within ~10%+0.05ms of the measured
     per-cell winner — enforced by tests/test_dispatch_gate.py):
-      * B >= 32: "wide_i8" — the column-concatenated s8xs8->s32 kernel;
-        the match-recovery matmul is MXU-bound there and int8 doubles the
-        MXU rate (exact: integer arithmetic, see the kernel docstring);
-      * 8 <= B < 32: "sublane" (bf16 per-sublane matmul) up to U=512 —
-        at small batches the kernel is stream-bound, variants tie within
-        noise, and sublane measured (just) fastest;
+      * B >= 32: "sublane" at U <= 128 (clear winner), "i8" above —
+        the s8 x s8 -> s32 variant edges ahead once the match-recovery
+        matmul grows with U (exact: integer arithmetic);
+      * 8 <= B < 32: "sublane" up to U=512 — stream-bound, sublane
+        measured fastest at every cell;
       * B < 8: None (plain per-query kernel; neither U-dedup variant's
         base cost is worth one or two queries).
     ``nnz`` (the CHIP-LOCAL posting count) no longer changes any pick but
@@ -479,7 +487,7 @@ def udedup_plan(u_pad: int, B: int, nnz=None):
     Returns a bm25_score_slots_udedup ``variant`` name or None (plain).
     """
     if B >= 32 and u_pad <= 1024:
-        return "wide_i8"
+        return "sublane" if u_pad <= 128 else "i8"
     if B >= 8 and u_pad <= 512:
         return "sublane"
     return None

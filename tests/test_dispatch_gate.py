@@ -80,10 +80,11 @@ def test_plan_returns_valid_variants():
                 assert pick in bm25_pallas._UDEDUP_KERNELS
 
 
-def test_big_batch_takes_int8():
-    """B >= 32 must take the wide int8 kernel (measured 2.64 vs 3.77 ms
-    true for sublane at 100k/U256 b64 — the weight-recovery matmul is
-    MXU-bound and s8 doubles the MXU rate)."""
+def test_big_batch_boundaries():
+    """B >= 32: sublane at U <= 128, int8 above (post derived-presence
+    refit: the halved weight matrix un-MXU-bound the bf16 sublane variant,
+    and int8 only edges ahead once the recovery matmul grows with U)."""
     for B in (32, 64, 128):
-        for U in (128, 256, 1024):
-            assert bm25_pallas.udedup_plan(U, B) == "wide_i8"
+        assert bm25_pallas.udedup_plan(128, B) == "sublane"
+        for U in (256, 512, 1024):
+            assert bm25_pallas.udedup_plan(U, B) == "i8"

@@ -266,12 +266,52 @@ def main():
         (cand_mask0, old_dense0, stats0),
     )
 
-    # final-stage gathers: 2x take_along_axis (B,k) from (B,Dp) + top_k(k)
+    def body_stats_pallas(tid, qw, qv, sa, ex):
+        stats = ops.bucket_doc_stats(
+            buckets, sa[3], sa[4], qv, use_pallas=True
+        )
+        return sum(
+            jnp.sum(s[0][:, 0]) + jnp.sum(s[1][:, 0]) + jnp.sum(s[4][:, 0])
+            + jnp.sum(s[2][:, 0].astype(jnp.float32))
+            + jnp.sum(s[3][:, 0].astype(jnp.float32))
+            for s in stats
+        )
+
+    results["doc_stats_pallas"] = scan_time(
+        "bucket stats PALLAS kernel", body_stats_pallas
+    )
+
+    def body_blockmax(tid, qw, qv, sa, ex):
+        bm = ex[0] + qv[0, 0] * 1e-9
+        tv, ti = ops.topk_blockmax(bm[:, :Dp], k_eff)
+        return jnp.sum(tv[:, 0]) + jnp.sum(ti[:, 0].astype(jnp.float32))
+
+    results["blockmax_topk"] = scan_time(
+        "topk_blockmax (stage-1)", body_blockmax, (bm0,)
+    )
+
     ds0 = jax.device_put(
         np.asarray(
             jax.jit(lambda b: jnp.where(b[:, :Dp] >= 0, b[:, :Dp], -1.0))(bm0)
         )
     )
+
+    def body_flat2(tid, qw, qv, sa, ex):
+        ds, ti = ex
+        ds = ds + qv[0, 0] * 1e-9
+        gflat = ti + jnp.arange(B, dtype=jnp.int32)[:, None] * Dp
+        cs = jnp.take(ds.reshape(-1), gflat)
+        cw = jnp.take(ds.astype(jnp.int32).reshape(-1), gflat)
+        fv, order = lax.top_k(cs, k_eff)
+        fd = jnp.take_along_axis(ti, order, axis=1)
+        fw = jnp.take_along_axis(cw, order, axis=1)
+        return jnp.sum(fv[:, 0]) + jnp.sum((fd + fw)[:, 0].astype(jnp.float32))
+
+    results["final_flat_takes"] = scan_time(
+        "final 2x FLAT take + rerank top_k", body_flat2, (ds0, ti0)
+    )
+
+    # (take_along_axis variant, for comparison)
     def body_final(tid, qw, qv, sa, ex):
         ds, ti = ex
         ds = ds + qv[0, 0] * 1e-9
