@@ -789,6 +789,72 @@ def main():
     except Exception as exc:  # tunnel/compile-service variance
         print(f"scan device bench unavailable: {exc}", file=sys.stderr)
 
+    # ---- trained-encoder query forward (VERDICT r3 #3): the promoted
+    # serving config embeds the index with runs/encoder-real, so every
+    # query pays a 12L/768d forward BEFORE ranking.  Measure it under
+    # lax.scan (device-only, same protocol as the sections above) and
+    # fold it into *_trained projections — reference parity: its
+    # embedding forward is inside the measured path
+    # (reranker_api.py:355).
+    enc_b64_ms = None
+    enc_b1_ms = None
+    ckpt_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "runs", "encoder-real"
+    )
+    if on_tpu and os.path.isdir(ckpt_dir) and dim == 768:
+        try:
+            from modern_search_engines_project_tpu.models.encoder import (
+                JaxEncoder,
+            )
+
+            enc = JaxEncoder.from_checkpoint(
+                ckpt_dir, batch_size=B, max_len=128
+            )
+            model, params = enc.model, enc.params
+            n_enc = 2 if fast else 32
+
+            def enc_measure(batch, label):
+                @jax.jit
+                def enc_scan(params, seed0):
+                    def one(carry, seed):
+                        key = jax.random.fold_in(jax.random.key(3), seed)
+                        ids = jax.random.randint(key, (batch, 128), 1, 30000)
+                        mask = jnp.ones((batch, 128), jnp.int32)
+                        e = model.apply({"params": params}, ids, mask)
+                        return carry + jnp.sum(e[:, 0]), None
+
+                    acc, _ = jax.lax.scan(
+                        one, jnp.zeros(()), seed0 + jnp.arange(n_enc)
+                    )
+                    return acc
+
+                t0 = time.time()
+                _ = float(np.asarray(enc_scan(params, jnp.int32(0))))
+                comp = time.time() - t0
+
+                def once(seed):
+                    t0 = time.time()
+                    _ = float(
+                        np.asarray(enc_scan(params, jnp.int32(100 * seed)))
+                    )
+                    return (time.time() - t0) / n_enc * 1e3
+
+                v = measure_validated(
+                    once, label, 0.0, history,
+                    f"{backend}:{label}", repeats=repeats,
+                )
+                validation[label] = v.record()
+                print(
+                    f"{label}: {v.best:.3f} ms/forward (compile {comp:.0f}s)",
+                    file=sys.stderr,
+                )
+                return v.best
+
+            enc_b64_ms = enc_measure(B, "trained-encoder forward batch-64")
+            enc_b1_ms = enc_measure(1, "trained-encoder forward batch-1")
+        except Exception as exc:
+            print(f"trained-encoder bench unavailable: {exc}", file=sys.stderr)
+
     save_history(history)
 
     baseline_qps = 1.0 / 30.0  # reference: "<30 s for typical queries"
@@ -819,6 +885,34 @@ def main():
         extras_scan["v5e8_2x4_qps"] = round(
             4 * B / (half_b64_ms + m2_b64) * 1e3, 1
         )
+    if enc_b64_ms is not None:
+        # promoted serving config (trained flagship encoder): the query
+        # forward runs once per batch on each shard group's ingest chip;
+        # projections charge it IN FULL on the serial path (conservative —
+        # a pipelined server overlaps encode[i+1] with rank[i])
+        extras_scan["encoder_fwd_ms_b64"] = round(enc_b64_ms, 3)
+        extras_scan["encoder_fwd_ms_b1"] = round(enc_b1_ms, 3)
+        if scan_ms is not None:
+            t = scan_ms + enc_b64_ms
+            extras_scan["device_scan_ms_per_batch64_trained"] = round(t, 3)
+            extras_scan["device_scan_qps_trained"] = round(B / t * 1e3, 1)
+        if shard_b64_ms is not None:
+            t = shard_b64_ms + ici_merge_ms(B, min(1000, k_ret), 8)
+            extras_scan["v5e8_projected_qps_trained"] = round(
+                B / (t + enc_b64_ms) * 1e3, 1
+            )
+        if shard_b1_ms is not None:
+            extras_scan["v5e8_projected_p50_ms_trained"] = round(
+                shard_b1_ms + ici_merge_ms(1, min(1000, k_ret), 8)
+                + enc_b1_ms, 3,
+            )
+        if half_b1_ms is not None and half_b64_ms is not None:
+            extras_scan["v5e8_2x4_p50_ms_trained"] = round(
+                half_b1_ms + m2_b1 + enc_b1_ms, 3
+            )
+            extras_scan["v5e8_2x4_qps_trained"] = round(
+                4 * B / (half_b64_ms + m2_b64 + enc_b64_ms) * 1e3, 1
+            )
 
     # headline: device-only scan throughput at b64 (the production number —
     # serving does not run through a dev tunnel); falls back to the

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import hashlib
 import html
 import json
 import os
@@ -124,13 +125,43 @@ def iter_module_docs(
                 }
 
 
+_SENT_SPLIT = re.compile(r"(?<=[.!?]) +")
+_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]{5,}")
+
+# deterministic question templates for name->doc pairs (VERDICT r3 #4:
+# query-style augmentation — human queries are questions, docstring heads
+# are imperatives; picked per-name by a stable hash so reruns reproduce)
+_Q_TEMPLATES = (
+    "how do I use {name}",
+    "what does {name} do",
+    "{name} example usage",
+    "how does {name} work",
+)
+
+
 def iter_pairs(
     min_doc_chars: int = 100,
     roots: Optional[List[str]] = None,
+    rich: bool = False,
 ) -> Iterator[Tuple[str, str]]:
     """(query, passage) pairs: summary line -> docstring body (only when
     the body continues past the summary — otherwise there is nothing to
-    retrieve).  Exact (query, passage) duplicates are dropped."""
+    retrieve).  Exact (query, passage) duplicates are dropped.
+
+    ``rich=False`` reproduces the round-3 mining byte-for-byte (the
+    committed flagship's training file).  ``rich=True`` adds four more
+    pair constructions from the SAME corpus (VERDICT r3 #4: scale the
+    pair count toward the reference's 1.5M GooAQ pairs without egress —
+    reference recipe: /root/reference/embedder_training/train.py:40-60):
+
+      * full ICT — EVERY sentence (not just the first) of a long
+        paragraph queries the paragraph with that sentence removed;
+      * question-style queries — "how do I use X" etc. -> section doc
+        (the GooAQ analog: question -> answering passage);
+      * keyword queries — the section's rare identifiers as a terse
+        2-4 token query (how people actually search);
+      * title pairs — "module — name" -> section body (title -> body).
+    """
     seen = set()
     for rec in iter_module_docs(
         min_chars=min_doc_chars, min_doc_chars=min_doc_chars, roots=roots
@@ -147,6 +178,36 @@ def iter_pairs(
                 continue
             seen.add(key)
             yield head, passage
+            if rich:
+                # question-style name queries (two stable picks per name)
+                h = int(hashlib.md5(name.encode()).hexdigest()[:8], 16)
+                for t in (
+                    _Q_TEMPLATES[h % 4], _Q_TEMPLATES[(h + 1) % 4]
+                ):
+                    q = t.format(name=name)
+                    k3 = hash((q, passage))
+                    if k3 not in seen:
+                        seen.add(k3)
+                        yield q, passage
+                # title -> body
+                q = f"{rec['module']} {name}"
+                k4 = hash((q, passage))
+                if k4 not in seen and name != rec["module"]:
+                    seen.add(k4)
+                    yield q, passage
+                # keyword query: 3 rarest-looking identifiers, stable order
+                toks = list(dict.fromkeys(_TOKEN.findall(body)))
+                if len(toks) >= 3:
+                    toks.sort(
+                        key=lambda t: int(
+                            hashlib.md5(t.encode()).hexdigest()[:6], 16
+                        )
+                    )
+                    q = " ".join(toks[:3]).lower()
+                    k5 = hash((q, passage))
+                    if k5 not in seen:
+                        seen.add(k5)
+                        yield q, passage
             # ICT pairs (inverse cloze task, the standard retrieval
             # pre-training construction): a paragraph's leading sentence
             # is a pseudo-query for the REST of its paragraph.  Real
@@ -164,6 +225,22 @@ def iter_pairs(
                     continue
                 seen.add(k2)
                 yield sent, rest[:2000]
+                if rich:
+                    # full ICT: every other sentence queries the paragraph
+                    # with itself removed (cap 8/paragraph)
+                    sents = _SENT_SPLIT.split(para)
+                    for s in sents[1:9]:
+                        s = s.strip()
+                        if len(s) < 20 or len(s) > 200:
+                            continue
+                        ctx = para.replace(s, " ", 1).strip()
+                        if len(ctx) < 80:
+                            continue
+                        k6 = hash((s, ctx))
+                        if k6 in seen:
+                            continue
+                        seen.add(k6)
+                        yield s, ctx[:2000]
 
 
 # ---------------------------------------------------------------------------
@@ -460,11 +537,14 @@ def main() -> None:
     ap.add_argument("--pairs", default=None,
                     help="write query\\tpassage TSV here instead")
     ap.add_argument("--min-pairs", type=int, default=100_000)
+    ap.add_argument("--rich", action="store_true",
+                    help="add full-ICT / question / keyword / title pairs "
+                         "(~5x volume; VERDICT r3 #4 scale-up)")
     args = ap.parse_args()
     if args.pairs:
         n = 0
         with open(args.pairs, "w", encoding="utf-8") as f:
-            for q, p in iter_pairs():
+            for q, p in iter_pairs(rich=args.rich):
                 f.write(q.replace("\t", " ") + "\t" + p + "\n")
                 n += 1
         print(json.dumps({"pairs": n, "path": args.pairs}))

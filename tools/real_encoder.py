@@ -130,6 +130,12 @@ def main():
                     help="default: 2e-5 for cosine (reference), 1e-3 for "
                          "from-scratch infonce")
     ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--exclude-holdout-of", default=None,
+                    help="path to ANOTHER pairs TSV whose holdout_split "
+                         "held texts must not be trained on (contamination "
+                         "control: tools/real_eval.py's labeled queries come "
+                         "from that file's holdout, so an encoder trained "
+                         "on a rescaled pair file stays comparable)")
     args = ap.parse_args()
 
     from modern_search_engines_project_tpu.models.checkpoint import (
@@ -152,13 +158,27 @@ def main():
     record: dict = {"argv": sys.argv[1:]}
     pairs = load_pairs_tsv(args.pairs, args.limit)
     train_pairs, held = holdout_split(pairs, args.holdout_every)
+    n_excluded = 0
+    if args.exclude_holdout_of:
+        other = load_pairs_tsv(args.exclude_holdout_of, 0)
+        _, other_held = holdout_split(other, args.holdout_every)
+        banned = {q for q, _ in other_held} | {p for _, p in other_held}
+        kept = [
+            pr for pr in train_pairs
+            if pr[0] not in banned and pr[1] not in banned
+        ]
+        n_excluded = len(train_pairs) - len(kept)
+        train_pairs = kept
     print(
         f"{len(pairs)} real pairs -> {len(train_pairs)} train / "
-        f"{len(held)} held out",
+        f"{len(held)} held out"
+        + (f" / {n_excluded} excluded (foreign holdout)"
+           if args.exclude_holdout_of else ""),
         file=sys.stderr,
     )
     record["pairs"] = {
         "total": len(pairs), "train": len(train_pairs), "held": len(held),
+        "excluded_foreign_holdout": n_excluded,
     }
 
     enc_cfg = EncoderConfig(
