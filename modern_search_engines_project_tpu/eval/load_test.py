@@ -156,7 +156,8 @@ def run_native(args) -> dict:
     service, vocab = build_service(args.docs, summarize=False)
     engine = service.engine
     srv = make_server(args.port, n_threads=args.server_threads,
-                      default_top_k=args.top_k)
+                      default_top_k=args.top_k,
+                      pipeline=args.pipeline)
     frags = build_fragments(engine.art)
     srv.load_fragments(frags)
     if args.native == "stub":
@@ -226,6 +227,7 @@ def run_native(args) -> dict:
         "mode": f"native-{args.native}",
         "docs": args.docs,
         "top_k": args.top_k,
+        "pipeline": args.pipeline,
         "client": client,
         "server": stats,
     }
@@ -244,6 +246,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=5177)
     p.add_argument("--top-k", type=int, default=100)
     p.add_argument("--server-threads", type=int, default=1)
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="native modes: concurrent dispatcher threads — "
+                        "depth D keeps D device batches in flight, hiding "
+                        "the device round trip behind the next batch's "
+                        "prep+dispatch (VERDICT r3 #6)")
     p.add_argument("--stub-device", action="store_true",
                    help="measure the host-path ceiling: device outputs are "
                         "cached per batch shape and returned instantly")

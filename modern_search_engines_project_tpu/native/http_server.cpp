@@ -239,11 +239,18 @@ struct Server {
   std::atomic<uint64_t> next_conn_id{2};
   std::vector<EventThread*> threads;
 
-  // batcher
+  // batcher.  n_dispatchers > 1 pipelines device dispatch: while one
+  // dispatcher blocks inside the rank callback waiting on device results
+  // (the Python half releases the GIL for the wait), another drains the
+  // queue, preps and dispatches the NEXT batch — the device queue stays
+  // fed instead of idling a full round trip between batches.  Per-conn
+  // ordering is safe by construction (awaiting_rank allows one in-flight
+  // rank per connection).
   std::mutex q_mu;
   std::condition_variable q_cv;
   std::deque<Pending> queue;
-  std::thread dispatcher;
+  int n_dispatchers = 1;
+  std::vector<std::thread> dispatchers;
 
   // ranking + doc table — swappable at runtime (index reload): readers
   // snapshot under cfg_mu, writers replace under cfg_mu.  The fragment
@@ -680,6 +687,15 @@ void msetpu_http_set_rank_callback(void* h, rank_cb_t cb, void* user) {
   s->rank_user = user;
 }
 
+// Pipeline depth = number of concurrent dispatcher threads (call BEFORE
+// start).  Depth D keeps up to D device batches in flight: the rank
+// callback's device wait releases the GIL, so dispatcher k+1 preps and
+// dispatches while dispatcher k waits — hiding the device round trip.
+void msetpu_http_set_pipeline(void* h, int depth) {
+  Server* s = (Server*)h;
+  s->n_dispatchers = std::max(1, depth);
+}
+
 void msetpu_http_set_stub(void* h, const int32_t* idx, const float* scores,
                           int k) {
   Server* s = (Server*)h;
@@ -738,7 +754,8 @@ int msetpu_http_start(void* h) {
     s->threads.push_back(t);
   }
   for (auto* t : s->threads) t->th = std::thread(event_loop, t);
-  s->dispatcher = std::thread(dispatcher_loop, s);
+  for (int i = 0; i < std::max(1, s->n_dispatchers); i++)
+    s->dispatchers.emplace_back(dispatcher_loop, s);
   return 0;
 }
 
@@ -746,7 +763,10 @@ void msetpu_http_stop(void* h) {
   Server* s = (Server*)h;
   if (!s->running.exchange(false)) return;
   s->q_cv.notify_all();
-  if (s->dispatcher.joinable()) s->dispatcher.join();
+  for (auto& d : s->dispatchers) {
+    if (d.joinable()) d.join();
+  }
+  s->dispatchers.clear();
   for (auto* t : s->threads) {
     if (t->th.joinable()) t->th.join();
   }

@@ -72,6 +72,9 @@ def load_lib() -> ctypes.CDLL:
             lib.msetpu_http_set_rank_callback.argtypes = [
                 ctypes.c_void_p, RANK_CB, ctypes.c_void_p,
             ]
+            lib.msetpu_http_set_pipeline.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+            ]
             lib.msetpu_http_set_stub.argtypes = [
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_int32),
@@ -128,11 +131,18 @@ class FastHttpServer:
         max_batch: int = 64,
         batch_window_us: int = 200,
         default_top_k: int = 100,
+        pipeline: int = 1,
     ):
+        """``pipeline`` = concurrent dispatcher threads; >1 keeps that many
+        device batches in flight (the rank callback's device wait releases
+        the GIL, so the next batch preps/dispatches during the wait —
+        VERDICT r3 #6: overlap the device round trip instead of blocking)."""
         self._lib = load_lib()
         self._h = self._lib.msetpu_http_create(
             port, n_threads, max_batch, batch_window_us, default_top_k
         )
+        if pipeline and pipeline > 1:
+            self._lib.msetpu_http_set_pipeline(self._h, int(pipeline))
         self.port = port
         self._cb_ref = None  # keep the CFUNCTYPE object alive
         self._frag_buf = None

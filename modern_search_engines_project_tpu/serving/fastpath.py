@@ -71,6 +71,7 @@ def make_server(
     max_batch: int = 64,
     batch_window_us: int = 200,
     default_top_k: int = 100,
+    pipeline: int = 1,
 ) -> FastHttpServer:
     return FastHttpServer(
         port,
@@ -78,6 +79,7 @@ def make_server(
         max_batch=max_batch,
         batch_window_us=batch_window_us,
         default_top_k=default_top_k,
+        pipeline=pipeline,
     )
 
 

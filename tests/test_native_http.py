@@ -402,6 +402,56 @@ class TestPythonCallback:
         finally:
             srv.stop()
 
+    def test_pipelined_dispatchers_overlap_device_wait(self):
+        """pipeline=3: three dispatcher threads keep three 'device' batches
+        in flight.  A rank callback that sleeps 120 ms (time.sleep releases
+        the GIL — same as jax's block_until_ready) over 6 forced-batch-of-1
+        requests must finish in ~2 rounds (~240 ms), not 6 serial rounds
+        (~720 ms).  Also asserts responses still map to their own queries
+        (per-conn ordering is by construction: one in-flight rank/conn)."""
+        import time
+
+        srv = FastHttpServer(
+            free_port(), n_threads=2, max_batch=1, batch_window_us=0,
+            pipeline=3,
+        )
+        srv.load_fragments(
+            [f'"url": "u{i}", "doc_id": "{i}"'.encode() for i in range(10)]
+        )
+
+        def rank(queries, top_k):
+            time.sleep(0.12)
+            return [[(int(q[1:]) % 10, 0.9)] for q in queries]
+
+        srv.set_rank_fn(rank)
+        srv.start()
+        try:
+            results = {}
+
+            def one(i):
+                status, body = post(srv.port, "/api/search", {"query": f"q{i}"})
+                results[i] = (status, body["documents"][0]["url"])
+
+            threads = [
+                threading.Thread(target=one, args=(i,)) for i in range(6)
+            ]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            elapsed = time.time() - t0
+            for i in range(6):
+                assert results[i] == (200, f"u{i}")
+            # serial would be >= 0.72 s; 3-deep pipelining bounds it by
+            # ~2 rounds + overhead.  0.5 s keeps CI slack while still
+            # PROVING overlap happened.
+            assert elapsed < 0.5, f"no dispatch overlap: {elapsed:.2f}s"
+            stats = srv.stats()
+            assert stats["batches"] == 6
+        finally:
+            srv.stop()
+
     def test_rank_exception_yields_500(self):
         srv = FastHttpServer(free_port(), n_threads=1)
         srv.load_fragments([b'"url": "u0", "doc_id": "0"'])
