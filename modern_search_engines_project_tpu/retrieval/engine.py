@@ -307,7 +307,41 @@ class SearchEngine:
         """Device half of ``search_batch``: query prep + encode + the one
         compiled ranking program.  Returns a raw array tuple for
         ``finish_batch`` — serving overlaps this (device worker) with the
-        previous batch's host finishing."""
+        previous batch's host finishing.
+
+        Batches larger than ``cfg.query_batch_size`` are chunked and the
+        chunk dispatches PIPELINED (all chunks enqueue before the first
+        sync): a single device program over thousands of queries is not
+        just slow, it cannot compile — the slot kernels' VMEM footprint
+        scales with B (measured: 1,377-query batch at 100k docs = 342 MB
+        of VMEM against a 128 MB budget).  Found by the labeled-eval run
+        pushing the whole query file through /api/batch_search_file."""
+        cap = max(1, int(getattr(self.cfg, "query_batch_size", 64) or 64))
+        if len(queries) > cap:
+            pending = []
+            for i in range(0, len(queries), cap):
+                chunk = list(queries[i : i + cap])
+                padded = chunk + [""] * (self._bucket(len(chunk)) - len(chunk))
+                term_ids, qtf, processed = self.prepare_queries(
+                    padded, augment
+                )
+                qvec = self.encode_queries(processed)
+                pending.append(
+                    (len(chunk), self._device_rank(term_ids, qtf, qvec))
+                )
+            for _n, outs in pending:
+                for x in outs:
+                    if hasattr(x, "copy_to_host_async"):
+                        try:
+                            x.copy_to_host_async()
+                        except Exception:
+                            break
+            parts = [
+                tuple(np.asarray(x)[:n] for x in outs) for n, outs in pending
+            ]
+            return tuple(
+                np.concatenate(cols, axis=0) for cols in zip(*parts)
+            )
         n_real = len(queries)
         padded = list(queries) + [""] * (self._bucket(n_real) - n_real)
         with stage_timer("query_prep", self.times):

@@ -139,6 +139,24 @@ class TestHybridParity:
             for a, b, va, vb in zip(single, expected, ss, bs):
                 assert a.doc_id == b.doc_id or abs(va - vb) < 1e-4
 
+    def test_oversized_batch_chunks_and_matches(self, built):
+        """Batches beyond cfg.query_batch_size must chunk into pipelined
+        device dispatches, not one giant program (a 1,377-query batch at
+        100k docs exceeded the slot kernels' VMEM budget — found by the
+        labeled-eval run).  Results must equal the per-chunk outputs."""
+        art, enc, eng, cfg = built
+        small = SearchEngine(art, enc, cfg.replace(query_batch_size=4))
+        queries = (QUERIES * 3)[:11]  # 11 > 4: 3 chunks, last one ragged
+        got = small.search_batch(queries, top_k=10)
+        want = eng.search_batch(queries, top_k=10)
+        assert len(got) == len(want) == 11
+        for g_list, w_list in zip(got, want):
+            gs = np.array([r.similarity_score for r in g_list])
+            ws = np.array([r.similarity_score for r in w_list])
+            assert np.allclose(gs, ws, atol=1e-4)
+            for g, w, vg, vw in zip(g_list, w_list, gs, ws):
+                assert g.doc_id == w.doc_id or abs(vg - vw) < 1e-4
+
     def test_scores_sorted_desc(self, built):
         _, _, eng, _ = built
         res = eng.search("research square", top_k=10)
