@@ -84,6 +84,38 @@ class CrossEncoderReranker:
             lambda p, ids, mask: self.model.apply({"params": p}, ids, mask)
         )
 
+    def save(self, path: str, dtype: str = "float16") -> None:
+        """Persist params + config (models/checkpoint.py format; the
+        config.json round-trips through EncoderConfig)."""
+        from modern_search_engines_project_tpu.models.checkpoint import (
+            save_encoder,
+        )
+
+        save_encoder(self.params, self.cfg, path, dtype=dtype)
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, batch_size: int = 32, max_len: Optional[int] = None
+    ) -> "CrossEncoderReranker":
+        import json as _json
+        import os as _os
+
+        from flax import serialization
+
+        with open(_os.path.join(path, "config.json")) as f:
+            cfg = EncoderConfig(**_json.load(f))
+        inst = cls(cfg, batch_size=batch_size, max_len=max_len)
+        with open(_os.path.join(path, "params.msgpack"), "rb") as f:
+            params = serialization.from_bytes(inst.params, f.read())
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32)
+            if getattr(x, "dtype", None) == np.float16
+            else x,
+            params,
+        )
+        inst.params = jax.device_put(params)  # pin: jit won't cache numpy args
+        return inst
+
     def _encode_pairs(self, query: str, texts: Sequence[str]):
         q_ids = list(self.tokenizer.encode(query))
         joint = []
