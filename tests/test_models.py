@@ -241,6 +241,22 @@ class TestCrossEncoder:
         )
         assert np.allclose(scores, again)
 
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from modern_search_engines_project_tpu.models.cross_encoder import (
+            CrossEncoderReranker,
+        )
+
+        ce = CrossEncoderReranker(TINY, batch_size=4, max_len=32)
+        texts = ["the castle on the hill", "pizza dough"]
+        want = ce.rescore("castle tour", texts)
+        ce.save(str(tmp_path / "ce"))
+        back = CrossEncoderReranker.from_checkpoint(
+            str(tmp_path / "ce"), batch_size=4, max_len=32
+        )
+        got = back.rescore("castle tour", texts)
+        # f16 on disk -> ~1e-3 round-trip tolerance
+        assert np.allclose(want, got, atol=5e-3)
+
     def test_training_reduces_loss(self):
         from modern_search_engines_project_tpu.models.cross_encoder import (
             train_cross_encoder,
