@@ -136,7 +136,7 @@ def agg(per_q):
     return {k: round(sum(m[k] for m in per_q) / n, 4) for k in keys}
 
 
-def build_engine(store_path, encoder_ckpt, dim=768):
+def build_engine(store_path, encoder_ckpt, dim=768, cross_encoder_ckpt=None):
     from modern_search_engines_project_tpu.config import Config
     from modern_search_engines_project_tpu.crawler.storage import CrawlStore
     from modern_search_engines_project_tpu.index import Document, IndexBuilder
@@ -158,10 +158,21 @@ def build_engine(store_path, encoder_ckpt, dim=768):
     else:
         enc = HashingEncoder(dim=dim)
         cfg = Config(embedding_dim=dim)
+    ce = None
+    if cross_encoder_ckpt:
+        from modern_search_engines_project_tpu.models.cross_encoder import (
+            CrossEncoderReranker,
+        )
+
+        ce = CrossEncoderReranker.from_checkpoint(
+            cross_encoder_ckpt, batch_size=100
+        )
     t0 = time.time()
     art = IndexBuilder(enc, cfg).build(docs)
     build_s = time.time() - t0
-    return SearchEngine(art, enc, cfg), build_s, len(docs)
+    return (
+        SearchEngine(art, enc, cfg, cross_encoder=ce), build_s, len(docs)
+    )
 
 
 def run_http_batch(engine, queries, workdir, tag):
@@ -240,6 +251,9 @@ def main():
     ap.add_argument("--store", default="/tmp/real_run_100k/merged.sqlite")
     ap.add_argument("--pairs", default="/tmp/real_pairs3.tsv")
     ap.add_argument("--encoder", default="runs/encoder-real")
+    ap.add_argument("--cross-encoder", default=None,
+                    help="checkpoint dir for the hybrid_trained_ce "
+                         "condition (stage-3 rescoring of the rerank pool)")
     ap.add_argument("--max-queries", type=int, default=1500)
     ap.add_argument("--workdir", default="/tmp/real_eval")
     ap.add_argument(
@@ -281,14 +295,17 @@ def main():
     results = {}
 
     # ---- hybrid conditions through the real HTTP surface -------------------
-    for tag, ckpt in (
-        ("hybrid_hash", None),
-        ("hybrid_trained", args.encoder),
+    for tag, ckpt, ce in (
+        ("hybrid_hash", None, None),
+        ("hybrid_trained", args.encoder, None),
+        ("hybrid_trained_ce", args.encoder, args.cross_encoder),
     ):
-        if tag not in conditions:
+        if tag not in conditions or (tag.endswith("_ce") and not ce):
             continue
         print(f"[{tag}] building index...", file=sys.stderr)
-        engine, build_s, nd = build_engine(args.store, ckpt)
+        engine, build_s, nd = build_engine(
+            args.store, ckpt, cross_encoder_ckpt=ce
+        )
         print(
             f"[{tag}] built {nd} docs in {build_s:.0f}s; serving batch...",
             file=sys.stderr,
