@@ -326,6 +326,75 @@ def main():
         "final 2x gather + rerank top_k", body_final, (ds0, ti0)
     )
 
+    # --- experiments: candidate stage-1 top-k + final-stage formulations ----
+    # lax.top_k vs topk_blockmax at this shape (blockmax won at round-3
+    # measurement time; XLA's TopK emitter may have moved)
+    def body_tail_lax(tid, qw, qv, sa, ex):
+        bm = ex[0] + qv[0, 0] * 1e-9
+        top_vals, top_idx = lax.top_k(bm[:, :Dp], k_eff)
+        cand_mask, old_dense, old_norm, valid_c = (
+            ops.dense_candidates_from_topk(bm, top_vals, Dp)
+        )
+        stats = ops.bucket_doc_stats(buckets, sa[3], sa[4], qv)
+        lo, hi = ops.stats_pool_extrema(stats, cand_mask, buckets)
+        doc_score, win = ops.fused_scores_from_stats(
+            buckets, sa[5], stats, cand_mask, old_dense,
+            lo[:, None], hi[:, None], smoothing,
+        )
+        o = ops._rank_candidates(
+            doc_score, win, top_idx, valid_c, old_norm, k_eff
+        )
+        return jnp.sum(o[0][:, 0])
+
+    results["tail_laxtopk"] = scan_time(
+        "full tail with lax.top_k stage-1", body_tail_lax, (bm0,)
+    )
+
+    # final stage as ONE variadic 5-operand sort (no post-sort gathers)
+    def body_sort5(tid, qw, qv, sa, ex):
+        ds, ti = ex
+        ds = ds + qv[0, 0] * 1e-9
+        gflat = ti + jnp.arange(B, dtype=jnp.int32)[:, None] * Dp
+        cs = jnp.take(ds.reshape(-1), gflat)
+        cw = jnp.take(ds.astype(jnp.int32).reshape(-1), gflat)
+        valid = cs >= 0.0
+        key = jnp.where(valid, cs, -1.0)
+        nk, fd, fw, fo, fv2 = lax.sort(
+            (-key, ti, cw, cs, valid.astype(jnp.int32)),
+            dimension=1, num_keys=1,
+        )
+        return (
+            jnp.sum(-nk[:, 0]) + jnp.sum((fd + fw)[:, 0].astype(jnp.float32))
+            + jnp.sum(fo[:, 0]) + jnp.sum(fv2[:, 0].astype(jnp.float32))
+        )
+
+    results["final_sort5"] = scan_time(
+        "final variadic 5-op sort", body_sort5, (ds0, ti0)
+    )
+
+    # split the current final stage: takes alone / top_k alone / the three
+    # post-sort take_along_axis alone
+    def body_takes_only(tid, qw, qv, sa, ex):
+        ds, ti = ex
+        ds = ds + qv[0, 0] * 1e-9
+        gflat = ti + jnp.arange(B, dtype=jnp.int32)[:, None] * Dp
+        cs = jnp.take(ds.reshape(-1), gflat)
+        cw = jnp.take(ds.astype(jnp.int32).reshape(-1), gflat)
+        return jnp.sum(cs[:, 0]) + jnp.sum(cw[:, 0].astype(jnp.float32))
+
+    results["final_takes_only"] = scan_time(
+        "final 2x flat take only", body_takes_only, (ds0, ti0)
+    )
+
+    def body_small_topk(tid, qw, qv, sa, ex):
+        tv = ex[0] + qv[0, 0] * 1e-9
+        fv, order = lax.top_k(tv, k_eff)
+        return jnp.sum(fv[:, 0]) + jnp.sum(order[:, 0].astype(jnp.float32))
+
+    results["final_topk_only"] = scan_time(
+        "final top_k over (B,k) only", body_small_topk, (tv0,)
+    )
+
     # dispatch floor: trivial body — everything above includes this
     def body_floor(tid, qw, qv, sa, ex):
         return jnp.sum(qv[0, :4])

@@ -352,6 +352,73 @@ def main():
         json.dump(record, f, indent=1)
     print(json.dumps(record["results"], indent=1))
     print(f"wrote {out}", file=sys.stderr)
+    write_md(record)
+
+
+def write_md(record):
+    """docs/REAL_EVAL.md: the labeled end-to-end quality table (VERDICT
+    r3 #2 'done' criterion).  Merges with an existing record so separate
+    runs (e.g. a later encoder re-train adding one condition) extend the
+    same table."""
+    repo = os.path.dirname(_HERE)
+    jpath = os.path.join(repo, "docs", "real_eval_record.json")
+    merged = {}
+    if os.path.exists(jpath):
+        try:
+            with open(jpath) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.setdefault("results", {}).update(record["results"])
+    for k in ("store", "pairs", "qrels"):
+        if k in record:
+            merged[k] = record[k]
+    with open(jpath, "w") as f:
+        json.dump(merged, f, indent=1)
+    q = merged.get("qrels", {})
+    lines = [
+        "# REAL_EVAL — labeled end-to-end IR quality on the real 100K corpus",
+        "",
+        "Generated by `tools/real_eval.py`.  Every query is the summary head",
+        "of a documentation section from the trained encoder's STRICT",
+        "held-out split (never trained on); its qrel set is the crawled",
+        "page(s) objectively containing that section's body (snippet",
+        "containment over the full corpus).  All hybrid conditions run",
+        "through the REAL HTTP `/api/batch_search_file` surface.",
+        "",
+        f"- corpus: **{q.get('corpus_docs', '?')} real crawled pages**"
+        f" (`{merged.get('store', '?')}`)",
+        f"- labeled queries: **{q.get('resolved', '?')}**"
+        f" ({q.get('multi_relevant', '?')} with multiple relevant pages;"
+        f" {q.get('dropped_unresolvable', '?')} dropped unresolvable)",
+        "",
+        "| condition | recall@10 | recall@100 | MRR@10 | NDCG@10 |",
+        "|---|---|---|---|---|",
+    ]
+    order = ["bm25", "hybrid_hash", "hybrid_trained", "hybrid_trained_550k",
+             "hybrid_trained_ce"]
+    res = merged["results"]
+    for tag in order + [t for t in sorted(res) if t not in order]:
+        if tag not in res:
+            continue
+        r = res[tag]
+        lines.append(
+            f"| {tag} | {r.get('recall@10')} | {r.get('recall@100')} |"
+            f" {r.get('mrr@10')} | {r.get('ndcg@10')} |"
+        )
+    lines += [
+        "",
+        "Conditions: `bm25` = stage-1 only (engine.bm25_search top-100);",
+        "`hybrid_hash` = full hybrid with the free hashing encoder;",
+        "`hybrid_trained*` = full hybrid with a trained flagship",
+        "checkpoint; `hybrid_trained_ce` adds stage-3 cross-encoder",
+        "rescoring of the rerank pool.",
+        "",
+    ]
+    mdpath = os.path.join(repo, "docs", "REAL_EVAL.md")
+    with open(mdpath, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {mdpath}", file=sys.stderr)
 
 
 if __name__ == "__main__":
