@@ -722,10 +722,30 @@ def _slots_call(kernel, front, slot_terms, slot_impact, B2, interpret):
 
 def _slots_key(full, col_unperm, B):
     """(scores; counts) concat -> keyed scores in dense doc order
-    (same admissibility contract as bm25_score_blocked)."""
+    (same admissibility contract as bm25_score_blocked).
+
+    The slot layout only REORDERS WHOLE GROUPS (build_slot_postings:
+    ``col_unperm[d] = group_pos[d // cols] * cols + d % cols`` — within a
+    group the 512 doc columns stay consecutive), so the un-permutation is
+    a contiguous block gather along the ~D/512 group axis instead of an
+    elementwise [B, D] take (measured 0.25 ms/batch-64 at 100k docs for
+    the elementwise form; the block form is ~free)."""
+    from modern_search_engines_project_tpu.retrieval.device_index import (
+        SLOT_COLS,
+    )
+
     scores, matched = full[:B], full[B:] > 0.0
     keyed = jnp.where(matched & (scores >= 0.0), scores, -1.0)
-    keyed = jnp.take(keyed, col_unperm, axis=1)
+    n_dense = col_unperm.shape[0]
+    if keyed.shape[1] % SLOT_COLS == 0 and n_dense >= SLOT_COLS:
+        n_groups_dense = -(-n_dense // SLOT_COLS)
+        group_perm = col_unperm[::SLOT_COLS] // SLOT_COLS
+        k3 = keyed.reshape(B, keyed.shape[1] // SLOT_COLS, SLOT_COLS)
+        keyed = jnp.take(k3, group_perm, axis=1).reshape(
+            B, n_groups_dense * SLOT_COLS
+        )[:, :n_dense]
+    else:  # tiny corpora (< one group): plain elementwise take
+        keyed = jnp.take(keyed, col_unperm, axis=1)
     return jnp.concatenate(
         [keyed, jnp.full((B, 1), -1.0, jnp.float32)], axis=1
     )

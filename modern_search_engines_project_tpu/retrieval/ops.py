@@ -138,7 +138,7 @@ def exact_topk(scores: jnp.ndarray, k: int):
     return v, i
 
 
-def topk_blockmax(scores: jnp.ndarray, k: int, block: int = 4):
+def topk_blockmax(scores: jnp.ndarray, k: int, block=None):
     """EXACT top-k with lax.top_k's tie semantics, via a block-max prefilter.
 
     ``lax.top_k(k=1000)`` over [64, 100k] lowers to a full stable variadic
@@ -166,11 +166,16 @@ def topk_blockmax(scores: jnp.ndarray, k: int, block: int = 4):
     pool therefore contains the exact lax.top_k doc set, and the final
     two-key sort reproduces its (value desc, index asc) ordering.
 
-    ~3x cheaper than the full sort at [64, 100k] k=1000 (measured 2.4 vs
-    6.6 ms true; G=4 beat G=8/16/32 — the stage-2 expansion sort grows
-    with G while the stage-1 sort shrinks sublinearly).
+    ~4x cheaper than the full sort at [64, 100k] k=1000 (measured 1.65 vs
+    6.6 ms true, /tmp-era variant sweep round 4).  ``block`` auto-picks
+    per shape: G=16 when the block-max row is small enough that ONE plain
+    sort finishes it (N/16 <= 8192 — measured 1.65 vs 1.91 for the G=4
+    recursive form at 100k), else G=4 with recursion (at 1M+ a 62k-wide
+    level-1 sort would dominate; G=4 recurses it down to ~16k).
     """
     B, N = scores.shape
+    if block is None:
+        block = 16 if (N + 15) // 16 <= 8192 else 4
     if k >= N or N <= 4 * k * block:
         return lax.top_k(scores, k)
     pad = (-N) % block
@@ -211,18 +216,33 @@ def _rank_candidates(doc_score, win, top_idx, valid_c, old_norm, k_ret: int):
     """Final candidate ranking shared by every hybrid tail: gather the
     per-doc fused score/winner at the top-k doc ids and re-sort.  Flat 1-D
     takes instead of take_along_axis — ~30% cheaper on TPU for a
-    (B, k)-from-(B, Dp) row gather (tools/micro_stats.py G4 vs G1)."""
+    (B, k)-from-(B, Dp) row gather (tools/micro_stats.py G4 vs G1).
+
+    The re-sort is ONE variadic stable sort carrying every output as an
+    operand — measured 0.91 vs 2.35 ms/batch-64 at 100k docs for the
+    previous top_k + three take_along_axis formulation
+    (docs/profile_pipeline_100000.json final_sort5 vs final_flat_takes):
+    the payload columns ride the sort network instead of paying three
+    separate (B,k) gathers.  ``is_stable`` preserves lax.top_k's tie rule
+    (equal fused scores keep candidate order = ascending stage-1 rank)."""
     B, W = doc_score.shape
     gflat = top_idx + jnp.arange(B, dtype=jnp.int32)[:, None] * W
     cand_scores = jnp.take(doc_score.reshape(-1), gflat)
     cand_win = jnp.take(win.reshape(-1), gflat)
     sort_key = jnp.where(valid_c, cand_scores, -1.0)
-    final_vals, order = lax.top_k(sort_key, k_ret)
-    final_doc = jnp.take_along_axis(top_idx, order, axis=1)
-    final_win = jnp.take_along_axis(cand_win, order, axis=1)
-    final_old = jnp.take_along_axis(old_norm, order, axis=1)
-    final_valid = jnp.take_along_axis(valid_c, order, axis=1)
-    return final_doc, final_vals, final_old, final_win, final_valid
+    neg_vals, final_doc, final_win, final_old, final_valid = lax.sort(
+        (-sort_key, top_idx, cand_win, old_norm, valid_c),
+        dimension=1,
+        num_keys=1,
+        is_stable=True,
+    )
+    return (
+        final_doc[:, :k_ret],
+        -neg_vals[:, :k_ret],
+        final_old[:, :k_ret],
+        final_win[:, :k_ret],
+        final_valid[:, :k_ret],
+    )
 
 
 @functools.partial(
