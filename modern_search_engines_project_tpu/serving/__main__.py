@@ -215,6 +215,10 @@ def main():
                              "this port via the C++ epoll data plane "
                              "(native/http_server.cpp; ~50us host work per "
                              "request vs ~2ms through the Python app)")
+    parser.add_argument("--fastpath-pipeline", type=int, default=2,
+                        help="concurrent native dispatcher threads: depth "
+                             "D keeps D device batches in flight (the rank "
+                             "callback's device wait releases the GIL)")
     parser.add_argument("--fastpath-threads", type=int, default=1,
                         help="event-loop threads for the native data plane")
     parser.add_argument("--workers", type=int, default=0,
@@ -265,7 +269,8 @@ def main():
         )
 
         fast = serve_fastpath(
-            engine, args.fastpath_port, n_threads=args.fastpath_threads
+            engine, args.fastpath_port, n_threads=args.fastpath_threads,
+            pipeline=args.fastpath_pipeline,
         )
         # /api/reload swaps the control-plane engine; the data plane must
         # follow (fragments + rank callback) or it serves the stale index

@@ -113,14 +113,19 @@ def serve_fastpath(
     *,
     n_threads: int = 1,
     max_batch: Optional[int] = None,
+    pipeline: int = 2,
 ) -> FastHttpServer:
-    """Start (and return) the native data plane for ``engine``."""
+    """Start (and return) the native data plane for ``engine``.
+
+    ``pipeline`` dispatcher threads keep that many device batches in
+    flight (see FastHttpServer); 2 hides one full device round trip."""
     srv = make_server(
         port,
         n_threads=n_threads,
         max_batch=max_batch
         or getattr(engine.cfg, "query_batch_size", 64),
         default_top_k=engine.cfg.top_k_reranking,
+        pipeline=pipeline,
     )
     attach_engine(srv, engine)
     srv.start()
