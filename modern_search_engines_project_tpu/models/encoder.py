@@ -244,3 +244,28 @@ class JaxEncoder:
 
     def encode(self, text: str) -> np.ndarray:
         return self.encode_batch([text])[0]
+
+    def encode_batch_device(self, texts: Sequence[str]):
+        """Like encode_batch but returns the (unnormalized) embeddings as a
+        DEVICE array with NO host sync: the online serving path feeds this
+        straight into the ranking dispatch, so encode and rank ride ONE
+        device queue instead of paying a host round trip between them
+        (~40 ms of tunnel RTT per online query on a remote-attached chip)."""
+        chunks = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = texts[i : i + bs]
+            tok = [self.tokenizer.encode(t) for t in chunk]
+            ids, mask = self.tokenizer.pad_batch(tok, self.max_len)
+            n = len(chunk)
+            pad_n = bs - n if i + bs > len(texts) else 0
+            if pad_n:  # keep a single compiled batch shape
+                ids += [[0] * self.max_len] * pad_n
+                mask += [[1] + [0] * (self.max_len - 1)] * pad_n
+            emb = self._fwd(
+                self.params,
+                jnp.asarray(ids, jnp.int32),
+                jnp.asarray(mask, jnp.int32),
+            )
+            chunks.append(emb[:n] if pad_n else emb)
+        return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)

@@ -29,6 +29,27 @@ from modern_search_engines_project_tpu.text.analyzer import Analyzer
 from modern_search_engines_project_tpu.utils.timing import StageTimes, stage_timer
 
 
+_NORM_JIT = None
+
+
+def _normalize_rows(q):
+    """Jitted row L2-normalization (device in, device out — no sync).
+    The jit wrapper is built lazily ONCE (a fresh wrapper per call would
+    re-trace every query)."""
+    global _NORM_JIT
+    if _NORM_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def norm(q):
+            q = q.astype(jnp.float32)
+            n = jnp.linalg.norm(q, axis=1, keepdims=True)
+            return q / jnp.maximum(n, 1e-12)
+
+        _NORM_JIT = jax.jit(norm)
+    return _NORM_JIT(q)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -140,7 +161,18 @@ class SearchEngine:
         t_eff = min(t_eff, T)
         return term_ids[:, :t_eff], qtf[:, :t_eff], processed
 
-    def encode_queries(self, processed: Sequence[str]) -> np.ndarray:
+    def encode_queries(self, processed: Sequence[str]):
+        """Unit-norm query embeddings [B, dim].
+
+        Device-capable encoders (JaxEncoder.encode_batch_device) return a
+        DEVICE array with no host sync — the subsequent ranking dispatch
+        enqueues behind the encode on the same device stream, so the
+        online path pays ONE host round trip instead of two (the encode
+        sync alone was ~40 ms of tunnel RTT per query on a
+        remote-attached chip).  Host encoders keep the numpy path."""
+        enc_dev = getattr(self.encoder, "encode_batch_device", None)
+        if enc_dev is not None:
+            return _normalize_rows(enc_dev(list(processed)))
         q = np.asarray(self.encoder.encode_batch(list(processed)), np.float32)
         norms = np.linalg.norm(q, axis=1, keepdims=True)
         return q / np.maximum(norms, 1e-12)
