@@ -843,6 +843,8 @@ def main():
     # (reranker_api.py:355).
     enc_b64_ms = None
     enc_b1_ms = None
+    enc_b8_ms = None
+    enc_b32_ms = None
     ckpt_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "runs", "encoder-real"
     )
@@ -897,6 +899,15 @@ def main():
 
             enc_b64_ms = enc_measure(B, "trained-encoder forward batch-64")
             enc_b1_ms = enc_measure(1, "trained-encoder forward batch-1")
+            # dp-split shapes: ShardedQueryEncoder (parallel/sharding.py)
+            # splits the batch over the index mesh, so an 8-shard group
+            # encodes B/8 per chip and a 2-shard group B/2
+            enc_b8_ms = enc_measure(
+                max(1, B // 8), "trained-encoder forward batch-8 (dp/8)"
+            )
+            enc_b32_ms = enc_measure(
+                max(1, B // 2), "trained-encoder forward batch-32 (dp/2)"
+            )
         except Exception as exc:
             print(f"trained-encoder bench unavailable: {exc}", file=sys.stderr)
 
@@ -931,32 +942,58 @@ def main():
             4 * B / (half_b64_ms + m2_b64) * 1e3, 1
         )
     if enc_b64_ms is not None:
-        # promoted serving config (trained flagship encoder): the query
-        # forward runs once per batch on each shard group's ingest chip;
-        # projections charge it IN FULL on the serial path (conservative —
-        # a pipelined server overlaps encode[i+1] with rank[i])
+        # promoted serving config (trained flagship encoder): multi-chip
+        # projections model the IMPLEMENTED data-parallel encode
+        # (parallel/sharding.ShardedQueryEncoder — each chip in an n-shard
+        # group forwards B/n queries, then all_gathers the (B, dim)
+        # embeddings over ICI), so the per-batch encoder term is
+        # fwd(B/n) + allgather, not fwd(B).  The single-chip scan keeps
+        # the full forward.  Batch-1 (p50) paths can't split a single
+        # sequence — they keep fwd(1) + the embedding broadcast.
+        def enc_ag_ms(nb: int, n: int) -> float:
+            if n <= 1:
+                return 0.0
+            total = nb * dim * 4
+            t = total * (n - 1) / n / (2 * V5E["ici_Bps_link"])
+            t += (n - 1) * 1e-6
+            t += total / V5E["hbm_Bps"]
+            return t * 1e3
+
         extras_scan["encoder_fwd_ms_b64"] = round(enc_b64_ms, 3)
         extras_scan["encoder_fwd_ms_b1"] = round(enc_b1_ms, 3)
+        if enc_b8_ms is not None:
+            extras_scan["encoder_fwd_ms_b8"] = round(enc_b8_ms, 3)
+        if enc_b32_ms is not None:
+            extras_scan["encoder_fwd_ms_b32"] = round(enc_b32_ms, 3)
         if scan_ms is not None:
             t = scan_ms + enc_b64_ms
             extras_scan["device_scan_ms_per_batch64_trained"] = round(t, 3)
             extras_scan["device_scan_qps_trained"] = round(B / t * 1e3, 1)
-        if shard_b64_ms is not None:
-            t = shard_b64_ms + ici_merge_ms(B, min(1000, k_ret), 8)
+        if shard_b64_ms is not None and enc_b8_ms is not None:
+            t = (
+                shard_b64_ms
+                + ici_merge_ms(B, min(1000, k_ret), 8)
+                + enc_b8_ms
+                + enc_ag_ms(B, 8)
+            )
             extras_scan["v5e8_projected_qps_trained"] = round(
-                B / (t + enc_b64_ms) * 1e3, 1
+                B / t * 1e3, 1
             )
         if shard_b1_ms is not None:
             extras_scan["v5e8_projected_p50_ms_trained"] = round(
                 shard_b1_ms + ici_merge_ms(1, min(1000, k_ret), 8)
-                + enc_b1_ms, 3,
+                + enc_b1_ms + enc_ag_ms(1, 8), 3,
             )
         if half_b1_ms is not None and half_b64_ms is not None:
             extras_scan["v5e8_2x4_p50_ms_trained"] = round(
-                half_b1_ms + m2_b1 + enc_b1_ms, 3
+                half_b1_ms + m2_b1 + enc_b1_ms + enc_ag_ms(1, 2), 3
+            )
+            enc2 = (
+                enc_b32_ms if enc_b32_ms is not None else enc_b64_ms
             )
             extras_scan["v5e8_2x4_qps_trained"] = round(
-                4 * B / (half_b64_ms + m2_b64 + enc_b64_ms) * 1e3, 1
+                4 * B / (half_b64_ms + m2_b64 + enc2 + enc_ag_ms(B, 2))
+                * 1e3, 1,
             )
 
     # headline: device-only scan throughput at b64 (the production number —

@@ -731,3 +731,69 @@ class ShardedEngineBackend:
                 jnp.asarray(qtf),
             )
         )
+
+
+class ShardedQueryEncoder:
+    """Data-parallel query encode over the SAME mesh that holds the index.
+
+    The reference runs its sentence-transformer query forward on one GPU
+    inside the measured path (reranker_api.py:355).  On a TPU mesh the
+    natural layout is: split the query batch across ALL chips (the encoder
+    params replicate — ~300 MB, dwarfed by the index shards), run the
+    bi-encoder forward on B/n queries per chip, then ``all_gather`` the
+    normalized (B, dim) embeddings over ICI (B*dim*4 bytes ~ 200 KB at
+    B=64/dim=768 — negligible next to the forward).  Each chip then ranks
+    the FULL batch against its own index shard, so the encode cost per
+    batch is fwd(B/n) instead of fwd(B): on a v5e-8 the flagship encoder
+    term drops from 14.7 ms to ~1.9 ms per batch-64.
+
+    Works on any mesh shape — the batch splits over the flattened mesh
+    axes in mesh-axis order and the gather restores the original order.
+    """
+
+    def __init__(self, encoder, mesh: Mesh):
+        self.enc = encoder
+        self.mesh = mesh
+        self.n = mesh.size
+        axes = tuple(mesh.axis_names)
+        model = encoder.model
+        from jax import shard_map
+
+        def fn(params, ids, mask):
+            emb = model.apply({"params": params}, ids, mask)
+            emb = emb.astype(jnp.float32)
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            return lax.all_gather(emb, axes, axis=0, tiled=True)
+
+        self._fwd = jax.jit(
+            shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(), P(axes), P(axes)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        self.params = jax.device_put(
+            encoder.params, NamedSharding(mesh, P())
+        )
+
+    def __call__(self, texts):
+        """Normalized (len(texts), dim) embeddings as a REPLICATED device
+        array — no host sync; the ranking dispatch enqueues behind it."""
+        L = self.enc.max_len
+        tok = [self.enc.tokenizer.encode(t) for t in texts]
+        ids, mask = self.enc.tokenizer.pad_batch(tok, L)
+        B = len(texts)
+        pad = (-B) % self.n
+        if pad:  # shard_map needs the batch divisible by the mesh size
+            ids = ids + [[0] * L] * pad
+            mask = mask + [[1] + [0] * (L - 1)] * pad
+        out = self._fwd(
+            self.params,
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask, jnp.int32),
+        )
+        return out[:B] if pad else out

@@ -170,6 +170,11 @@ class SearchEngine:
         online path pays ONE host round trip instead of two (the encode
         sync alone was ~40 ms of tunnel RTT per query on a
         remote-attached chip).  Host encoders keep the numpy path."""
+        senc = getattr(self, "_sharded_enc", None)
+        if senc is not None:
+            # multi-chip: data-parallel forward over the index mesh +
+            # ICI all_gather (already normalized, replicated, no sync)
+            return senc(list(processed))
         enc_dev = getattr(self.encoder, "encode_batch_device", None)
         if enc_dev is not None:
             return _normalize_rows(enc_dev(list(processed)))
@@ -608,6 +613,13 @@ class SearchEngine:
         self.cross_encoder = None
         self._backend = backend
         self._device_rank = backend.rank  # type: ignore[method-assign]
+        if all(hasattr(encoder, a) for a in ("model", "params", "tokenizer")):
+            # JaxEncoder-shaped: encode data-parallel over the index mesh
+            from modern_search_engines_project_tpu.parallel.sharding import (
+                ShardedQueryEncoder,
+            )
+
+            self._sharded_enc = ShardedQueryEncoder(encoder, mesh)
         self._init_finish_codes()
         return self
 

@@ -324,3 +324,83 @@ class TestCollectiveAccounting:
         assert n_all_gather <= 16, f"unexpected collective count: {n_all_gather}"
         # nothing routes through host transfers
         assert "outfeed" not in hlo and "infeed" not in hlo
+
+
+class TestShardedQueryEncode:
+    """Data-parallel query encode over the index mesh (ShardedQueryEncoder):
+    the dp forward + ICI all_gather must equal the single-device encode, and
+    a sharded engine with a JaxEncoder must route queries through it."""
+
+    @pytest.fixture(scope="class")
+    def tiny_jax_encoder(self, eight_devices):
+        from modern_search_engines_project_tpu.models.encoder import (
+            EncoderConfig,
+            JaxEncoder,
+        )
+
+        cfg = EncoderConfig(
+            vocab_size=512, dim=32, n_layers=2, n_heads=4,
+            mlp_ratio=2, max_len=16,
+        )
+        return JaxEncoder(cfg, seed=3, batch_size=8)
+
+    @pytest.mark.parametrize("n_texts", [8, 5, 17])
+    def test_matches_single_device_encode(self, tiny_jax_encoder, n_texts):
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedQueryEncoder,
+        )
+
+        enc = tiny_jax_encoder
+        texts = [f"castle river doc {i} neckar museum" for i in range(n_texts)]
+        mesh = make_mesh(8)
+        senc = ShardedQueryEncoder(enc, mesh)
+        got = np.asarray(senc(texts))
+        want = enc.encode_batch(texts)
+        want = want / np.maximum(
+            np.linalg.norm(want, axis=1, keepdims=True), 1e-12
+        )
+        assert got.shape == (n_texts, enc.dim)
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    def test_2d_mesh_batch_order_preserved(self, tiny_jax_encoder):
+        from modern_search_engines_project_tpu.parallel.sharding import (
+            ShardedQueryEncoder,
+            make_mesh_2d,
+        )
+
+        enc = tiny_jax_encoder
+        texts = [f"query number {i}" for i in range(16)]
+        senc = ShardedQueryEncoder(enc, make_mesh_2d(4, 2))
+        got = np.asarray(senc(texts))
+        want = enc.encode_batch(texts)
+        want = want / np.maximum(
+            np.linalg.norm(want, axis=1, keepdims=True), 1e-12
+        )
+        assert np.allclose(got, want, atol=1e-5)
+
+    def test_sharded_engine_routes_through_mesh_encode(
+        self, tiny_jax_encoder, eight_devices
+    ):
+        docs = make_corpus(n_docs=60, seed=7, min_len=30, max_len=120)
+        cfg = Config(
+            embedding_dim=32,
+            window_size=16,
+            step_size=12,
+            top_k_retrieval=30,
+            top_k_reranking=10,
+            max_query_terms=8,
+        )
+        enc = tiny_jax_encoder
+        art = IndexBuilder(enc, cfg).build(docs)
+        single = SearchEngine(art, enc, cfg)
+        sharded = SearchEngine.sharded(art, enc, make_mesh(8), cfg)
+        assert getattr(sharded, "_sharded_enc", None) is not None
+        assert getattr(single, "_sharded_enc", None) is None
+        for q in ("research square law", "tübingen research faculty"):
+            r1 = single.search(q, top_k=8)
+            r2 = sharded.search(q, top_k=8)
+            assert len(r1) > 0, f"vacuous: {q!r}"
+            assert len(r1) == len(r2)
+            s1 = np.array([r.similarity_score for r in r1])
+            s2 = np.array([r.similarity_score for r in r2])
+            assert np.allclose(s1, s2, atol=2e-4), (q, s1, s2)

@@ -523,6 +523,11 @@ def main():
                     help="skip site/crawl/merge when <workdir>/merged.sqlite"
                          " exists (re-run build/serve/eval, e.g. with a "
                          "different --encoder)")
+    ap.add_argument("--stop-after", choices=["merge"], default=None,
+                    help="merge = stop once <workdir>/merged.sqlite exists "
+                         "(the host-only phases; lets the crawl run while "
+                         "the device is busy, then finish later with "
+                         "--reuse-store)")
     ap.add_argument("--report", default=str(REPO / "docs" / "REAL_RUN.md"))
     ap.add_argument("--record", default=str(
         REPO / "docs" / "real_run_record.json"
@@ -571,6 +576,15 @@ def main():
             json.dump(
                 {k: record[k] for k in ("site", "crawl", "merge")}, f
             )
+    if args.stop_after == "merge":
+        merged.close()
+        print(
+            f"[stop-after merge] store ready at {merged_path}; finish with "
+            f"--reuse-store",
+            file=sys.stderr,
+        )
+        print(json.dumps({k: record.get(k) for k in ("crawl", "merge")}))
+        return
     # a --reuse-store + --encoder rerun overwrites the baseline run's
     # results file: snapshot it first so we can report how much the
     # trained encoder moves the rankings on the same real corpus
