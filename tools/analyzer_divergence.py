@@ -231,12 +231,61 @@ def bm25_top10(doc_terms, query_terms, k1=1.2, b=0.75):
     return [i for _, i in scores[:10]]
 
 
+class Bm25Postings:
+    """Same exact reference formula as bm25_top10, but with corpus stats
+    and an inverted index precomputed ONCE — scoring then touches only the
+    query terms' posting lists (hundreds of labeled queries would other-
+    wise re-walk the whole corpus per query)."""
+
+    def __init__(self, doc_terms, k1=1.2, b=0.75):
+        import math
+
+        self.k1, self.b = k1, b
+        N = self.N = len(doc_terms)
+        self.dl = [sum(t.values()) for t in doc_terms]
+        self.avgdl = sum(self.dl) / max(N, 1)
+        self.post: dict = {}
+        for i, terms in enumerate(doc_terms):
+            for t, tf in terms.items():
+                self.post.setdefault(t, []).append((i, tf))
+        self.idf = {
+            t: math.log((N - len(p) + 0.5) / (len(p) + 0.5))
+            for t, p in self.post.items()
+        }
+
+    def top10(self, query_terms):
+        k1, b = self.k1, self.b
+        scores: dict = {}
+        for t, qtf in query_terms.items():
+            p = self.post.get(t)
+            if not p:
+                continue
+            idf = self.idf[t]
+            for i, tf in p:
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * self.dl[i] / self.avgdl)
+                ) * qtf
+        ranked = sorted(
+            ((s, i) for i, s in scores.items() if s > 0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [i for _, i in ranked[:10]]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-docs", type=int, default=2000)
     ap.add_argument("--report", default=str(
         REPO / "docs" / "ANALYZER_DIVERGENCE.md"
     ))
+    ap.add_argument("--pairs", default="/tmp/real_pairs3.tsv",
+                    help="mined pairs TSV for the labeled-recall section "
+                         "(tools/make_real_corpus.py --pairs); skipped if "
+                         "missing")
+    ap.add_argument("--labeled-queries", type=int, default=300)
+    ap.add_argument("--holdout-every", type=int, default=10,
+                    help="must match tools/real_eval.py so the labeled "
+                         "queries are the same held-out population")
     args = ap.parse_args()
 
     from make_real_corpus import iter_module_docs
@@ -320,6 +369,76 @@ def main():
         per_q.append((qn, qt, inter, len(top_a), len(top_b)))
     recall_effect = sum(rec10) / max(len(rec10), 1)
 
+    # 4. labeled recall@10 (VERDICT r3 weak #5) -----------------------------
+    # Top-10 AGREEMENT says the lists differ 7.3% of the time; it cannot say
+    # whether the difference COSTS anything.  Score both pipelines against
+    # the same GROUND-TRUTH qrels: each labeled query is a held-out mined
+    # summary line whose body passage is text of known corpus pages (the
+    # tools/real_eval.py resolution rule — whitespace-normalized snippet
+    # containment), so recall@10 is objective and analyzer-independent.
+    labeled = None
+    if args.pairs and Path(args.pairs).exists():
+        import bisect
+
+        from real_encoder import holdout_split
+
+        pairs = []
+        with open(args.pairs, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2 and parts[0] and parts[1]:
+                    pairs.append((parts[0], parts[1]))
+        _, held = holdout_split(pairs, every=args.holdout_every)
+        # one haystack + offsets: resolve snippet -> containing docs fast
+        norm_docs = [" ".join(t.split()) for _, t in docs]
+        sep = "\x00"
+        hay = sep.join(norm_docs)
+        bounds = []
+        off = 0
+        for nd in norm_docs:
+            bounds.append(off)
+            off += len(nd) + 1
+        qrels = []  # (query, frozenset(doc indices))
+        for q, p in held:
+            if len(qrels) >= args.labeled_queries:
+                break
+            snip = " ".join(p.split())[:300]
+            if len(snip) < 40:
+                continue
+            rel = set()
+            start = hay.find(snip)
+            while start != -1:
+                rel.add(bisect.bisect_right(bounds, start) - 1)
+                start = hay.find(snip, start + 1)
+            if rel:
+                qrels.append((q, frozenset(rel)))
+        if qrels:
+            idx_a = Bm25Postings(repo_tokens_all)
+            idx_b = Bm25Postings(ref_tokens_all)
+            hit_a = hit_b = 0
+            rr_a = rr_b = 0.0
+            for q, rel in qrels:
+                ta = idx_a.top10(Counter(repo.tokens(q)))
+                tb = idx_b.top10(Counter(ref.tokens(q)))
+                if any(i in rel for i in ta):
+                    hit_a += 1
+                    rr_a += 1.0 / (
+                        1 + next(j for j, i in enumerate(ta) if i in rel)
+                    )
+                if any(i in rel for i in tb):
+                    hit_b += 1
+                    rr_b += 1.0 / (
+                        1 + next(j for j, i in enumerate(tb) if i in rel)
+                    )
+            n = len(qrels)
+            labeled = {
+                "queries": n,
+                "recall@10_repo": round(hit_a / n, 4),
+                "recall@10_full_lemma": round(hit_b / n, 4),
+                "mrr@10_repo": round(rr_a / n, 4),
+                "mrr@10_full_lemma": round(rr_b / n, 4),
+            }
+
     top_diffs = diff_examples.most_common(15)
     out = {
         "docs": len(docs),
@@ -332,6 +451,8 @@ def main():
         "postings_mass_reference_pipeline": mass_b,
         "bm25_top10_agreement": round(recall_effect, 4),
     }
+    if labeled:
+        out["labeled"] = labeled
     print(json.dumps(out))
 
     lines = [
@@ -375,6 +496,28 @@ def main():
     ]
     for qn, qt, inter, la, lb in per_q:
         lines.append(f"| {qn} | {qt} | {inter} |")
+    if labeled:
+        lines += [
+            "",
+            "## Labeled recall (does the disagreement COST anything?)",
+            "",
+            f"{labeled['queries']} held-out mined summary queries with",
+            "objective qrels (pages containing the paired body snippet —",
+            "the tools/real_eval.py resolution rule), both pipelines",
+            "scored against the SAME qrels:",
+            "",
+            "| pipeline | recall@10 | MRR@10 |",
+            "|---|---|---|",
+            f"| repo lemma-light | **{labeled['recall@10_repo']}** | "
+            f"{labeled['mrr@10_repo']} |",
+            f"| full-lemma (spaCy-architecture) | "
+            f"**{labeled['recall@10_full_lemma']}** | "
+            f"{labeled['mrr@10_full_lemma']} |",
+            "",
+            "The top-10 agreement number above bounds how much the lists",
+            "DIFFER; this table measures what that difference is WORTH",
+            "against ground truth (VERDICT r3 weak #5).",
+        ]
     lines += [
         "",
         "Most frequent aligned-token disagreements (repo -> full-lemma):",
