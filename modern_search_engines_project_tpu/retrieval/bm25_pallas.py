@@ -162,12 +162,38 @@ def _kernel_udedup(w_ref, uids_ref, terms_ref, impact_ref, localt_ref, out_ref):
     out_ref[:] += acc
 
 
-def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref):
+def _accum_keyed(j, contrib, out_ref, acc_ref):
+    """Shared slot-kernel tail: accumulate the per-step (scores; counts)
+    contribution [2B, COLS] in VMEM scratch across the row-chunk grid
+    steps, and on the LAST step emit the KEYED scores [B, COLS] — matched
+    docs with score >= 0 keep their score, everything else keys to -1
+    (the admissibility contract of bm25_score_blocked / _slots_key).
+
+    Doing the keying here (a) halves the kernel's HBM output (one [B, D]
+    write instead of the [2B, D] accumulator) and (b) removes the separate
+    XLA keying pass over [2B, D] that followed every kernel call."""
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += contrib
+    B = out_ref.shape[0]
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        s = acc_ref[:B]
+        c = acc_ref[B:]
+        out_ref[:] = jnp.where((c > 0.0) & (s >= 0.0), s, -1.0)
+
+
+def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref, acc_ref):
     """One (group, row_chunk) grid step over the doc-slot layout.
 
     refs: tids/qtf [B, T]; terms/impact [1, RC, COLS] (column d%COLS of the
-    group = doc d's postings stacked vertically); out [2B, COLS] f32 —
-    rows [0, B) scores, rows [B, 2B) match counts.
+    group = doc d's postings stacked vertically); out [B, COLS] f32 keyed
+    scores (emitted at the last row chunk; scratch acc [2B, COLS] carries
+    scores rows [0, B) / match counts rows [B, 2B) between chunks).
 
     The slot layout makes the per-doc reduction a straight sum over rows:
     no one-hot matmul (the blocked kernel spent ~2*2B*128*2 MXU flops per
@@ -209,15 +235,12 @@ def _kernel_slots(tids_ref, qtf_ref, terms_ref, impact_ref, out_ref):
     )
     acc_s = jnp.sum(acc_s3, axis=1)
     acc_c = jnp.sum(acc_c3, axis=1)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += jnp.concatenate([acc_s, acc_c], axis=0)
+    _accum_keyed(j, jnp.concatenate([acc_s, acc_c], axis=0), out_ref, acc_ref)
 
 
-def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+def _kernel_slots_udedup(
+    w_ref, uids_ref, terms_ref, impact_ref, out_ref, acc_ref
+):
     """U-dedup slot-kernel step: postings match against the batch's DISTINCT
     query terms (U compares per posting row, shared across queries), then
     per-query weights are recovered with one (2B,U)@(U,COLS) MXU matmul per
@@ -226,7 +249,7 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     and mu is 0/1, both bf16-exact, accumulated in f32.
 
     refs: w [2B, U] f32; uids [U, 1] int32 (pad -2); terms/impact
-    [1, RC, COLS]; out [2B, COLS] f32.
+    [1, RC, COLS]; out [B, COLS] keyed f32 (scratch acc [2B, COLS]).
     """
     j = pl.program_id(1)
     B2, U = w_ref.shape
@@ -260,15 +283,12 @@ def _kernel_slots_udedup(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     acc = jax.lax.fori_loop(
         0, RC // SUB, tile, jnp.zeros((B2, COLS), jnp.float32)
     )
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += acc
+    _accum_keyed(j, acc, out_ref, acc_ref)
 
 
-def _kernel_slots_udedup_i8(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+def _kernel_slots_udedup_i8(
+    w_ref, uids_ref, terms_ref, impact_ref, out_ref, acc_ref
+):
     """int8 twin of _kernel_slots_udedup: the match matrix is 0/1 and the
     weight rows are small integers (qtf <= T, presence 0/1), so the
     weight-recovery matmul runs s8 x s8 -> s32 on the MXU — 2x the bf16
@@ -301,16 +321,11 @@ def _kernel_slots_udedup_i8(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     acc = jax.lax.fori_loop(
         0, RC // SUB, tile, jnp.zeros((B2, COLS), jnp.float32)
     )
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += acc
+    _accum_keyed(j, acc, out_ref, acc_ref)
 
 
 def _kernel_slots_udedup_wide(
-    w_ref, uids_ref, terms_ref, impact_ref, out_ref, *, i8: bool
+    w_ref, uids_ref, terms_ref, impact_ref, out_ref, acc_ref, *, i8: bool
 ):
     """Column-concatenated variant: the 8 per-sublane (2B,U)@(U,COLS)
     matmuls of one tile fuse into ONE (2B,U)@(U,8*COLS) matmul — same
@@ -354,14 +369,17 @@ def _kernel_slots_udedup_wide(
         ),
     )
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    _accum_keyed(
+        j,
+        jnp.concatenate([sc, (pc > 0).astype(jnp.float32)], axis=0),
+        out_ref,
+        acc_ref,
+    )
 
-    out_ref[:] += jnp.concatenate([sc, (pc > 0).astype(jnp.float32)], axis=0)
 
-
-def _kernel_slots_udedup_acc(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
+def _kernel_slots_udedup_acc(
+    w_ref, uids_ref, terms_ref, impact_ref, out_ref, acc_ref
+):
     """Traffic-restructured U-dedup slot step: instead of a per-sublane
     (2B,U)@(U,COLS) matmul + elementwise chain (whose VMEM read-modify-
     writes dominate, ~12 MB/tile measured via the 5.2 ms kernel time),
@@ -378,7 +396,7 @@ def _kernel_slots_udedup_acc(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     to the X/P carry update (~1 MB vs ~12 MB).
 
     refs: w [2B, U] f32; uids [U, 1] int32 (pad -2); terms/impact
-    [1, RC, COLS]; out [2B, COLS] f32.
+    [1, RC, COLS]; out [B, COLS] keyed f32 (scratch acc [2B, COLS]).
     """
     j = pl.program_id(1)
     B2, U = w_ref.shape
@@ -425,12 +443,7 @@ def _kernel_slots_udedup_acc(w_ref, uids_ref, terms_ref, impact_ref, out_ref):
     C = jnp.dot(
         wp, P.astype(jnp.bfloat16), preferred_element_type=jnp.float32
     )
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += jnp.concatenate([S, C], axis=0)
+    _accum_keyed(j, jnp.concatenate([S, C], axis=0), out_ref, acc_ref)
 
 
 # Mosaic's default scoped-vmem limit is 16 MB; the kernel's per-sublane
@@ -685,9 +698,12 @@ SLOT_ROW_CHUNK = 512  # rows per grid step (streamed operands ~2 MB at 512)
 
 def _slots_call(kernel, front, slot_terms, slot_impact, B2, interpret):
     """Run ``kernel`` over every stride class and concatenate the per-class
-    ``[B2, n_g * COLS]`` outputs along the column axis (class-major column
-    order; callers un-permute with DeviceIndex.col_unperm)."""
+    ``[B2 // 2, n_g * COLS]`` KEYED outputs along the column axis
+    (class-major column order; callers un-permute with
+    DeviceIndex.col_unperm).  The [2B, COLS] (scores; counts) accumulator
+    lives in VMEM scratch; only the keyed scores reach HBM."""
     f0, f1 = front
+    B = B2 // 2
     parts = []
     for terms, impact in zip(slot_terms, slot_impact):
         n_g, S, COLS = terms.shape
@@ -710,9 +726,10 @@ def _slots_call(kernel, front, slot_terms, slot_impact, B2, interpret):
                 stream,
             ],
             out_specs=pl.BlockSpec(
-                (B2, COLS), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (B, COLS), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((B2, n_g * COLS), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, n_g * COLS), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B2, COLS), jnp.float32)],
             compiler_params=None if interpret else _COMPILER_PARAMS,
             interpret=interpret,
         )(f0, f1, terms, impact)
@@ -720,8 +737,8 @@ def _slots_call(kernel, front, slot_terms, slot_impact, B2, interpret):
     return jnp.concatenate(parts, axis=1)
 
 
-def _slots_key(full, col_unperm, B):
-    """(scores; counts) concat -> keyed scores in dense doc order
+def _slots_key(keyed, col_unperm, B):
+    """Kernel-keyed scores (slot column order) -> dense doc order
     (same admissibility contract as bm25_score_blocked).
 
     The slot layout only REORDERS WHOLE GROUPS (build_slot_postings:
@@ -734,8 +751,6 @@ def _slots_key(full, col_unperm, B):
         SLOT_COLS,
     )
 
-    scores, matched = full[:B], full[B:] > 0.0
-    keyed = jnp.where(matched & (scores >= 0.0), scores, -1.0)
     n_dense = col_unperm.shape[0]
     if keyed.shape[1] % SLOT_COLS == 0 and n_dense >= SLOT_COLS:
         n_groups_dense = -(-n_dense // SLOT_COLS)
