@@ -194,6 +194,8 @@ const std::unordered_map<std::string, std::string>& irregular() {
     {"hidden","hide"},{"spent","spend"},{"kept","keep"},{"held","hold"},
     {"brought","bring"},{"bought","buy"},{"taught","teach"},
     {"caught","catch"},{"ran","run"},{"met","meet"},
+    {"chose","choose"},{"chosen","choose"},{"choosing","choose"},
+    {"data","datum"},{"media","medium"},
     {"vertices","vertex"},{"indices","index"},{"matrices","matrix"},
     {"axes","axis"},{"analyses","analysis"},{"hypotheses","hypothesis"},
     {"criteria","criterion"},{"maxima","maximum"},{"minima","minimum"},
@@ -221,7 +223,39 @@ const std::unordered_set<std::string>& e_restore() {
     "terminat","enumerat","instantiat","concatenat","serializ",
     "restor","compar","imag","shap","slic","pip","lin","scop","trac",
     "sourc","featur","measur","releas","packag","encourag","leverag",
-    "integrat","migrat","consolidat"};
+    "integrat","migrat","consolidat",
+    "tun","delet","populat","retriev","guarante","shad","rout","escap",
+    "observ","prepar","pickl","templat","acquir","describ","truncat",
+    "rotat","isolat","travers","activat","negat","locat","dictat",
+    "delegat","navigat","calibrat","saturat","annotat","emulat",
+    "improv","achiev","believ","involv","reserv","preserv","deserv",
+    "compos","expos","propos","suppos","dispos","purg","surg","dodg",
+    "judg","overwrit","rewrit","promot","demot","denot","quot","vot",
+    "invit","excit","recit","composit","elevat","motivat","simulat",
+    "stimulat","translat","relocat","allocat","deallocat","duplicat",
+    "replicat","complicat","communicat","authenticat",
+    "advis","devis","revis","prais","apprais","exercis","compris",
+    "practis","incorporat","collaborat","elaborat","operat","cooperat",
+    "disput","permut","transmut","pollut","dilut","persecut",
+    "substitut","constitut","institut","attribut","contribut",
+    "salut","refut","persuad","evad","invad","upgrad","degrad",
+    "downgrad","cascad","subscrib","prescrib","transcrib","inscrib",
+    "consum","resum","presum","subsum","perfum",
+    "oppos","impos","transpos","juxtapos","superpos","predispos",
+    "regenerat","degenerat","expir","inspir","aspir","conspir",
+    "perspir","retir","admir","incit","ignit","unit","reunit",
+    "accommodat","intimidat","liquidat","outdat","mandat",
+    "sedat","elucidat","erod","explod","corrod","calculat","exclud"};
+  return S;
+}
+
+// Doubled-"l" stems that undouble ("cancelled" -> "cancell" -> "cancel");
+// the generic undoubling rule excludes final "l".  Keep identical to
+// analyzer.py _UNDOUBLE_LL.
+const std::unordered_set<std::string>& undouble_ll() {
+  static const std::unordered_set<std::string> S = {
+    "cancell","labell","modell","travell","controll","compell",
+    "signall","equall"};
   return S;
 }
 
@@ -292,6 +326,7 @@ std::string strip_verbal(const std::string& w) {
           stem[stem.size() - 1] == stem[stem.size() - 2] && !last_vowel &&
           last != 'l' && last != 's')
         return stem.substr(0, stem.size() - 1);
+      if (undouble_ll().count(stem)) return stem.substr(0, stem.size() - 1);
       // dropped-e restoration by frozen table only (the old CVC guess
       // mangled short stems: "reading" -> "reade")
       return restore_e(stem);
@@ -307,6 +342,7 @@ std::string strip_verbal(const std::string& w) {
           stem[stem.size() - 1] == stem[stem.size() - 2] &&
           !last_vowel && last != 'l' && last != 's')
         return stem.substr(0, stem.size() - 1);
+      if (undouble_ll().count(stem)) return stem.substr(0, stem.size() - 1);
       if (last == 'i') return stem.substr(0, stem.size() - 1) + "y";
       return restore_e(stem);
     }

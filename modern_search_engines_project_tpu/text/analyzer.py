@@ -101,6 +101,10 @@ _IRREGULAR = {
     "hidden": "hide", "spent": "spend", "kept": "keep", "held": "hold",
     "brought": "bring", "bought": "buy", "taught": "teach",
     "caught": "catch", "ran": "run", "met": "meet",
+    # round-5 additions (docs/ANALYZER_DIVERGENCE.md round-4 table):
+    # unambiguous spaCy folds the suffix rules cannot reach
+    "chose": "choose", "chosen": "choose", "choosing": "choose",
+    "data": "datum", "media": "medium",
     "vertices": "vertex", "indices": "index", "matrices": "matrix",
     "axes": "axis", "analyses": "analysis", "hypotheses": "hypothesis",
     "criteria": "criterion", "maxima": "maximum", "minima": "minimum",
@@ -127,7 +131,41 @@ _E_RESTORE = frozenset(
     interpolat accumul propagat terminat enumerat instantiat concatenat
     serializ restor compar imag shap slic pip lin scop trac
     sourc featur measur releas packag encourag leverag integrat migrat
-    consolidat""".split()
+    consolidat
+    tun delet populat retriev guarante shad rout escap
+    observ prepar pickl templat acquir describ truncat
+    rotat isolat travers activat negat locat dictat delegat
+    navigat calibrat saturat annotat emulat
+    improv achiev believ involv reserv preserv deserv
+    compos expos propos suppos dispos purg surg dodg judg
+    overwrit rewrit promot demot denot quot vot invit excit
+    recit composit elevat motivat simulat stimulat translat
+    relocat allocat deallocat duplicat replicat complicat
+    communicat authenticat
+    advis devis revis prais apprais exercis compris practis
+    incorporat collaborat elaborat operat cooperat
+    disput permut transmut pollut dilut persecut
+    substitut constitut institut attribut contribut
+    salut refut
+    persuad evad invad upgrad degrad downgrad cascad
+    subscrib prescrib transcrib inscrib
+    consum resum presum subsum perfum
+    oppos impos transpos juxtapos superpos predispos
+    regenerat degenerat
+    expir inspir aspir conspir perspir retir admir
+    incit ignit unit reunit
+    accommodat intimidat liquidat outdat mandat
+    sedat elucidat erod explod corrod calculat exclud""".split()
+)
+
+# Doubled-"l" stems that undouble ("cancelled" -> "cancell" -> "cancel").
+# The generic undoubling rule excludes final "l" (it would mangle
+# "falling" -> "fal", "calling" -> "cal"); British-style l-doubling verbs
+# are frozen here instead.  Derived, like _E_RESTORE, from the measured
+# disagreement table (docs/ANALYZER_DIVERGENCE.md); must match
+# native/analyzer.cpp verbatim.
+_UNDOUBLE_LL = frozenset(
+    "cancell labell modell travell controll compell signall equall".split()
 )
 
 _VOWELS = set("aeiouäöü")
@@ -166,6 +204,8 @@ def _strip_verbal(w: str) -> str:
             # "adding" -> "add" must NOT undouble to "ad"
             if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
                 return stem[:-1]
+            if stem in _UNDOUBLE_LL:
+                return stem[:-1]
             # dropped 'e': making -> make — by frozen evidence table only
             # (the old CVC-length guess mangled short stems: reading ->
             # "reade"; docs/ANALYZER_DIVERGENCE.md)
@@ -174,6 +214,8 @@ def _strip_verbal(w: str) -> str:
         stem = w[:-2]
         if any(c in _VOWELS for c in stem):
             if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "ls":
+                return stem[:-1]
+            if stem in _UNDOUBLE_LL:
                 return stem[:-1]
             if stem.endswith("i"):
                 return stem[:-1] + "y"

@@ -75,6 +75,32 @@ class TestAnalyzer:
         assert lemmatize("running") == "run"
         assert lemmatize("fitted") == "fit"
 
+    def test_lemmatize_round5_e_restorations(self):
+        """Top suffix-rule divergences from the round-4 measurement
+        (docs/ANALYZER_DIVERGENCE.md disagreement table) now fold."""
+        for w in ("tuning", "tuned"):
+            assert lemmatize(w) == "tune", w
+        for w in ("deleted", "deleting", "deletes"):
+            assert lemmatize(w) == "delete", w
+        assert lemmatize("populated") == "populate"
+        assert lemmatize("retrieved") == "retrieve"
+        assert lemmatize("guaranteed") == "guarantee"
+        assert lemmatize("shading") == "shade"
+
+    def test_lemmatize_ll_undoubling(self):
+        """British l-doubling verbs undouble via the frozen _UNDOUBLE_LL
+        table; the generic rule still must not touch ll-base verbs."""
+        for w in ("cancelled", "cancelling", "canceled", "canceling"):
+            assert lemmatize(w) == "cancel", w
+        assert lemmatize("labelled") == "label"
+        assert lemmatize("modelling") == "model"
+        assert lemmatize("controlled") == "control"
+        # ll-base verbs keep their double l
+        assert lemmatize("falling") == "fall"
+        assert lemmatize("calling") == "call"
+        assert lemmatize("installed") == "install"
+        assert lemmatize("rolling") == "roll"
+
     def test_lemmatize_technical_irregulars(self):
         assert lemmatize("vertices") == "vertex"
         assert lemmatize("indices") == "index"
