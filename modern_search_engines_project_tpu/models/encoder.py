@@ -160,6 +160,14 @@ class JaxEncoder:
         self.batch_size = batch_size
         # sequences can't exceed the model's trained position range
         self.max_len = min(max_len or self.cfg.max_len, self.cfg.max_len)
+        # Length buckets (VERDICT r4 #2): real queries are 2-6 terms but a
+        # single compiled max_len shape padded EVERY query to len-128 — the
+        # encoder forward was ~2.3x the whole hybrid rank and mostly padding
+        # compute.  Each batch pads to the smallest bucket that fits its
+        # longest sequence; one compile per (batch, bucket) shape.
+        self.len_buckets = tuple(
+            L for L in (16, 32, 64, 128, 256, 512) if L < self.max_len
+        ) + (self.max_len,)
         if params is None:
             ids = jnp.zeros((1, self.max_len), jnp.int32)
             mask = jnp.ones((1, self.max_len), jnp.int32)
@@ -222,18 +230,28 @@ class JaxEncoder:
             "ckpt": getattr(self, "ckpt_path", None),
         }
 
+    def bucket_len(self, tok: Sequence[Sequence[int]]) -> int:
+        """Smallest length bucket fitting the longest sequence (+2 for
+        the tokenizer's CLS/SEP framing), capped at max_len."""
+        need = max((len(t) for t in tok), default=0) + 2
+        for L in self.len_buckets:
+            if L >= need:
+                return L
+        return self.max_len
+
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.cfg.dim), np.float32)
         bs = self.batch_size
         for i in range(0, len(texts), bs):
             chunk = texts[i : i + bs]
             tok = [self.tokenizer.encode(t) for t in chunk]
-            ids, mask = self.tokenizer.pad_batch(tok, self.max_len)
+            L = self.bucket_len(tok)
+            ids, mask = self.tokenizer.pad_batch(tok, L)
             n = len(chunk)
             pad_n = bs - n if i + bs > len(texts) else 0
             if pad_n:  # keep a single compiled batch shape
-                ids += [[0] * self.max_len] * pad_n
-                mask += [[1] + [0] * (self.max_len - 1)] * pad_n
+                ids += [[0] * L] * pad_n
+                mask += [[1] + [0] * (L - 1)] * pad_n
             emb = self._fwd(
                 self.params,
                 jnp.asarray(ids, jnp.int32),
@@ -256,12 +274,13 @@ class JaxEncoder:
         for i in range(0, len(texts), bs):
             chunk = texts[i : i + bs]
             tok = [self.tokenizer.encode(t) for t in chunk]
-            ids, mask = self.tokenizer.pad_batch(tok, self.max_len)
+            L = self.bucket_len(tok)
+            ids, mask = self.tokenizer.pad_batch(tok, L)
             n = len(chunk)
             pad_n = bs - n if i + bs > len(texts) else 0
             if pad_n:  # keep a single compiled batch shape
-                ids += [[0] * self.max_len] * pad_n
-                mask += [[1] + [0] * (self.max_len - 1)] * pad_n
+                ids += [[0] * L] * pad_n
+                mask += [[1] + [0] * (L - 1)] * pad_n
             emb = self._fwd(
                 self.params,
                 jnp.asarray(ids, jnp.int32),

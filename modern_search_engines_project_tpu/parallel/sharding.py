@@ -149,8 +149,18 @@ class ShardedDeviceIndex:
     ) -> "ShardedDeviceIndex":
         cfg = config or art.config
         # 2-D (dp, shard) meshes replicate the index over dp (P("shard")
-        # placement does this for free) and split query batches over dp
-        S = dict(mesh.shape).get("shard", mesh.devices.size)
+        # placement does this for free) and split query batches over dp.
+        # Multi-host hierarchical meshes name a leading "host" axis: the
+        # index then shards over host x shard and the candidate merge is
+        # two-level (see _sharded_hybrid_fn).
+        shape = dict(mesh.shape)
+        shard_axes = tuple(a for a in ("host", "shard") if a in shape)
+        if shard_axes:
+            S = 1
+            for a in shard_axes:
+                S *= shape[a]
+        else:
+            S = mesh.devices.size
         n_docs = art.n_docs
         V = art.n_terms
         dim = art.chunk_emb.shape[1]
@@ -283,7 +293,7 @@ class ShardedDeviceIndex:
         def put(x, spec):
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        sh = P("shard")
+        sh = P(shard_axes) if shard_axes else P("shard")
         return cls(
             indptr=put(np.stack(indptr_l), sh),
             post_docs=put(post_docs, sh),
@@ -308,17 +318,29 @@ class ShardedDeviceIndex:
         )
 
 
+def _flat_shard_id(axes):
+    """Flat shard id under shard_map for a 1- or 2-level shard axis
+    (host-major, matching the P(("host", "shard")) index placement and
+    the order ``lax.all_gather(x, axes)`` concatenates shards)."""
+    if len(axes) == 1:
+        return lax.axis_index(axes[0])
+    n_local = lax.psum(1, axes[-1])  # static: folded at trace time
+    return lax.axis_index(axes[0]) * n_local + lax.axis_index(axes[-1])
+
+
 def _sharded_hybrid_fn(
     d_loc: int,
     posting_cap: int,
     k_ret: int,
     smoothing: float,
     buckets: tuple,
-    axis: str = "shard",
+    axis="shard",
     use_pallas: bool = False,
     interpret: bool = False,
     udedup: bool = False,
     udedup_variant: str = None,
+    n_host: int = 1,
+    fuse_win: bool = True,
 ):
     """Per-shard hybrid ranking under shard_map (bucketed dense stage).
 
@@ -331,7 +353,22 @@ def _sharded_hybrid_fn(
     [U] and ``q2`` the per-query weight/presence tensor [B, 2, U] (stacked
     on axis 1 so dp batch-splitting stays a plain leading-axis split —
     the kernel's [2B, U] layout would split its two channels wrongly).
+
+    Cross-shard collectives are FUSED to keep multi-host (gloo/DCN) cost
+    latency-bound, not collective-count bound: candidate scores+ids ride
+    ONE allgather (ids bitcast to f32 — allgather is bit-preserving), the
+    pool extrema ride one pmax of (-lo, hi), and the per-candidate
+    combine rides one pmax of (scores, win-as-f32; exact for chunk ids
+    < 2^24).  ``axis`` may be one name ("shard") or a hierarchy
+    ("host", "shard"): with two names the candidate merge is
+    HIERARCHICAL — allgather + re-top-k within the trailing (intra-host)
+    axis first (ICI), then one cross-host exchange of the already-reduced
+    per-host top-k (DCN), so the expensive hop moves n_host candidate
+    sets instead of n_shards (VERDICT r4 #9).  ``n_host`` is the static
+    size of the leading (host) axis.
     """
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    local_axis = axes[-1]
 
     def fn(
         indptr,
@@ -356,7 +393,7 @@ def _sharded_hybrid_fn(
         bucket_start = tuple(b[0] for b in bucket_start)
 
         B = q2.shape[0] if udedup else q1.shape[0]
-        s_id = lax.axis_index(axis)
+        s_id = _flat_shard_id(axes)
         b_rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         k_loc = min(k_ret, d_loc)
 
@@ -398,13 +435,28 @@ def _sharded_hybrid_fn(
         lvals, lidx = ops.topk_blockmax(bm[:, :d_loc], k_loc)
         gidx = lidx + s_id * d_loc
 
-        all_vals = lax.all_gather(lvals, axis)  # [n_shards, B, k_loc]
-        all_idx = lax.all_gather(gidx, axis)
-        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(B, -1)
-        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(B, -1)
-        k_eff = min(k_ret, all_vals.shape[1])
-        top_vals, sel = lax.top_k(all_vals, k_eff)
-        top_idx = jnp.take_along_axis(all_idx, sel, axis=1)
+        def gather_merge(vals, idx, name, k_out):
+            """One fused allgather (scores ++ bitcast ids) + re-top-k."""
+            packed = jnp.concatenate(
+                [vals, lax.bitcast_convert_type(idx, jnp.float32)], axis=1
+            )
+            ag = lax.all_gather(packed, name)  # [n, B, 2*k]
+            k_in = vals.shape[1]
+            av = jnp.moveaxis(ag[:, :, :k_in], 0, 1).reshape(B, -1)
+            ai = lax.bitcast_convert_type(
+                jnp.moveaxis(ag[:, :, k_in:], 0, 1).reshape(B, -1),
+                jnp.int32,
+            )
+            k_eff = min(k_out, av.shape[1])
+            tv, sel = lax.top_k(av, k_eff)
+            return tv, jnp.take_along_axis(ai, sel, axis=1)
+
+        # intra-host merge first (ICI); the cross-host hop (DCN) then
+        # exchanges one already-reduced candidate set per host
+        top_vals, top_idx = gather_merge(lvals, gidx, local_axis, k_ret)
+        if len(axes) == 2 and n_host > 1:
+            top_vals, top_idx = gather_merge(top_vals, top_idx, axes[0], k_ret)
+        k_eff = top_vals.shape[1]
         valid_c = top_vals >= 0.0
 
         # ---- local candidate mask, scatter-free -----------------------------
@@ -428,8 +480,10 @@ def _sharded_hybrid_fn(
             use_pallas=use_pallas, interpret=interpret,
         )
         lo_l, hi_l = ops.stats_pool_extrema(stats, cand_mask, buckets)
-        lo_c = lax.pmin(lo_l, axis)[:, None]  # reference normalizes
-        hi_c = lax.pmax(hi_l, axis)[:, None]  # over the GLOBAL pool
+        # reference normalizes over the GLOBAL pool; one pmax carries
+        # both extrema (min = -max(-x))
+        ext = lax.pmax(jnp.stack([-lo_l, hi_l]), axes)
+        lo_c, hi_c = (-ext[0])[:, None], ext[1][:, None]
         doc_score, win_gid = ops.fused_scores_from_stats(
             buckets,
             bucket_start,
@@ -450,8 +504,16 @@ def _sharded_hybrid_fn(
         cand_win_l = jnp.where(
             in_shard, jnp.take(win_gid.reshape(-1), gflat), -1
         )
-        cand_scores = lax.pmax(cand_scores_l, axis)
-        cand_win = lax.pmax(cand_win_l, axis)
+        if fuse_win:  # win ids exact in f32 (< 2^24 chunks): one pmax
+            comb = lax.pmax(
+                jnp.stack([cand_scores_l, cand_win_l.astype(jnp.float32)]),
+                axes,
+            )
+            cand_scores = comb[0]
+            cand_win = comb[1].astype(jnp.int32)
+        else:
+            cand_scores = lax.pmax(cand_scores_l, axes)
+            cand_win = lax.pmax(cand_win_l, axes)
 
         sort_key = jnp.where(valid_c, cand_scores, -1.0)
         final_vals, order = lax.top_k(sort_key, k_eff)
@@ -493,7 +555,12 @@ class ShardedEngineBackend:
         self._mesh = mesh
         # query batches split over dp when present (index is replicated
         # across dp by the P("shard") placement)
-        self.dp = dict(mesh.shape).get("dp", 1)
+        shape = dict(mesh.shape)
+        self.dp = shape.get("dp", 1)
+        self._shard_axes = tuple(
+            a for a in ("host", "shard") if a in shape
+        ) or ("shard",)
+        self.n_host = shape.get("host", 1)
         qspec = P("dp") if "dp" in mesh.axis_names else P()
         self._qspec = qspec
         self._ranker = self._build_ranker(udedup=False)
@@ -503,20 +570,27 @@ class ShardedEngineBackend:
         from jax import shard_map
 
         s = self.sidx
+        shard_axes = self._shard_axes
+        axis = shard_axes if len(shard_axes) > 1 else shard_axes[0]
+        # fused (score, win) pmax needs win ids exact in f32
+        fuse_win = s.n_docs * self.cfg.max_chunks_per_doc < (1 << 24)
         fn = _sharded_hybrid_fn(
             s.d_loc,
             s.posting_cap,
             self.k_ret,
             self.cfg.smoothing,
             s.buckets,
+            axis=axis,
             use_pallas=self.use_pallas,
             interpret=self._interpret,
             udedup=udedup,
             udedup_variant=udedup_variant,
+            n_host=self.n_host,
+            fuse_win=fuse_win,
         )
         nb = len(s.buckets)
         nc = len(s.slot_terms)
-        sharded = P("shard")
+        sharded = P(shard_axes) if len(shard_axes) > 1 else P("shard")
         qspec = self._qspec
         q1_spec = P() if udedup else qspec  # distinct-term ids replicate
         return jax.jit(
@@ -631,6 +705,9 @@ class ShardedEngineBackend:
         k_loc = min(k, d_loc)
         buckets = s.buckets
 
+        axes = self._shard_axes
+        ispec = P(axes) if len(axes) > 1 else P("shard")
+
         def fn(bemb, bval, bstart, qv):
             bemb = tuple(_strip_shard_axis(e) for e in bemb)
             bval = tuple(v[0] for v in bval)
@@ -641,14 +718,14 @@ class ShardedEngineBackend:
             )  # [B, d_loc] each (shared with the single-chip path)
             lvals, lidx = ops.topk_blockmax(doc_best, k_loc)
             lwin = jnp.take_along_axis(win, lidx, axis=1)
-            gidx = lidx + lax.axis_index("shard") * d_loc
-            av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
+            gidx = lidx + _flat_shard_id(axes) * d_loc
+            av = jnp.moveaxis(lax.all_gather(lvals, axes), 0, 1).reshape(
                 Bq, -1
             )
-            ai = jnp.moveaxis(lax.all_gather(gidx, "shard"), 0, 1).reshape(
+            ai = jnp.moveaxis(lax.all_gather(gidx, axes), 0, 1).reshape(
                 Bq, -1
             )
-            aw = jnp.moveaxis(lax.all_gather(lwin, "shard"), 0, 1).reshape(
+            aw = jnp.moveaxis(lax.all_gather(lwin, axes), 0, 1).reshape(
                 Bq, -1
             )
             vals, sel = lax.top_k(av, min(k, av.shape[1]))
@@ -663,7 +740,7 @@ class ShardedEngineBackend:
             shard_map(
                 fn,
                 mesh=s.mesh,
-                in_specs=((P("shard"),) * nb,) * 3 + (self._qspec,),
+                in_specs=((ispec,) * nb,) * 3 + (self._qspec,),
                 out_specs=(self._qspec,) * 3,
                 check_vma=False,
             )
@@ -699,21 +776,23 @@ class ShardedEngineBackend:
                 posting_cap=cap,
             )
             lvals, lidx = ops.topk_blockmax(bm[:, :d_loc], k_loc)
-            gidx = lidx + lax.axis_index("shard") * d_loc
-            av = jnp.moveaxis(lax.all_gather(lvals, "shard"), 0, 1).reshape(
+            gidx = lidx + _flat_shard_id(axes) * d_loc
+            av = jnp.moveaxis(lax.all_gather(lvals, axes), 0, 1).reshape(
                 lvals.shape[0], -1
             )
-            ai = jnp.moveaxis(lax.all_gather(gidx, "shard"), 0, 1).reshape(
+            ai = jnp.moveaxis(lax.all_gather(gidx, axes), 0, 1).reshape(
                 lvals.shape[0], -1
             )
             vals, sel = lax.top_k(av, min(k, av.shape[1]))
             return jnp.take_along_axis(ai, sel, axis=1), vals
 
+        axes = self._shard_axes
+        ispec = P(axes) if len(axes) > 1 else P("shard")
         ranker = jax.jit(
             shard_map(
                 fn,
                 mesh=s.mesh,
-                in_specs=(P("shard"),) * 3 + (self._qspec, self._qspec),
+                in_specs=(ispec,) * 3 + (self._qspec, self._qspec),
                 out_specs=(self._qspec, self._qspec),
                 check_vma=False,
             )
@@ -783,8 +862,14 @@ class ShardedQueryEncoder:
     def __call__(self, texts):
         """Normalized (len(texts), dim) embeddings as a REPLICATED device
         array — no host sync; the ranking dispatch enqueues behind it."""
-        L = self.enc.max_len
         tok = [self.enc.tokenizer.encode(t) for t in texts]
+        # length-bucketed like JaxEncoder.encode_batch: short queries pad
+        # to the smallest compiled bucket, not the model's max_len
+        L = (
+            self.enc.bucket_len(tok)
+            if hasattr(self.enc, "bucket_len")
+            else self.enc.max_len
+        )
         ids, mask = self.enc.tokenizer.pad_batch(tok, L)
         B = len(texts)
         pad = (-B) % self.n

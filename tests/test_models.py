@@ -47,6 +47,31 @@ class TestEncoderForward:
         e2 = enc2.encode("short text")
         assert np.allclose(e1, e2, atol=1e-3)
 
+    def test_length_buckets(self):
+        """Length-bucketed encode (VERDICT r4 #2): short queries pick the
+        smallest bucket and the embedding matches max_len padding."""
+        enc = JaxEncoder(TINY, batch_size=2, max_len=32)
+        assert enc.len_buckets == (16, 32)
+        # 3 words + CLS/SEP = 5 tokens -> bucket 16
+        tok = [enc.tokenizer.encode("castle of tuebingen")]
+        assert enc.bucket_len(tok) == 16
+        # a long text overflows bucket 16 -> max_len
+        long_tok = [enc.tokenizer.encode(" ".join(["w"] * 30))]
+        assert enc.bucket_len(long_tok) == 32
+        # bucketed output == full-length output (mask makes pad inert)
+        short = enc.encode_batch(["castle of tuebingen"])
+        ids, mask = enc.tokenizer.pad_batch(tok, 32)
+        import jax.numpy as jnp
+
+        full = np.asarray(
+            enc._fwd(
+                enc.params,
+                jnp.asarray(ids * 2, jnp.int32),
+                jnp.asarray(mask * 2, jnp.int32),
+            )
+        )[0]
+        assert np.allclose(short[0], full, atol=1e-3)
+
 
 class TestTraining:
     def test_loss_decreases(self):

@@ -22,7 +22,7 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _run_cluster(n_proc, devs_per_proc, port):
+def _run_cluster(n_proc, devs_per_proc, port, hierarchical=False):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
@@ -40,7 +40,8 @@ def _run_cluster(n_proc, devs_per_proc, port):
                 str(pid),
                 "--devices-per-process",
                 str(devs_per_proc),
-            ],
+            ]
+            + (["--hierarchical"] if hierarchical else []),
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
@@ -108,5 +109,25 @@ class TestMultihost:
             g_scores = np.array([s for _, s in got])
             assert np.allclose(w_scores, g_scores, atol=2e-4)
             # doc ids must agree except across score-ties
+            for (wd, ws), (gd, gs) in zip(want, got):
+                assert wd == gd or abs(ws - gs) < 2e-4
+
+    @pytest.mark.parametrize(
+        "n_proc,devs,port",
+        [(2, 4, 29534), (4, 2, 29535)],
+        ids=["2x4", "4x2"],
+    )
+    def test_hierarchical_merge_matches_oracle(self, n_proc, devs, port):
+        """VERDICT r4 #9: the 2-level ("host", "shard") mesh — intra-host
+        merge over ICI, one reduced cross-host exchange over DCN — must
+        produce the identical global ranking."""
+        outs = _run_cluster(n_proc, devs, port, hierarchical=True)
+        assert outs[0]["hierarchical"] is True
+        for o in outs[1:]:
+            assert o["results"] == outs[0]["results"]
+        for want, got in zip(_oracle_results(), outs[0]["results"]):
+            w_scores = np.array([s for _, s in want])
+            g_scores = np.array([s for _, s in got])
+            assert np.allclose(w_scores, g_scores, atol=2e-4)
             for (wd, ws), (gd, gs) in zip(want, got):
                 assert wd == gd or abs(ws - gs) < 2e-4
