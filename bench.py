@@ -626,10 +626,38 @@ def main():
                  " ".join(f"word{(i * 31 + j) % 997}" for j in range(300)))
         for i in range(500)
     ]
-    t0 = time.time()
-    IndexBuilder(HashingEncoder(dim=128), bcfg).build(docs)
-    build_rate = len(docs) / (time.time() - t0)
-    print(f"index build: {build_rate:.1f} docs/s", file=sys.stderr)
+    # warmed + min-of-3 (VERDICT r4 #7): the 500-doc build is ~100 ms, so
+    # a one-shot measurement let one-time costs (hash-GEMM compile, native
+    # lib load, a host-device sync under contention) land as a silent 32%
+    # "regression".  The warm run pays them; the min is the build rate.
+    benc = HashingEncoder(dim=128)
+    IndexBuilder(benc, bcfg).build(docs)  # warm: compiles + lib loads
+    build_times = []
+    for _ in range(3):
+        t0 = time.time()
+        IndexBuilder(benc, bcfg).build(docs)
+        build_times.append(time.time() - t0)
+    build_rate = len(docs) / min(build_times)
+    build_hist_key = f"{backend}:build_docs_per_s"
+    build_hist = history.get(build_hist_key)
+    build_status = "ok"
+    if build_hist and build_rate < 0.75 * build_hist:
+        build_status = "regression_vs_history"
+    else:
+        history[build_hist_key] = max(build_hist or 0.0, build_rate)
+    validation["index_build"] = {
+        "docs_per_s": round(build_rate, 1),
+        "spread": round(max(build_times) / min(build_times), 3),
+        "n_runs": len(build_times),
+        "history_best_docs_per_s": round(build_hist, 1)
+        if build_hist
+        else None,
+        "status": build_status,
+    }
+    print(
+        f"index build: {build_rate:.1f} docs/s ({build_status})",
+        file=sys.stderr,
+    )
 
     # ---- strongest device-time claim: n batches under ONE lax.scan in ONE
     # dispatch.  All index arrays are passed as jit ARGUMENTS — closure
@@ -845,6 +873,7 @@ def main():
     enc_b1_ms = None
     enc_b8_ms = None
     enc_b32_ms = None
+    enc_b64_len128_ms = None
     ckpt_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "runs", "encoder-real"
     )
@@ -859,14 +888,30 @@ def main():
             )
             model, params = enc.model, enc.params
             n_enc = 2 if fast else 32
+            # real queries are 2-6 terms (+augmentation) => <=9 tokens
+            # with CLS/SEP framing; JaxEncoder's length bucketing routes
+            # them to the len-16 compiled shape (VERDICT r4 #2), so the
+            # production encoder cost is the len-16 forward, NOT len-128
+            Q_LEN = enc.bucket_len([[0] * 7])  # 7 ids + CLS/SEP -> 16
 
-            def enc_measure(batch, label):
+            n_params = sum(
+                x.size for x in jax.tree_util.tree_leaves(params)
+            )
+
+            def enc_measure(batch, label, seq_len=Q_LEN):
+                # analytic MXU bound: a transformer forward is ~2 FLOPs
+                # per param per token; v5e bf16 peak ~197 TFLOP/s
+                enc_bound_ms = (
+                    2.0 * n_params * batch * seq_len / 197e12 * 1e3
+                )
                 @jax.jit
                 def enc_scan(params, seed0):
                     def one(carry, seed):
                         key = jax.random.fold_in(jax.random.key(3), seed)
-                        ids = jax.random.randint(key, (batch, 128), 1, 30000)
-                        mask = jnp.ones((batch, 128), jnp.int32)
+                        ids = jax.random.randint(
+                            key, (batch, seq_len), 1, 30000
+                        )
+                        mask = jnp.ones((batch, seq_len), jnp.int32)
                         e = model.apply({"params": params}, ids, mask)
                         return carry + jnp.sum(e[:, 0]), None
 
@@ -887,7 +932,7 @@ def main():
                     return (time.time() - t0) / n_enc * 1e3
 
                 v = measure_validated(
-                    once, label, 0.0, history,
+                    once, label, enc_bound_ms, history,
                     f"{backend}:{label}", repeats=repeats,
                 )
                 validation[label] = v.record()
@@ -897,16 +942,27 @@ def main():
                 )
                 return v.best
 
-            enc_b64_ms = enc_measure(B, "trained-encoder forward batch-64")
-            enc_b1_ms = enc_measure(1, "trained-encoder forward batch-1")
+            enc_b64_ms = enc_measure(
+                B, f"trained-encoder forward batch-64 (len-{Q_LEN})"
+            )
+            enc_b1_ms = enc_measure(
+                1, f"trained-encoder forward batch-1 (len-{Q_LEN})"
+            )
             # dp-split shapes: ShardedQueryEncoder (parallel/sharding.py)
             # splits the batch over the index mesh, so an 8-shard group
             # encodes B/8 per chip and a 2-shard group B/2
             enc_b8_ms = enc_measure(
-                max(1, B // 8), "trained-encoder forward batch-8 (dp/8)"
+                max(1, B // 8),
+                f"trained-encoder forward batch-8 (dp/8, len-{Q_LEN})",
             )
             enc_b32_ms = enc_measure(
-                max(1, B // 2), "trained-encoder forward batch-32 (dp/2)"
+                max(1, B // 2),
+                f"trained-encoder forward batch-32 (dp/2, len-{Q_LEN})",
+            )
+            # the pre-bucketing cost for comparison (chunk-length texts
+            # still pay this shape at BUILD time)
+            enc_b64_len128_ms = enc_measure(
+                B, "trained-encoder forward batch-64 (len-128)", seq_len=128
             )
         except Exception as exc:
             print(f"trained-encoder bench unavailable: {exc}", file=sys.stderr)
@@ -961,6 +1017,10 @@ def main():
 
         extras_scan["encoder_fwd_ms_b64"] = round(enc_b64_ms, 3)
         extras_scan["encoder_fwd_ms_b1"] = round(enc_b1_ms, 3)
+        if enc_b64_len128_ms is not None:
+            extras_scan["encoder_fwd_ms_b64_len128"] = round(
+                enc_b64_len128_ms, 3
+            )
         if enc_b8_ms is not None:
             extras_scan["encoder_fwd_ms_b8"] = round(enc_b8_ms, 3)
         if enc_b32_ms is not None:
