@@ -1,0 +1,225 @@
+"""Causal decoder LM for on-TPU abstractive summaries.
+
+The reference's search assistant generates summaries by calling an
+external 235B LLM over HTTPS (``search_assistant/main.py:57-65``).  The
+TPU-native replacement is a small prefix-LM trained on mined
+(body window -> summary head) pairs from the real corpus, served behind
+the same ``Summarizer`` protocol with zero external dependencies
+(VERDICT r4 #10).
+
+Architecture reuses the bi-encoder building blocks (pre-LN, RoPE,
+GeGLU — ``models/encoder.py``) with a causal attention mask.  Training
+is teacher-forced cross-entropy over [BOS] source <sep> target [EOS]
+with the loss masked to the target span (prefix-LM).  Generation is
+greedy at a fixed compiled length: one jitted full-sequence forward per
+emitted token — at 4L/256d/len-192 the forward is microseconds-scale on
+a v5e, so a KV cache would only complicate the XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from modern_search_engines_project_tpu.models.encoder import (
+    GeGLU,
+    _rope_angles,
+    apply_rope,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    dim: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    mlp_ratio: int = 4
+    max_len: int = 192
+    dtype: str = "bfloat16"
+    rope_base: float = 10000.0
+
+
+class CausalAttention(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask, rope):
+        c = self.cfg
+        dt = jnp.dtype(c.dtype)
+        hd = c.dim // c.n_heads
+        qkv = nn.Dense(3 * c.dim, use_bias=False, dtype=dt, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, L = x.shape[0], x.shape[1]
+        q = apply_rope(q.reshape(B, L, c.n_heads, hd), rope).astype(dt)
+        k = apply_rope(k.reshape(B, L, c.n_heads, hd), rope).astype(dt)
+        v = v.reshape(B, L, c.n_heads, hd)
+        att = jnp.einsum(
+            "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(hd))
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        keep = causal[None, None] & mask[:, None, None, :]
+        att = jnp.where(keep, att, -1e30)
+        att = jax.nn.softmax(att, axis=-1).astype(dt)
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", att, v, preferred_element_type=jnp.float32
+        ).astype(dt)
+        return nn.Dense(
+            c.dim, use_bias=False, dtype=dt, name="proj"
+        )(out.reshape(B, L, c.dim))
+
+
+class DecoderBlock(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask, rope):
+        dt = jnp.dtype(self.cfg.dtype)
+        h = nn.LayerNorm(dtype=dt, name="ln1")(x)
+        x = x + CausalAttention(self.cfg, name="attn")(h, mask, rope)
+        h = nn.LayerNorm(dtype=dt, name="ln2")(x)
+        # GeGLU's config only reads .dim/.mlp_ratio/.dtype — shared shape
+        return x + GeGLU(self.cfg, name="mlp")(h)
+
+
+class DecoderLM(nn.Module):
+    """token ids + mask -> next-token logits [B, L, vocab]."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        dt = jnp.dtype(c.dtype)
+        emb = nn.Embed(c.vocab_size, c.dim, dtype=dt, name="tok")
+        x = emb(ids)
+        rope = jnp.asarray(
+            _rope_angles(c.dim // c.n_heads, c.max_len, c.rope_base),
+            jnp.float32,
+        )
+        bool_mask = mask > 0
+        for i in range(c.n_layers):
+            x = DecoderBlock(c, name=f"block{i}")(x, bool_mask, rope)
+        x = nn.LayerNorm(dtype=dt, name="ln_f")(x)
+        # weight-tied output head (standard small-LM practice)
+        return emb.attend(x.astype(jnp.float32))
+
+
+def save_decoder(params, cfg: DecoderConfig, path: str, vocab=None) -> None:
+    """Same on-disk format as models/checkpoint.save_encoder, plus the
+    generation vocab (vocab.json) beside the weights."""
+    import json
+    import os
+    import tempfile
+
+    from flax import serialization
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(np.float16), params
+    )
+    os.makedirs(path, exist_ok=True)
+    blob = serialization.to_bytes(params)
+    fd, tmp = tempfile.mkstemp(dir=path)
+    with os.fdopen(fd, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(path, "params.msgpack"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+    if vocab is not None:
+        vocab.save(os.path.join(path, "vocab.json"))
+
+
+def load_decoder(path: str):
+    import json
+    import os
+
+    from flax import serialization
+
+    from modern_search_engines_project_tpu.models.word_vocab import WordVocab
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = DecoderConfig(**json.load(f))
+    model = DecoderLM(cfg)
+    ids = jnp.zeros((1, cfg.max_len), jnp.int32)
+    template = model.init(jax.random.key(0), ids, jnp.ones_like(ids))[
+        "params"
+    ]
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(np.float32)
+        if getattr(x, "dtype", None) == np.float16
+        else x,
+        params,
+    )
+    vpath = os.path.join(path, "vocab.json")
+    vocab = WordVocab.load(vpath) if os.path.exists(vpath) else None
+    return model, params, cfg, vocab
+
+
+class GreedyGenerator:
+    """Fixed-shape greedy decoding: the whole padded sequence re-runs per
+    step inside ONE jitted lax.scan (no data-dependent Python control
+    flow; XLA sees a static [steps, B, L, V]-free program — only the
+    argmax per step materializes)."""
+
+    def __init__(self, model: DecoderLM, params, cfg: DecoderConfig):
+        self.model = model
+        self.cfg = cfg
+        self.params = jax.device_put(params)
+
+        def gen(params, ids, mask, start_pos, n_steps_arr):
+            # ids/mask: [B, L] prompt padded to max_len; start_pos: [B]
+            # n_steps_arr: [S] dummy scan axis (static step count)
+            def step(carry, _):
+                ids, mask, pos = carry
+                logits = self.model.apply({"params": params}, ids, mask)
+                # logits at the LAST valid position predict the next token
+                B = ids.shape[0]
+                rows = jnp.arange(B)
+                nxt = jnp.argmax(
+                    logits[rows, pos - 1], axis=-1
+                ).astype(jnp.int32)
+                in_range = pos < ids.shape[1]
+                safe = jnp.where(in_range, pos, ids.shape[1] - 1)
+                new_ids = ids.at[rows, safe].set(
+                    jnp.where(in_range, nxt, ids[rows, safe])
+                )
+                new_mask = mask.at[rows, safe].set(
+                    jnp.where(in_range, 1, mask[rows, safe])
+                )
+                return (new_ids, new_mask, pos + in_range.astype(jnp.int32)), nxt
+
+            (ids, mask, _), toks = jax.lax.scan(
+                step, (ids, mask, start_pos), n_steps_arr
+            )
+            return toks.T  # [B, S]
+
+        self._gen = jax.jit(gen)
+
+    def generate(self, prompt_ids, max_new: int = 48) -> np.ndarray:
+        """prompt_ids: list of id lists.  Returns [B, max_new] token ids
+        (EOS and later positions included; caller truncates at EOS)."""
+        L = self.cfg.max_len
+        B = len(prompt_ids)
+        ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), np.int32)
+        start = np.zeros((B,), np.int32)
+        for b, p in enumerate(prompt_ids):
+            p = list(p)[: L - max_new]
+            ids[b, : len(p)] = p
+            mask[b, : len(p)] = 1
+            start[b] = len(p)
+        toks = self._gen(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(start),
+            jnp.zeros((max_new,), jnp.int32),
+        )
+        return np.asarray(toks)

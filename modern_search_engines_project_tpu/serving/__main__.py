@@ -193,6 +193,12 @@ def main():
                         help="serve the dense chunk bank int8-quantized "
                              "(half the HBM of bf16, s8 MXU matmul; "
                              "~0.4%% score quantization error)")
+    parser.add_argument("--summarizer-ckpt", default=None,
+                        help="trained generative-summary decoder dir "
+                             "(tools/real_summarizer.py output): "
+                             "/api/generate_summary and the search-response "
+                             "llm_response become model-generated text, "
+                             "fully offline (default: extractive backend)")
     parser.add_argument("--query-cache", type=int, default=1024,
                         help="LRU size for (query, top_k) result caching "
                              "(0 disables; cleared on /api/reload)")
@@ -251,8 +257,22 @@ def main():
             "warmed %d query shapes in %.1fs", n, _time.time() - t0
         )
 
+    summarizer = None
+    if args.summarizer_ckpt:
+        from modern_search_engines_project_tpu.serving.assistant import (
+            GenerativeSummarizer,
+        )
+
+        summarizer = GenerativeSummarizer.from_checkpoint(
+            args.summarizer_ckpt
+        )
+        logging.info(
+            "generative summarizer loaded from %s", args.summarizer_ckpt
+        )
+
     service = SearchService(
         engine,
+        summarizer=summarizer,
         queries_path=args.queries,
         query_cache_size=args.query_cache,
         # reload re-reads the index dir; the demo corpus is deterministic,

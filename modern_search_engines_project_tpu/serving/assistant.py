@@ -13,6 +13,11 @@ pluggable backend:
     (search_assistant/main.py:35-76), for deployments that do run an
     external LLM.  Strips a leading ``</think>`` reasoning prefix like the
     reference (main.py:69-71).
+  * ``GenerativeSummarizer`` — an ON-TPU causal decoder
+    (``models/decoder.py``) trained on mined (window -> summary head)
+    pairs from the real corpus: abstractive summaries with zero external
+    dependencies (VERDICT r4 #10).  Load with ``from_checkpoint`` and
+    pass as the service's summarizer (serving CLI ``--summarizer-ckpt``).
 """
 
 from __future__ import annotations
@@ -80,6 +85,65 @@ class ExtractiveSummarizer:
             picked = [scored[0][1]]
         out = " ".join(picked)
         return out[: self.max_chars]
+
+
+class GenerativeSummarizer:
+    """On-device abstractive summary: greedy decode from the trained
+    summary LM, prompted with the query and the top window texts.
+
+    The prompt mirrors training rows (tools/real_summarizer.py):
+    ``[BOS] query-words <sep> window-words... <sep>`` and the model
+    emits summary words until EOS.  Falls back to the extractive
+    backend when the decode comes back empty/degenerate, so the serving
+    contract (non-empty ``llm_response`` whenever windows exist) holds
+    from the first checkpoint onward."""
+
+    def __init__(self, model, params, cfg, vocab, max_new: int = 48):
+        from modern_search_engines_project_tpu.models.decoder import (
+            GreedyGenerator,
+        )
+
+        self.gen = GreedyGenerator(model, params, cfg)
+        self.vocab = vocab
+        self.cfg = cfg
+        self.max_new = max_new
+        self._fallback = ExtractiveSummarizer()
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "GenerativeSummarizer":
+        from modern_search_engines_project_tpu.models.decoder import (
+            load_decoder,
+        )
+
+        model, params, cfg, vocab = load_decoder(path)
+        if vocab is None:
+            raise ValueError(f"{path} has no vocab.json (generation vocab)")
+        return cls(model, params, cfg, vocab, **kw)
+
+    def generate_summary(self, query: str, windows: Sequence[str]) -> str:
+        from modern_search_engines_project_tpu.models.word_vocab import (
+            BOS_ID,
+            SEP_ID,
+        )
+
+        windows = [w[:WINDOW_CHARS] for w in windows[:MAX_WINDOWS] if w]
+        if not windows:
+            return ""
+        budget = self.cfg.max_len - self.max_new - 3
+        q_ids = self.vocab.encode(query)[:24]
+        ids = [BOS_ID] + q_ids + [SEP_ID]
+        for w in windows:
+            if len(ids) >= budget:
+                break
+            ids += self.vocab.encode(w)[: budget - len(ids)]
+        ids = ids[:budget] + [SEP_ID]
+        toks = self.gen.generate([ids], max_new=self.max_new)[0]
+        text = self.vocab.decode(toks).strip()
+        # degenerate decodes (too short, or one word looping) fall back
+        words = text.split()
+        if len(words) < 4 or len(set(words)) < max(2, len(words) // 4):
+            return self._fallback.generate_summary(query, windows)
+        return text
 
 
 class HttpLlmClient:
