@@ -149,7 +149,8 @@ def agg(per_q):
     return {k: round(sum(m[k] for m in per_q) / n, 4) for k in keys}
 
 
-def build_engine(store_path, encoder_ckpt, dim=768, cross_encoder_ckpt=None):
+def build_engine(store_path, encoder_ckpt, dim=768, cross_encoder_ckpt=None,
+                 smoothing=None):
     from modern_search_engines_project_tpu.config import Config
     from modern_search_engines_project_tpu.crawler.storage import CrawlStore
     from modern_search_engines_project_tpu.index import Document, IndexBuilder
@@ -161,16 +162,17 @@ def build_engine(store_path, encoder_ckpt, dim=768, cross_encoder_ckpt=None):
         Document(i + 1, d.url, d.title, d.text)
         for i, d in enumerate(store.iter_documents(min_score=-1.0))
     ]
+    kw = {} if smoothing is None else {"smoothing": smoothing}
     if encoder_ckpt:
         from modern_search_engines_project_tpu.models import JaxEncoder
 
         enc = JaxEncoder.from_checkpoint(
             encoder_ckpt, batch_size=64, max_len=128
         )
-        cfg = Config(embedding_dim=enc.cfg.dim)
+        cfg = Config(embedding_dim=enc.cfg.dim, **kw)
     else:
         enc = HashingEncoder(dim=dim)
-        cfg = Config(embedding_dim=dim)
+        cfg = Config(embedding_dim=dim, **kw)
     ce = None
     if cross_encoder_ckpt:
         from modern_search_engines_project_tpu.models.cross_encoder import (
@@ -282,6 +284,12 @@ def main():
              "dense encoder exists for (VERDICT r4 #1)",
     )
     ap.add_argument("--max-paraphrase-queries", type=int, default=600)
+    ap.add_argument(
+        "--smoothing", type=float, default=None,
+        help="adds a hybrid_trained_smNN condition with this fusion "
+             "weight (bm25 share; reference default 0.15) — include "
+             "hybrid_trained_smNN in --conditions",
+    )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     conditions = args.conditions.split(",")
@@ -374,16 +382,25 @@ def main():
     results = {}
 
     # ---- hybrid conditions through the real HTTP surface -------------------
-    for tag, ckpt, ce in (
-        ("hybrid_hash", None, None),
-        ("hybrid_trained", args.encoder, None),
-        ("hybrid_trained_ce", args.encoder, args.cross_encoder),
+    # hybrid_trained_smNN = the fusion-weight knob: the reference's fixed
+    # smoothing 0.15 (0.85*cos + 0.15*bm25, reranker/config.yaml:28) is
+    # the parity default; the labeled tables show what a tuned weight
+    # recovers on exact-match-heavy traffic
+    for tag, ckpt, ce, sm in (
+        ("hybrid_hash", None, None, None),
+        ("hybrid_trained", args.encoder, None, None),
+        (f"hybrid_trained_sm{int(100 * args.smoothing)}"
+         if args.smoothing is not None else "hybrid_trained_smX",
+         args.encoder, None, args.smoothing),
+        ("hybrid_trained_ce", args.encoder, args.cross_encoder, None),
     ):
         if tag not in conditions or (tag.endswith("_ce") and not ce):
             continue
+        if tag.startswith("hybrid_trained_sm") and sm is None:
+            continue
         print(f"[{tag}] building index...", file=sys.stderr)
         engine, build_s, nd = build_engine(
-            args.store, ckpt, cross_encoder_ckpt=ce
+            args.store, ckpt, cross_encoder_ckpt=ce, smoothing=sm
         )
         print(
             f"[{tag}] built {nd} docs in {build_s:.0f}s; serving batch...",
@@ -493,7 +510,8 @@ def write_md(record):
         "| condition | recall@10 | recall@100 | MRR@10 | NDCG@10 |",
         "|---|---|---|---|---|",
     ]
-    order = ["bm25", "hybrid_hash", "hybrid_trained", "hybrid_trained_550k",
+    order = ["bm25", "hybrid_hash", "hybrid_trained",
+             "hybrid_trained_sm50", "hybrid_trained_550k",
              "hybrid_trained_ce"]
     res = merged["results"]
     for tag in order + [t for t in sorted(res) if t not in order]:
@@ -550,12 +568,20 @@ def write_md(record):
     )
     bp, hhp = res.get("bm25_para"), res.get("hybrid_hash_para")
     if hp and bp and hhp:
+        closed = (hp["recall@10"] - hhp["recall@10"]) / max(
+            bp["recall@10"] - hhp["recall@10"], 1e-9
+        )
         lines.append(
-            f"- **Paraphrase regime**: trained hybrid recall@10 "
-            f"{hp['recall@10']} vs bm25 {bp['recall@10']} and hash hybrid "
-            f"{hhp['recall@10']} — where the query shares no verbatim "
-            f"text with the page, the trained dense tower is what finds "
-            f"it."
+            f"- **Paraphrase regime**: the trained tower is what carries "
+            f"the hybrid here — recall@10 {hp['recall@10']} vs "
+            f"{hhp['recall@10']} for the hash encoder "
+            f"(+{round(hp['recall@10'] - hhp['recall@10'], 4)}, closing "
+            f"{closed:.0%} of the gap to bm25's {bp['recall@10']}).  Note "
+            f"bm25 still leads: even question-style queries embed the "
+            f"exact identifier (\"how do I use scipy.linalg.eigh\"), so "
+            f"the lexical anchor remains strong — and the fixed "
+            f"reference fusion (0.85 cos) under-weights it.  The "
+            f"smoothing rows below show what the knob recovers."
         )
         lines.append("")
     hh, ht = res.get("hybrid_hash"), res.get("hybrid_trained")
@@ -580,7 +606,7 @@ def write_md(record):
             "that trade costs on lexical queries and what a trained "
             "encoder claws back.  Human-style paraphrase queries (the "
             "reference's target workload) are the regime the cosine "
-            "weight is FOR; they have no objective qrels here.",
+            "weight is FOR; the paraphrase table above measures it.",
             "- `smoothing` (the BM25 weight) is a `Config` knob: "
             "deployments with exact-phrase-heavy traffic should raise it "
             "or route by query type; this table is the evidence.",
