@@ -139,9 +139,18 @@ class GenerativeSummarizer:
         ids = ids[:budget] + [SEP_ID]
         toks = self.gen.generate([ids], max_new=self.max_new)[0]
         text = self.vocab.decode(toks).strip()
-        # degenerate decodes (too short, or one word looping) fall back
+        # degenerate decodes fall back to the extractive backend: too
+        # short, low vocabulary, or greedy bigram looping ("a file to a
+        # file") — a small greedy LM's classic failure mode on inputs
+        # far from its training distribution
         words = text.split()
-        if len(words) < 4 or len(set(words)) < max(2, len(words) // 4):
+        bigrams = list(zip(words, words[1:]))
+        looping = bigrams and len(set(bigrams)) <= 0.75 * len(bigrams)
+        if (
+            len(words) < 4
+            or len(set(words)) < max(2, len(words) // 4)
+            or looping
+        ):
             return self._fallback.generate_summary(query, windows)
         return text
 

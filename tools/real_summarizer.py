@@ -42,6 +42,11 @@ from real_encoder import holdout_split  # noqa: E402
 
 
 def build_rows(pairs, vocab, cfg, max_new, rng):
+    """Returns (ids, mask, tpos, tlab, tw): the loss runs only on the
+    target span's positions (tpos, [N, max_new+1]) with next-token labels
+    tlab and weights tw — the full [B, L, vocab] logits tensor is 3.1 GB
+    per batch-128 step at L=192/V=32k, so the vocab projection must only
+    ever see the ~max_new masked positions."""
     from modern_search_engines_project_tpu.models.word_vocab import (
         BOS_ID,
         EOS_ID,
@@ -50,10 +55,14 @@ def build_rows(pairs, vocab, cfg, max_new, rng):
     )
 
     L = cfg.max_len
+    P = max_new + 1
     tgt_budget = max_new - 1
-    ids = np.zeros((len(pairs), L), np.int32)
-    mask = np.zeros((len(pairs), L), np.int32)
-    lm = np.zeros((len(pairs), L), np.float32)
+    n = len(pairs)
+    ids = np.zeros((n, L), np.int32)
+    mask = np.zeros((n, L), np.int32)
+    tpos = np.zeros((n, P), np.int32)
+    tlab = np.zeros((n, P), np.int32)
+    tw = np.zeros((n, P), np.float32)
     kept = 0
     for summary, body in pairs:
         t = vocab.encode(summary)[:tgt_budget]
@@ -68,9 +77,12 @@ def build_rows(pairs, vocab, cfg, max_new, rng):
         start = len(seq) - len(t) - 2  # index of the 2nd SEP
         ids[kept, : len(seq)] = seq
         mask[kept, : len(seq)] = 1
-        lm[kept, start : start + len(t) + 1] = 1.0
+        span = len(t) + 1  # predict t... plus EOS
+        tpos[kept, :span] = start + np.arange(span)
+        tlab[kept, :span] = seq[start + 1 : start + span + 1]
+        tw[kept, :span] = 1.0
         kept += 1
-    return ids[:kept], mask[:kept], lm[:kept]
+    return ids[:kept], mask[:kept], tpos[:kept], tlab[:kept], tw[:kept]
 
 
 def token_f1(hyp: str, ref: str) -> float:
@@ -147,7 +159,9 @@ def main():
         vocab_size=len(vocab), dim=args.dim, n_layers=args.layers,
         n_heads=max(2, args.dim // 64), max_len=args.max_len,
     )
-    ids, mask, lm = build_rows(train, vocab, cfg, args.max_new, rng)
+    ids, mask, tpos, tlab, tw = build_rows(
+        train, vocab, cfg, args.max_new, rng
+    )
     record["rows"] = int(ids.shape[0])
     print(f"{ids.shape[0]} training rows, vocab {len(vocab)}",
           file=sys.stderr)
@@ -168,14 +182,13 @@ def main():
     ost = opt.init(params)
 
     @jax.jit
-    def step(params, ost, bi, bm, bl):
+    def step(params, ost, bi, bm, bp, blab, bw):
         def loss_fn(p):
-            logits = model.apply({"params": p}, bi, bm)
-            tgt = jnp.roll(bi, -1, axis=1)
+            logits = model.apply({"params": p}, bi, bm, positions=bp)
             ll = optax.softmax_cross_entropy_with_integer_labels(
-                logits, tgt
+                logits, blab
             )
-            return (ll * bl).sum() / jnp.maximum(bl.sum(), 1.0)
+            return (ll * bw).sum() / jnp.maximum(bw.sum(), 1.0)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         up, ost = opt.update(g, ost, params)
@@ -183,6 +196,8 @@ def main():
 
     t0 = time.time()
     losses = []
+    loss_dev = None
+    n_steps = 0
     order = np.arange(ids.shape[0])
     nprng = np.random.default_rng(11)
     for ep in range(args.epochs):
@@ -191,22 +206,30 @@ def main():
             sel = order[i * bs : (i + 1) * bs]
             if len(sel) < bs:
                 break
-            params, ost, loss = step(
+            params, ost, loss_dev = step(
                 params, ost, jnp.asarray(ids[sel]),
-                jnp.asarray(mask[sel]), jnp.asarray(lm[sel]),
+                jnp.asarray(mask[sel]), jnp.asarray(tpos[sel]),
+                jnp.asarray(tlab[sel]), jnp.asarray(tw[sel]),
             )
-            losses.append(float(loss))
-            if (i + 1) % 200 == 0:
-                print(
-                    f"epoch {ep} step {i + 1}/{steps_per_epoch} "
-                    f"loss {np.mean(losses[-50:]):.4f}",
-                    file=sys.stderr, flush=True,
-                )
+            n_steps += 1
+            # sync only every 50 steps: float() blocks on the device, and
+            # a per-step sync pays a full tunnel RTT per step
+            if (i + 1) % 50 == 0 or i == 0:
+                losses.append(float(loss_dev))
+                if (i + 1) % 200 == 0 or i == 0:
+                    print(
+                        f"epoch {ep} step {i + 1}/{steps_per_epoch} "
+                        f"loss {losses[-1]:.4f} "
+                        f"({time.time() - t0:.0f}s)",
+                        file=sys.stderr, flush=True,
+                    )
     wall = time.time() - t0
     record["train"] = {
-        "steps": len(losses), "seconds": round(wall, 1),
-        "loss_first": round(float(np.mean(losses[:20])), 4),
-        "loss_last": round(float(np.mean(losses[-20:])), 4),
+        "steps": n_steps, "seconds": round(wall, 1),
+        # losses are sampled every 50 steps (per-step sync would pay a
+        # tunnel RTT each step)
+        "loss_first": round(float(np.mean(losses[:4])), 4),
+        "loss_last": round(float(np.mean(losses[-4:])), 4),
         "params_m": round(n_params / 1e6, 2),
     }
     print(f"trained {record['train']}", file=sys.stderr)
