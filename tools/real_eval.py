@@ -607,6 +607,17 @@ def write_md(record):
             "encoder claws back.  Human-style paraphrase queries (the "
             "reference's target workload) are the regime the cosine "
             "weight is FOR; the paraphrase table above measures it.",
+            "- **Cross-encoder rescoring: measured NEGATIVE result** "
+            "(kept for the record, like the infonce_hn mining result in "
+            "docs/METRICS.md).  The 28.9M CE trained with 1 RANDOM "
+            "negative per positive learns relevant-vs-random, not the "
+            "fine ordering of an already-relevant top-100 pool — "
+            "rescoring with it destroys the ranking (recall@10 0.23; "
+            "recall@100 unchanged since it only reorders).  A useful CE "
+            "needs retrieval-hard negatives (bm25/bi-encoder pool "
+            "negatives); the machinery (training harness, checkpoint, "
+            "serving path, measured 32 ms/top-100 rescore) is in place "
+            "and tested for when that data regime is warranted.",
             "- `smoothing` (the BM25 weight) is a `Config` knob: "
             "deployments with exact-phrase-heavy traffic should raise it "
             "or route by query type; this table is the evidence.",
