@@ -168,14 +168,17 @@ def topk_blockmax(scores: jnp.ndarray, k: int, block=None):
 
     ~4x cheaper than the full sort at [64, 100k] k=1000 (measured 1.65 vs
     6.6 ms true, /tmp-era variant sweep round 4).  ``block`` auto-picks
-    per shape: G=16 when the block-max row is small enough that ONE plain
-    sort finishes it (N/16 <= 8192 — measured 1.65 vs 1.91 for the G=4
-    recursive form at 100k), else G=4 with recursion (at 1M+ a 62k-wide
-    level-1 sort would dominate; G=4 recurses it down to ~16k).
+    per shape: G=8 when the block-max row still fits one plain sort
+    (N/8 <= 16384 — measured 2.57 vs 2.76 for G=16 at [64,100k] k=1000,
+    tools/micro_tail_r5.py full-consumption sweep: the k*G expansion
+    sort halves with G while the 2x-wider level-1 sort costs less than
+    that; G=32+ is 2.9x WORSE — the expansion pool dwarfs the saving),
+    else G=4 with recursion (at 1M+ a 62k-wide level-1 sort would
+    dominate; G=4 recurses it down to ~16k).
     """
     B, N = scores.shape
     if block is None:
-        block = 16 if (N + 15) // 16 <= 8192 else 4
+        block = 8 if (N + 7) // 8 <= 16384 else 4
     if k >= N or N <= 4 * k * block:
         return lax.top_k(scores, k)
     pad = (-N) % block
@@ -224,11 +227,23 @@ def _rank_candidates(doc_score, win, top_idx, valid_c, old_norm, k_ret: int):
     (docs/profile_pipeline_100000.json final_sort5 vs final_flat_takes):
     the payload columns ride the sort network instead of paying three
     separate (B,k) gathers.  ``is_stable`` preserves lax.top_k's tie rule
-    (equal fused scores keep candidate order = ascending stage-1 rank)."""
+    (equal fused scores keep candidate order = ascending stage-1 rank).
+
+    The score/winner pair rides ONE interleaved [B*W, 2] gather instead
+    of two flat takes (1.43 vs 1.72 ms/batch-64 at 100k incl. the sort,
+    tools/micro_tail_r5.py): the stack write is sequential HBM traffic
+    while the second random gather pass is not.  ``win`` crosses the
+    f32 lanes as a BITCAST — a float convert would round any index
+    >= 2^24 (the _BIG sentinel is 2^31-1), a bitcast is a pure data
+    move through the gather."""
     B, W = doc_score.shape
     gflat = top_idx + jnp.arange(B, dtype=jnp.int32)[:, None] * W
-    cand_scores = jnp.take(doc_score.reshape(-1), gflat)
-    cand_win = jnp.take(win.reshape(-1), gflat)
+    packed = jnp.stack(
+        [doc_score, lax.bitcast_convert_type(win, jnp.float32)], axis=-1
+    )
+    out = jnp.take(packed.reshape(-1, 2), gflat, axis=0)  # [B, k, 2]
+    cand_scores = out[..., 0]
+    cand_win = lax.bitcast_convert_type(out[..., 1], jnp.int32)
     sort_key = jnp.where(valid_c, cand_scores, -1.0)
     neg_vals, final_doc, final_win, final_old, final_valid = lax.sort(
         (-sort_key, top_idx, cand_win, old_norm, valid_c),

@@ -72,6 +72,28 @@ class TestBM25HandComputed:
         tid = art.vocab.get("common")
         assert tid >= 0 and art.idf[tid] < 0
 
+    def test_negative_total_scores_are_dropped_min_score_parity(self):
+        # A query whose every term has idf < 0 produces only negative doc
+        # totals, and the reference DROPS them: BM25.search filters
+        # ``bm25_score >= min_score`` with min_score=0.0
+        # (bm25_indexer.py:383,480-481) — zero results, NOT a ranking of
+        # negative scores.  The engine's keyed-score admissibility
+        # contract (matched & score >= 0, bm25_pallas._accum_keyed)
+        # reproduces exactly that.  Deliberate parity, not a bug: checked
+        # against the reference source in round 5 after a common-term
+        # query on a synthetic corpus returned empty.
+        texts = [f"common word{i}" for i in range(8)] + ["rare thing"]
+        art, _ = build(texts)
+        tid = art.vocab.get("common")
+        assert art.idf[tid] < 0  # precondition: df 8/9 > N/2
+        idx, vals = bm25_search_numpy(art, "common", top_k=10)
+        assert len(idx) == 0  # matched docs all scored < 0 -> filtered
+        # a mixed query stays ranked by the SIGNED total: the negative
+        # common-term contribution still penalizes docs containing it
+        idx2, vals2 = bm25_search_numpy(art, "rare common", top_k=10)
+        assert len(idx2) >= 1
+        assert all(v >= 0.0 for v in vals2)
+
     def test_impact_ordering(self):
         texts = ["apple apple apple", "apple b c d e f g h i j", "apple k"]
         art, _ = build(texts)

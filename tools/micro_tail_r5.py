@@ -39,7 +39,9 @@ def bench(fn, *args, label=""):
         def one(carry, seed):
             out = fn(seed, *a)
             leaves = jax.tree_util.tree_leaves(out)
-            return carry + sum(jnp.sum(x[:, :1].astype(jnp.float32))
+            # consume FULL outputs: bodies that consume only [:, :1] of a
+            # top-k/sort get DCE-narrowed by XLA (NOTES.md round-4 gotcha)
+            return carry + sum(jnp.sum(x.astype(jnp.float32))
                                for x in leaves), None
 
         acc, _ = lax.scan(one, jnp.zeros(()), seed0 + jnp.arange(N_SCAN))
@@ -52,7 +54,7 @@ def bench(fn, *args, label=""):
         _ = float(np.asarray(scan_run(jnp.int32(100 * r), *args)))
         dt = (time.time() - t0) / N_SCAN * 1e3
         best = dt if best is None else min(best, dt)
-    print(f"{label:46s} {best:7.3f} ms")
+    print(f"{label:46s} {best:7.3f} ms", flush=True)
     return best
 
 
@@ -97,9 +99,25 @@ def main():
 
     bench(rank, doc_score, win, top_idx, label="_rank_candidates (full)")
 
+    def rank_interleaved(seed, ds, w, ti):
+        ds = ds + seed * 0.0
+        packed = jnp.stack([ds, w.astype(jnp.float32)], axis=-1)
+        gflat = ti + jnp.arange(B, dtype=jnp.int32)[:, None] * n_docs
+        out = jnp.take(packed.reshape(-1, 2), gflat, axis=0)
+        cand_scores, cand_win = out[..., 0], out[..., 1].astype(jnp.int32)
+        sort_key = jnp.where(valid, cand_scores, -1.0)
+        neg_vals, fd, fw, fo, fv = lax.sort(
+            (-sort_key, ti, cand_win, old_norm, valid),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+        return fd[:, :K], -neg_vals[:, :K], fo[:, :K], fw[:, :K], fv[:, :K]
+
+    bench(rank_interleaved, doc_score, win, top_idx,
+          label="_rank_candidates interleaved")
+
     # --- blockmax G sweep -------------------------------------------------
     scores = jnp.asarray(rng.random((B, n_docs), np.float32))
-    for G in (8, 16, 32):
+    for G in (8, 16, 32, 64):
         def bm(seed, s, G=G):
             s = s + seed * 0.0
             return ops.topk_blockmax(s, K, block=G)

@@ -11,6 +11,17 @@ sampled in-corpus negatives (q, p', 0) — the standard MS-MARCO-style
 construction, air-gapped.  Everything pre-tokenized once; the train step
 is one jitted forward/backward at a fixed shape.
 
+Round-5 (VERDICT r4 #3): ``--hard-negatives N --neg-encoder CKPT`` adds
+RETRIEVAL-hard negatives — the random-negative CE measured in round 4
+learns relevant-vs-random and destroys an already-relevant top-100 pool
+when rescoring it (docs/REAL_EVAL.md, recall@10 0.23).  Hard negatives
+come from the promoted flagship bi-encoder's rank band: per query, take
+the top (skip+band) most-similar pool passages, drop the first ``skip``
+ranks (docstring corpora: the nearest non-positive is frequently a
+PARAPHRASE of the positive — the round-3 infonce_hn lesson), drop
+near-paraphrases by token Jaccard, and sample ``N`` from the rest.
+This matches the CE's serving task: ordering WITHIN a retrieval pool.
+
 Outputs: checkpoint (runs/cross-encoder-real), a held-out pool ranking
 eval (CE vs bi-encoder-score-free random baseline), the measured
 device cost of a top-100 rescore, and a JSON record.
@@ -52,6 +63,74 @@ def pad_all(tokenizer, seqs, max_len):
     return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
 
 
+def _tokset(text):
+    return frozenset(text.lower().split())
+
+
+def mine_band_negatives(ckpt, train_pairs, per_pos, skip, band, seed):
+    """(query -> [hard negative texts]) via the bi-encoder's rank band.
+
+    Embeds queries + the unique-passage pool with the checkpointed
+    flagship (the tower that builds the serving pool), takes the top
+    (skip+band) pool passages per query on device, skips the first
+    ``skip`` ranks and any candidate with token-Jaccard > 0.6 against
+    the positive (paraphrase false-negative guard), then samples
+    ``per_pos`` of the remainder."""
+    import jax
+    import jax.numpy as jnp
+
+    from modern_search_engines_project_tpu.models.encoder import JaxEncoder
+
+    enc = JaxEncoder.from_checkpoint(ckpt, batch_size=256)
+    queries = [q for q, _ in train_pairs]
+    positives = [p for _, p in train_pairs]
+    pool = list(dict.fromkeys(positives))
+    t0 = time.time()
+    qv = np.asarray(enc.encode_batch(queries), np.float32)
+    pv = np.asarray(enc.encode_batch(pool), np.float32)
+    embed_s = time.time() - t0
+    top = min(skip + band, len(pool))
+
+    @jax.jit
+    def _top_slice(qc, pT):
+        return jax.lax.top_k(qc @ pT, top)
+
+    pT = jnp.asarray(pv).T
+    rng = random.Random(seed)
+    pos_toks = None
+    out = []
+    kept = dropped_para = 0
+    chunk = 2048
+    for c0 in range(0, len(queries), chunk):
+        c1 = min(c0 + chunk, len(queries))
+        _, idx = _top_slice(jnp.asarray(qv[c0:c1]), pT)
+        idx = np.asarray(idx)
+        for r in range(c1 - c0):
+            pos = positives[c0 + r]
+            pos_toks = _tokset(pos)
+            cands = []
+            for j in idx[r][skip:]:
+                cand = pool[j]
+                if cand == pos:
+                    continue
+                ct = _tokset(cand)
+                inter = len(ct & pos_toks)
+                if inter > 0.6 * len(ct | pos_toks):
+                    dropped_para += 1
+                    continue
+                cands.append(cand)
+            rng.shuffle(cands)
+            out.append(cands[:per_pos])
+            kept += len(cands[:per_pos])
+    stats = {
+        "pool": len(pool), "embed_seconds": round(embed_s, 1),
+        "mine_seconds": round(time.time() - t0 - embed_s, 1),
+        "hard_kept": kept, "paraphrase_dropped": dropped_para,
+        "skip": skip, "band": band,
+    }
+    return out, stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", required=True)
@@ -60,7 +139,19 @@ def main():
     ap.add_argument("--out", default=str(REPO / "runs" / "cross-encoder-real"))
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--negatives", type=int, default=1)
+    ap.add_argument("--negatives", type=int, default=1,
+                    help="RANDOM negatives per positive")
+    ap.add_argument("--hard-negatives", type=int, default=0,
+                    help="retrieval-hard negatives per positive, mined "
+                         "with --neg-encoder's rank band")
+    ap.add_argument("--neg-encoder", default=None,
+                    help="bi-encoder checkpoint to mine hard negatives "
+                         "with (e.g. runs/encoder-real)")
+    ap.add_argument("--neg-skip", type=int, default=2,
+                    help="skip the closest ranks (paraphrase guard)")
+    ap.add_argument("--neg-band", type=int, default=48,
+                    help="sample hard negatives from ranks "
+                         "[skip, skip+band)")
     ap.add_argument("--max-len", type=int, default=192)
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--layers", type=int, default=4)
@@ -89,11 +180,24 @@ def main():
         "total": len(pairs), "train": len(train_pairs), "held": len(held),
     }
 
+    hard = [[] for _ in train_pairs]
+    if args.hard_negatives:
+        if not args.neg_encoder:
+            ap.error("--hard-negatives needs --neg-encoder")
+        hard, mine_stats = mine_band_negatives(
+            args.neg_encoder, train_pairs, args.hard_negatives,
+            args.neg_skip, args.neg_band, seed=17,
+        )
+        record["mining"] = mine_stats
+        print(f"mined {mine_stats}", file=sys.stderr)
+
     rng = random.Random(11)
     passages = [p for _, p in train_pairs]
     triples = []
-    for q, p in train_pairs:
+    for i, (q, p) in enumerate(train_pairs):
         triples.append((q, p, 1.0))
+        for neg in hard[i]:
+            triples.append((q, neg, 0.0))
         for _ in range(args.negatives):
             neg = passages[rng.randrange(len(passages))]
             if neg != p:
@@ -172,15 +276,40 @@ def main():
     reranker.params = jax.device_put(jax.tree_util.tree_map(np.asarray, params))
 
     # ---- held-out pool ranking: does the CE rank its positive first? ------
+    # with --neg-encoder the pool is the bi-encoder's own top-(P-1) most
+    # similar held passages (the serving regime: rescoring an
+    # already-relevant retrieval pool); otherwise random passages.
     t0 = time.time()
     eval_q = held[: args.eval_queries]
     pool_src = [p for _, p in held]
+    hard_pools = None
+    if args.neg_encoder:
+        from modern_search_engines_project_tpu.models.encoder import (
+            JaxEncoder,
+        )
+
+        menc = JaxEncoder.from_checkpoint(args.neg_encoder, batch_size=256)
+        uniq = list(dict.fromkeys(pool_src))
+        qv = np.asarray(
+            menc.encode_batch([q for q, _ in eval_q]), np.float32
+        )
+        pv = np.asarray(menc.encode_batch(uniq), np.float32)
+        topn = min(args.eval_pool + 4, len(uniq))
+        _, hp_idx = jax.lax.top_k(
+            jnp.asarray(qv) @ jnp.asarray(pv).T, topn
+        )
+        hp_idx = np.asarray(hp_idx)
+        hard_pools = [[uniq[j] for j in row] for row in hp_idx]
     recall1 = recall10 = mrr = 0.0
     fwd = jax.jit(
         lambda p, i, m: model.apply({"params": p}, i, m)
     )
     for qi, (q, pos) in enumerate(eval_q):
         pool = [pos]
+        if hard_pools is not None:
+            pool += [c for c in hard_pools[qi] if c != pos][
+                : args.eval_pool - 1
+            ]
         prng = random.Random(1000 + qi)
         while len(pool) < args.eval_pool:
             cand = pool_src[prng.randrange(len(pool_src))]
